@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Headline benchmark: run the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count) after
+one warm-up query primes the JVM/session. Queries are the oracle-graded
+headliners spanning scan-agg, multi-join, window, dedup and similarity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kpipe_spark.queries import all_queries  # noqa: E402
+from kpipe_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_revenue_forecast",
+    "q11_window_topk_per_customer",
+    "q12_window_running_total",
+    "q22_events_hourly",
+    "p01_outcome_accounting",
+    "d01_dedup_exact",
+    "d05_minhash_neardup",
+    "d08_similarity_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="kpipe-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warm-up: JVM JIT + parquet footer caches (not counted)
+    queries["q01_pricing_summary"].build(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan
+        q.build(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Table catalog over the driver-generated parquet layout.
+
+``load_tables`` returns plain DataFrames — the engine never materializes
+driver-side. Reads are straight ``spark.read.parquet`` so Catalyst keeps
+predicate pushdown, column pruning, and partition pruning on the scan.
+"""
+
+from __future__ import annotations
+
+import os
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
+        # outright; read the raw int64 and truncate to a microsecond
+        # timestamp (the same truncation DuckDB applies to TIMESTAMP_NS).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
+    """All tables as attributes: ``t = load_tables(...); t.lineitem``."""
+    return SimpleNamespace(
+        **{name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql queries."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,251 @@
+"""Deduplication operators for corpus-scale pipelines.
+
+Four families, each shuffle-partitioned and driver-collect-free:
+
+- exact:   hash -> groupBy(hash) keep canonical survivor. One shuffle on
+           a uniformly-distributed 128-bit key — scales linearly; AQE
+           handles stragglers.
+- minhash: shingle -> 64 minhash slots -> band -> bucket join. Candidate
+           generation is a self-equi-join on (band, bucket-hash), i.e. a
+           shuffle join on a well-distributed key rather than an O(n^2)
+           cross join.
+- simhash: 64-bit simhash via per-token xxhash64 bit-voting; near-dups
+           are buckets of equal simhash prefixes (hamming refinement in
+           the verify step).
+- ngram-jaccard: exact Jaccard over shingle sets, for verification of
+           candidate pairs (never run all-pairs at scale).
+
+All built-in expressions (xxhash64/transform/aggregate) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kpipe_spark.functions.text import fingerprint, tokens
+
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id survivor per normalized-content fingerprint.
+
+    groupBy on md5 — one shuffle, perfectly distributed keys. At 100 TB
+    prefer this over dropDuplicates(text) so the shuffle carries a
+    32-byte key + id instead of whole documents.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# -- shingles ----------------------------------------------------------------
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array<string> (join on space)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+# -- minhash ------------------------------------------------------------------
+
+
+def minhash_signature_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """num_hashes-slot minhash signature as wide columns h0..h{n-1}.
+
+    Slot h_i = min over shingles of xxhash64(shingle, seed=i). Shape:
+    explode shingles -> project the n seeded hashes -> groupBy(id) MIN.
+    The shuffle carries only (id, n×8 bytes) with map-side partial MIN,
+    never document text; a single-expression array<bigint> formulation
+    would instead duplicate the shingle expression n times in the plan
+    (Catalyst CollapseProject), which blows up plan size and codegen.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("_sh")
+    )
+    hashed = exploded.select(
+        F.col(id_col),
+        *[F.xxhash64("_sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_bands_df(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding over a wide signature frame -> (id, band, bucket).
+    Two docs sharing any band collide; P(collide) = 1-(1-j^rows)^bands."""
+    rows = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sig.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(
+            F.col(id_col),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash.
+
+    Plan shape: explode-shuffle signature (see minhash_signature_df) ->
+    band -> shuffle on (band,bucket) -> within-bucket self-join. The
+    quadratic blowup is confined to a bucket, which at sane thresholds
+    is tiny; a hot bucket (boilerplate spam) is handled by AQE skew
+    splitting.
+    """
+    sig = minhash_bands_df(
+        minhash_signature_df(df, text_col, id_col, num_hashes, shingle_k),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# -- n-gram Jaccard ------------------------------------------------------------
+
+
+def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard over two distinct-shingle arrays."""
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(F.array_union(shingles_a, shingles_b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Verified near-dup pairs: MinHash-LSH candidates refined by exact
+    shingle Jaccard >= threshold. The expensive exact measure runs only
+    on the candidate set."""
+    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("sh"))
+    return (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# -- simhash --------------------------------------------------------------------
+
+
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash per document -> (id_col, simhash64).
+
+    Per-token xxhash64; each bit position votes +1/-1 across the doc's
+    distinct tokens; the vote sign becomes the output bit. Shape:
+    explode tokens -> one xxhash64 -> groupBy(id) with 64 conditional
+    SUMs (map-side combined) -> fold bits into one bigint. The shuffle
+    carries (id, 64 ints); text never moves. (A single-expression
+    formulation duplicates the token-array expression 64x in the plan —
+    OOMs the driver on plan serialization.) Token-less documents get
+    simhash 0 via the left join back onto the input ids.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    fingerprints = votes.select(F.col(id_col), sim.alias("simhash64"))
+    return df.select(id_col).join(fingerprints, id_col, "left").select(
+        F.col(id_col), F.coalesce("simhash64", F.lit(0)).alias("simhash64")
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,144 @@
+"""Embedding similarity search.
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small)
+query set against the corpus, dot products as one codegen'd
+``aggregate(zip_with(...))`` expression, top-k via per-query window.
+Scale path: LSH bucketing (random hyperplane signs) so each query only
+scans its bucket — the 100 TB variant where brute force is a full scan
+per query batch.
+
+No Python in the scoring loop; arrays stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over two array<double> columns —
+    deterministic summation order (left to right)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double_array(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    queries is expected to be small (a batch of probes): it broadcasts,
+    so the corpus is scanned once with no shuffle until the final
+    per-query window (which shuffles only (query_id, neighbor_id, sim)
+    tuples, never the vectors).
+    """
+    q = queries.select(
+        F.col(query_id_col), as_double_array(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("_sim", 4).alias("cosine_sim"),
+            "rn",
+        )
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-dot-product LSH bucket id (one bit per hyperplane)."""
+    bits = []
+    for i, p in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: both sides bucketed by random-hyperplane signs,
+    then scored only within the matching bucket. Recall trades off with
+    the number of planes; at scale, bucket the corpus ONCE (write
+    bucketed parquet) and reuse across query batches."""
+    q = queries.select(
+        F.col(query_id_col),
+        as_double_array(vec_col).alias("_qvec"),
+    ).withColumn("_bucket", hyperplane_bucket(F.col("_qvec"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("_cvec"),
+    ).withColumn("_bucket", hyperplane_bucket(F.col("_cvec"), planes))
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine(F.col("_qvec"), F.col("_cvec")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("_sim", 4).alias("cosine_sim"),
+            "rn",
+        )
+    )

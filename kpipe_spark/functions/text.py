@@ -1,0 +1,92 @@
+"""Text analysis operators (column expressions, zero Python in hot path).
+
+Everything here is a pure Column builder over built-in functions, so a
+100 TB documents scan keeps whole-stage codegen end to end: tokenize,
+count, quality-score and language-id are one projection over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram/stopword heuristic
+# language-ID. Ordered dict: tie-breaks resolve by this precedence.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "los"),
+    "fr": ("le", "la", "les", "et", "des", "un"),
+    "de": ("der", "die", "das", "und", "ein", "zu"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # romanized markers
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Sub-word-ish tokenization: split on non-alphanumerics AND digit/
+    letter boundaries — a cheap, deterministic stand-in for a BPE
+    pre-tokenizer (word-boundary regex, the usual GPT-2 pre-tok shape)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.lower(c), r"[^a-z0-9]+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def stopword_hits(text: Column | str, lang: str = "en") -> Column:
+    """How many tokens are stopwords of ``lang``."""
+    words = list(STOPWORDS[lang])
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n > 0, stopword_hits(text, lang) / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: rewards reasonable length,
+    lexical diversity and stopword presence — the standard cheap filters
+    a pretraining pipeline applies before expensive dedup."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    diversity = F.when(
+        n_tok > 0, distinct_token_count(c) / n_tok
+    ).otherwise(F.lit(0.0))
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop = F.least(stopword_ratio(c, "en") * 5.0, F.lit(1.0))
+    return F.round((diversity + length_score + stop) / 3.0, 4)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-count argmax language ID. Deterministic tie-break by the
+    STOPWORDS declaration order (first language with the max score wins),
+    mirrored exactly in the oracle SQL."""
+    scores = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    expr = F.lit("unknown")
+    # build backwards so earlier languages win ties
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("unknown"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text. Identical modulo-formatting documents get
+    identical fingerprints — the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

@@ -1,0 +1,98 @@
+"""Terminals: console, custom, fan-out, DLQ envelope.
+
+The DLQ contract (KPipeProducer.java:170-216, docs/GUARANTEES.md:39-58):
+a terminally-failed record is parked on the dead-letter topic carrying
+its ORIGINAL key/value/headers plus an x-dlq-* envelope describing the
+failure and provenance; the offset only advances once the park succeeds.
+In Spark, `dlq_frame` builds the envelope columns and the streaming
+runner (kpipe_spark.streaming.runner) writes it inside foreachBatch
+BEFORE the checkpoint commit — a DLQ write failure fails the batch, so
+the batch replays: the same at-least-once guarantee.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kpipe_spark.pipeline.result import ERROR_COL, FAILED, STATUS_COL
+
+log = logging.getLogger(__name__)
+
+# Source-provenance columns expected on Kafka-shaped frames (FIXTURES.md F1)
+_KAFKA_COLS = ("key", "value", "topic", "partition", "offset", "timestamp", "headers")
+
+
+def dlq_frame(applied: DataFrame, error_class: str = "ProcessingException") -> DataFrame:
+    """Failed rows shaped per the DLQ record contract (FIXTURES.md F5,
+    KPipeProducer.java:178-196): original key/value/headers + x-dlq-*
+    headers appended (duplicates allowed; consumers read last occurrence).
+    """
+    failed = applied.filter(F.col(STATUS_COL) == FAILED)
+    cols = failed.columns
+
+    def have(c: str) -> bool:
+        return c in cols
+
+    def hdr(k: str, v):
+        return F.struct(F.lit(k).alias("key"), v.cast("binary").alias("value"))
+
+    dlq_headers = F.array(
+        hdr("x-dlq-exception-class", F.lit(error_class)),
+        # empty string when the message is null (KPipeProducer.java:183)
+        hdr("x-dlq-exception-message", F.coalesce(F.col(ERROR_COL), F.lit(""))),
+        hdr(
+            "x-dlq-source-topic",
+            F.col("topic") if have("topic") else F.lit(""),
+        ),
+        hdr(
+            "x-dlq-source-partition",
+            (F.col("partition") if have("partition") else F.lit(-1)).cast("string"),
+        ),
+        hdr(
+            "x-dlq-source-offset",
+            (F.col("offset") if have("offset") else F.lit(-1)).cast("string"),
+        ),
+        hdr(
+            "x-dlq-source-timestamp",
+            (
+                F.col("timestamp").cast("long")
+                if have("timestamp")
+                else F.lit(-1)
+            ).cast("string"),
+        ),
+    )
+    original_headers = (
+        F.col("headers")
+        if have("headers")
+        else F.array().cast("array<struct<key:string,value:binary>>")
+    )
+    out = failed.withColumn(
+        "headers", F.concat(F.coalesce(original_headers, F.array()), dlq_headers)
+    )
+    keep = [c for c in ("key", "value", "topic", "partition", "offset", "timestamp") if have(c)]
+    return out.select(*keep, "headers", F.col(ERROR_COL).alias("error"))
+
+
+def to_console(df: DataFrame, n: int = 20, truncate: bool = True) -> None:
+    """Console sink (Stream.toConsole, Stream.java:312-323)."""
+    df.show(n=n, truncate=truncate)
+
+
+def to_multi(df: DataFrame, *sinks: Callable[[DataFrame], None]) -> None:
+    """Best-effort fan-out (CompositeMessageSink.java:11-33): every sink
+    sees the frame; a throwing sink is logged and suppressed; the record
+    still counts processed and the DLQ is NOT invoked
+    (docs/GUARANTEES.md:56). Persist so N sinks don't recompute lineage."""
+    df.persist()
+    try:
+        for i, sink in enumerate(sinks):
+            try:
+                sink(df)
+            except Exception:  # noqa: BLE001 — best-effort contract
+                log.exception("multi-sink #%d failed — suppressed", i)
+    finally:
+        df.unpersist()

@@ -1,0 +1,248 @@
+"""LLM-data-pipeline operator queries (north-star extensions).
+
+Dedup / similarity / text-analysis over the documents and embeddings
+tables. SQL-expressible ones carry a DuckDB oracle; the hash-family ops
+(MinHash/SimHash use Spark's xxhash64, which DuckDB doesn't have) are
+rows-only here and get semantic pytest coverage instead
+(tests/test_llm_ops.py: identical docs collide, unrelated docs don't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kpipe_spark.catalog import load_tables
+from kpipe_spark.functions import dedup as D
+from kpipe_spark.functions import similarity as S
+from kpipe_spark.functions import text as T
+from kpipe_spark.queries import register
+
+_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "d01_dedup_exact",
+    oracle=f"""
+    SELECT {_FP_SQL} AS text_hash,
+           min(doc_id) AS doc_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    description="exact dedup: normalized-content md5 fingerprint, min-id "
+    "survivor; one shuffle on a 128-bit uniform key",
+    tags=("llm", "dedup"),
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    return (
+        docs.select(F.col("doc_id"), T.fingerprint("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@register(
+    "d02_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           len(list_distinct({_TOKS_SQL})) AS n_distinct_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+    description="token counting: whitespace tokens + distinct tokens per "
+    "document (pure projection, codegen end-to-end)",
+    tags=("llm", "text"),
+)
+def d02_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.distinct_token_count("text").alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+_EN_STOP_SQL = "('the','a','of','and','to','in','is')"
+
+
+@register(
+    "d03_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round((
+             (len(list_distinct({_TOKS_SQL})) / len({_TOKS_SQL}))
+             + least(len({_TOKS_SQL}) / 100.0, 1.0)
+             + least((len(list_filter({_TOKS_SQL}, t -> t IN {_EN_STOP_SQL}))
+                      / len({_TOKS_SQL})) * 5.0, 1.0)
+           ) / 3.0, 4) AS quality
+    FROM documents
+    """,
+    description="document quality scoring: lexical diversity + length + "
+    "stopword-presence composite (pretraining pre-filter)",
+    tags=("llm", "text"),
+)
+def d03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"len(list_filter({_TOKS_SQL}, t -> t IN ({words})))"
+
+
+_LANG_CASE_SQL = f"""
+    CASE WHEN greatest({_lang_score_sql('en')}, {_lang_score_sql('es')},
+                       {_lang_score_sql('fr')}, {_lang_score_sql('de')},
+                       {_lang_score_sql('zh')}) = 0 THEN 'unknown'
+         WHEN {_lang_score_sql('en')} = greatest({_lang_score_sql('en')}, {_lang_score_sql('es')}, {_lang_score_sql('fr')}, {_lang_score_sql('de')}, {_lang_score_sql('zh')}) THEN 'en'
+         WHEN {_lang_score_sql('es')} = greatest({_lang_score_sql('en')}, {_lang_score_sql('es')}, {_lang_score_sql('fr')}, {_lang_score_sql('de')}, {_lang_score_sql('zh')}) THEN 'es'
+         WHEN {_lang_score_sql('fr')} = greatest({_lang_score_sql('en')}, {_lang_score_sql('es')}, {_lang_score_sql('fr')}, {_lang_score_sql('de')}, {_lang_score_sql('zh')}) THEN 'fr'
+         WHEN {_lang_score_sql('de')} = greatest({_lang_score_sql('en')}, {_lang_score_sql('es')}, {_lang_score_sql('fr')}, {_lang_score_sql('de')}, {_lang_score_sql('zh')}) THEN 'de'
+         ELSE 'zh'
+    END
+"""
+
+
+@register(
+    "d04_lang_id",
+    oracle=f"""
+    SELECT {_LANG_CASE_SQL} AS predicted_lang,
+           lang AS labeled_lang,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    description="n-gram/stopword-heuristic language ID, confusion counts "
+    "vs the labeled lang column",
+    tags=("llm", "text"),
+)
+def d04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    return (
+        docs.select(
+            T.lang_id("text").alias("predicted_lang"),
+            F.col("lang").alias("labeled_lang"),
+        )
+        .groupBy("predicted_lang", "labeled_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "d05_minhash_neardup",
+    oracle=None,  # xxhash64 signature — not DuckDB-expressible; pytest covers semantics
+    description="MinHash-LSH near-duplicate candidate pairs "
+    "(shingle -> 64-slot signature -> 16 bands -> bucket self-join)",
+    tags=("llm", "dedup", "minhash"),
+)
+def d05_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    return D.minhash_candidates(docs).orderBy("id_a", "id_b")
+
+
+@register(
+    "d06_simhash",
+    oracle=None,  # xxhash64 bit votes — pytest covers collision semantics
+    description="64-bit SimHash fingerprint per document (bit-vote over "
+    "per-token xxhash64, one codegen projection)",
+    tags=("llm", "dedup", "simhash"),
+)
+def d06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    return D.simhash_df(docs)
+
+
+@register(
+    "d07_ngram_jaccard_pairs",
+    oracle=None,  # candidate generation uses xxhash64 banding
+    description="near-dup pairs verified by exact 3-gram Jaccard >= 0.8 "
+    "over MinHash candidates (exact measure only on candidates)",
+    tags=("llm", "dedup", "jaccard"),
+)
+def d07_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    return D.ngram_jaccard_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@register(
+    "d08_similarity_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_cosine_similarity(qv, cv) AS sim
+      FROM c, q WHERE c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    description="brute-force cosine top-5 neighbors for 8 probe vectors: "
+    "broadcast probes, corpus scanned once, window shuffles only "
+    "(query, neighbor, sim) tuples",
+    tags=("llm", "similarity"),
+)
+def d08_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "d09_lsh_similarity_topk",
+    oracle=None,  # approximate by construction; pytest checks recall vs brute force
+    description="LSH-bucketed approximate top-k (8 random hyperplanes, "
+    "seed-fixed): each probe scores only its bucket — the 100 TB path",
+    tags=("llm", "similarity", "lsh"),
+)
+def d09_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = load_tables(spark, sf_dir).embeddings
+    dim = 64
+    rng = np.random.RandomState(42)
+    planes = rng.normal(size=(4, dim)).tolist()
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_topk(emb, queries, planes, k=5)
+
+
+@register(
+    "d10_embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 4) AS l2_norm,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+    description="embedding column hygiene: L2 norms + dimensionality "
+    "(array ops, JVM-side)",
+    tags=("llm", "similarity"),
+)
+def d10_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir).embeddings
+    v = S.as_double_array("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(S.norm(v), 4).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )

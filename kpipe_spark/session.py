@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the config block is written for a real
+multi-executor cluster: AQE on (runtime re-planning, skew-join splitting,
+partition coalescing), Arrow for every Python<->JVM hop, and shuffle
+partitioning sized from the parallelism the session actually has rather
+than Spark's static default of 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "kpipe-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a cluster, ``master`` comes from spark-submit and only the conf
+    entries matter; locally we default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    # 2x cores keeps all slots busy under AQE coalescing at local scale;
+    # on a 1000-executor cluster the operator layer re-partitions by data
+    # volume instead (see ARCHITECTURE.md "shuffle sizing").
+    nshuffle = shuffle_partitions or min(64, max(8, cpus * 2))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalescing, skew-join splitting, runtime join demotion
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        # Arrow everywhere Python touches data (pandas UDFs, toPandas)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # deterministic timestamps regardless of host TZ
+        .config("spark.sql.session.timeZone", "UTC")
+        # dimension tables (region/nation/supplier and SF-scaled customer
+        # buckets) should broadcast; 64 MB is safe with 4 GB+ executors
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # read-side split sizing: default 128 MB is right for 100 TB scans
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
