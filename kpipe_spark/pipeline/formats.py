@@ -49,15 +49,33 @@ def confluent_payload(value: Column | str, extra_skip: int = 0) -> Column:
     return skip_bytes(v, 5 + extra_skip)
 
 
-def decode_json(df: DataFrame, schema, value_col: str = "value",
+def decode_json(df: DataFrame, schema: str, value_col: str = "value",
                 out_col: str = "payload") -> DataFrame:
     """JSON format: bytes -> struct via one columnar from_json.
 
-    Schema-less mode (kpipe's Map<String,Object>) is schema=
-    'map<string,string>'; typed mode passes a StructType/DDL string.
+    kpipe treats a deserialize failure as the record Failing
+    (docs/GUARANTEES.md:45); Spark's PERMISSIVE from_json instead yields
+    a null-field struct, so we capture the corrupt record explicitly:
+    the output gains ``{out_col}_error`` (null = decoded fine), which a
+    Pipeline routes with ``fail_when(col(f"{out_col}_error").isNotNull())``.
+
+    Schema-less mode (kpipe's Map<String,Object>, JsonFormat.java:27-32)
+    is schema='map<string,string>' — no corrupt-record tracking there
+    (from_json yields null for malformed maps, same signal).
     """
-    return df.withColumn(
-        out_col, F.from_json(F.col(value_col).cast("string"), schema)
+    text = F.col(value_col).cast("string")
+    if schema.strip().lower().startswith("map<"):
+        return df.withColumn(out_col, F.from_json(text, schema))
+    parsed = F.from_json(
+        text,
+        f"{schema}, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return (
+        df.withColumn("_parsed", parsed)
+        .withColumn(f"{out_col}_error", F.col("_parsed._corrupt"))
+        .withColumn(out_col, F.col("_parsed").dropFields("_corrupt"))
+        .drop("_parsed")
     )
 
 

@@ -183,12 +183,13 @@ class Pipeline:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        @pandas_udf(f"struct<value: {return_type}, error: string>")
-        def guarded(*cols: pd.Series) -> pd.DataFrame:
+        def guarded(*cols):
             try:
                 # fast path: whole batch at once
                 vals = fn(*cols)
-                return pd.DataFrame({"value": vals, "error": [None] * len(vals)})
+                return pd.DataFrame(
+                    {"value": list(vals), "error": [None] * len(vals)}
+                )
             except Exception:
                 # slow path: per-row so one poison record fails alone
                 values, errors = [], []
@@ -200,6 +201,10 @@ class Pipeline:
                         values.append(None)
                         errors.append(f"{type(exc).__name__}: {exc}")
                 return pd.DataFrame({"value": values, "error": errors})
+
+        # functional form (no type hints): varargs signatures can't be
+        # hint-inferred by pandas_udf
+        guarded = pandas_udf(guarded, f"struct<value: {return_type}, error: string>")
 
         def step(df: DataFrame) -> DataFrame:
             res = guarded(*[F.col(c) for c in input_cols])

@@ -1,0 +1,281 @@
+"""Outcome-aware streaming terminals: foreachBatch with kpipe's
+delivery contract.
+
+The contract being reproduced (docs/GUARANTEES.md:39-58,
+docs/OFFSET-INVARIANTS.md:79-90): a record's offset may only advance
+when the record reached a durable terminal state — sink-ok, filtered,
+or DLQ-parked. In Structured Streaming the checkpoint commit-log entry
+for a micro-batch IS the offset advance, and it is written only after
+foreachBatch returns. So the runner orders terminals inside
+foreachBatch as: DLQ park FIRST, then the passed-record sink; any
+failure raises, the batch is not committed, and restart replays it —
+at-least-once, exactly like kpipe redelivering uncommitted offsets.
+(Replays mean possible DLQ duplicates; dedupe downstream on
+(topic, partition, offset) — same advice as the reference,
+docs/GUARANTEES.md "duplicates are possible".)
+
+Also here: per-batch outcome metrics (ConsumerMetricKeys counters),
+result observers (Stream.onFiltered/onFailed/peekResult,
+Stream.java:187-240), the error handler (R2), a sink retry loop (R1 at
+terminal granularity), and the circuit breaker (R5) as a
+failure-rate gate that pauses consumption while OPEN.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import deque
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kpipe_spark.pipeline.pipeline import Pipeline
+from kpipe_spark.pipeline.result import ERROR_COL, FAILED, FILTERED, PASSED, STATUS_COL
+from kpipe_spark.pipeline.sinks import dlq_frame
+from kpipe_spark.streaming.modes import ProcessingMode, shape_batch
+
+log = logging.getLogger(__name__)
+
+
+class Metrics:
+    """Counter set mirroring kpipe's consumer metrics
+    (docs/OBSERVABILITY.md:20-42)."""
+
+    def __init__(self) -> None:
+        self.counters: dict[str, int] = {
+            "records.received": 0,
+            "pipeline.processed.passed": 0,
+            "pipeline.processed.filtered": 0,
+            "pipeline.processed.failed": 0,
+            "dlq.sent": 0,
+            "dlq.send.failures": 0,
+            "sink.errors": 0,
+            "batches.completed": 0,
+            "circuitbreaker.trips": 0,
+        }
+
+    def add(self, key: str, n: int = 1) -> None:
+        self.counters[key] = self.counters.get(key, 0) + n
+
+
+class CircuitOpen(Exception):
+    pass
+
+
+@dataclass
+class CircuitBreaker:
+    """Count-window failure-rate breaker (Stream.withCircuitBreaker,
+    Stream.java:161-185; state machine ConsumerHealthController.java:292-451).
+
+    CLOSED -> OPEN when the rolling window is full and failure-rate >=
+    threshold; OPEN pauses consumption (the runner sleeps — Spark's
+    analogue of kpipe pausing the consumer while keeping group
+    membership); after open_duration_s the next batch is the HALF_OPEN
+    probe: success closes, failure re-opens.
+    """
+
+    failure_threshold: float = 0.5
+    window: int = 100
+    open_duration_s: float = 5.0
+    _outcomes: deque = field(default_factory=deque)
+    state: str = "CLOSED"
+    _opened_at: float = 0.0
+    trips: int = 0
+
+    def record(self, passed: int, filtered: int, failed: int) -> None:
+        # one terminal outcome per record, after retries (CB sees terminal
+        # outcomes only, CircuitBreakerController.java:34-60)
+        for _ in range(passed + filtered):
+            self._outcomes.append(0)
+        for _ in range(failed):
+            self._outcomes.append(1)
+        while len(self._outcomes) > self.window:
+            self._outcomes.popleft()
+        if self.state == "HALF_OPEN":
+            # probe decided by this batch: any failure re-opens
+            if failed > 0:
+                self._open()
+            else:
+                self.state = "CLOSED"
+        elif self.state == "CLOSED" and len(self._outcomes) >= self.window:
+            rate = sum(self._outcomes) / len(self._outcomes)
+            if rate >= self.failure_threshold:
+                self._open()
+
+    def _open(self) -> None:
+        self.state = "OPEN"
+        self._opened_at = time.monotonic()
+        self.trips += 1
+
+    def gate(self) -> None:
+        """Called before processing a batch: while OPEN, block (paused
+        consumption) until open_duration elapses, then go HALF_OPEN."""
+        if self.state == "OPEN":
+            remaining = self.open_duration_s - (time.monotonic() - self._opened_at)
+            if remaining > 0:
+                log.warning("circuit OPEN — pausing consumption %.1fs", remaining)
+                time.sleep(remaining)
+            self.state = "HALF_OPEN"
+
+
+@dataclass
+class StreamRunner:
+    """Compile a Pipeline onto a streaming frame with terminal routing.
+
+    sink(df, batch_id) receives PASSED rows only. dlq_writer(df,
+    batch_id), when set, receives the DLQ-enveloped failed rows and runs
+    BEFORE the sink; its failure aborts the batch (commit withheld ⇒
+    replay), reproducing "DLQ-send-failure holds the offset"
+    (docs/OFFSET-INVARIANTS.md:79-90).
+    """
+
+    pipeline: Pipeline
+    sink: Callable[[DataFrame, int], None]
+    dlq_writer: Callable[[DataFrame, int], None] | None = None
+    error_handler: Callable[[list], None] | None = None
+    on_filtered: Callable[[int], None] | None = None
+    on_failed: Callable[[int], None] | None = None
+    mode: ProcessingMode = ProcessingMode.PARALLEL
+    key_col: str = "key"
+    sink_retries: int = 0
+    sink_retry_backoff_s: float = 0.5
+    circuit_breaker: CircuitBreaker | None = None
+    metrics: Metrics = field(default_factory=Metrics)
+
+    def _write_with_retry(self, write: Callable[[], None], what: str) -> None:
+        """Fixed-backoff retry (Stream.withRetry semantics: maxRetries
+        counts retries AFTER the first attempt, KPipeConsumerBuilder.java:52-53)."""
+        attempts = self.sink_retries + 1
+        for attempt in range(1, attempts + 1):
+            try:
+                write()
+                return
+            except Exception:
+                self.metrics.add("sink.errors")
+                if attempt == attempts:
+                    raise
+                log.warning("%s failed (attempt %d/%d) — backing off", what, attempt, attempts)
+                time.sleep(self.sink_retry_backoff_s)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if self.circuit_breaker:
+            self.circuit_breaker.gate()
+
+        shaped = shape_batch(batch, self.mode, key_col=self.key_col)
+        applied = self.pipeline.apply(shaped)
+        applied.persist()
+        try:
+            by_status = {
+                r[STATUS_COL]: r["n"]
+                for r in applied.groupBy(STATUS_COL).agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            n_passed = by_status.get(PASSED, 0)
+            n_filtered = by_status.get(FILTERED, 0)
+            n_failed = by_status.get(FAILED, 0)
+            self.metrics.add("records.received", n_passed + n_filtered + n_failed)
+            self.metrics.add("pipeline.processed.passed", n_passed)
+            self.metrics.add("pipeline.processed.filtered", n_filtered)
+            self.metrics.add("pipeline.processed.failed", n_failed)
+
+            # observers are observe-only; a throwing observer is swallowed
+            # (DefaultStream.java:307-369)
+            for cb, arg in ((self.on_filtered, n_filtered), (self.on_failed, n_failed)):
+                if cb and arg:
+                    try:
+                        cb(arg)
+                    except Exception:  # noqa: BLE001
+                        log.exception("result observer raised — swallowed")
+
+            # 1. DLQ park FIRST — before anything that could commit
+            if n_failed:
+                if self.dlq_writer is not None:
+                    dlq = dlq_frame(applied)
+                    try:
+                        self.dlq_writer(dlq, batch_id)
+                        self.metrics.add("dlq.sent", n_failed)
+                    except Exception:
+                        self.metrics.add("dlq.send.failures")
+                        raise  # batch not committed ⇒ replay (offset held)
+                if self.error_handler is not None:
+                    # invoked once per terminally-failed record, after
+                    # retries; a throwing handler is contained
+                    # (RecordProcessor.java:437-448)
+                    try:
+                        failed_rows = (
+                            applied.filter(F.col(STATUS_COL) == FAILED)
+                            .select("*")
+                            .collect()
+                        )
+                        self.error_handler(failed_rows)
+                    except Exception:  # noqa: BLE001
+                        log.exception("error handler raised — contained")
+
+            # 2. deliver passed records
+            passed_df = applied.filter(F.col(STATUS_COL) == PASSED).drop(
+                STATUS_COL, ERROR_COL
+            )
+            self._write_with_retry(lambda: self.sink(passed_df, batch_id), "sink")
+
+            self.metrics.add("batches.completed")
+            if self.circuit_breaker:
+                self.circuit_breaker.record(n_passed, n_filtered, n_failed)
+                self.metrics.counters["circuitbreaker.trips"] = self.circuit_breaker.trips
+        finally:
+            applied.unpersist()
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        query_name: str = "kpipe-stream",
+        trigger: dict[str, Any] | None = None,
+    ):
+        """writeStream.foreachBatch(...).start() -> Handle."""
+        writer = (
+            stream_df.writeStream.queryName(query_name)
+            .foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return Handle(writer.start(), self.metrics)
+
+
+class Handle:
+    """Lifecycle handle (kpipe-api Handle.java / docs/API.md:76-94):
+    await / close (graceful drain) / health / metrics over a
+    StreamingQuery."""
+
+    def __init__(self, query, metrics: Metrics) -> None:
+        self.query = query
+        self._metrics = metrics
+
+    def await_shutdown(self, timeout_s: float | None = None) -> bool:
+        return self.query.awaitTermination(timeout_s)
+
+    def process_all_available(self) -> None:
+        """Deterministic flush (TestStream.flush analogue,
+        TestStream.java:65-120)."""
+        self.query.processAllAvailable()
+
+    def close(self) -> None:
+        """Graceful: Spark finishes or abandons the in-flight batch; an
+        uncommitted batch replays on restart (KPipeConsumer.java:877-1054's
+        bounded drain + final commit, minus the hand-rolled machinery)."""
+        self.query.stop()
+
+    def metrics(self) -> dict[str, int]:
+        return dict(self._metrics.counters)
+
+    def health(self) -> dict[str, Any]:
+        """Health snapshot (ConsumerHealthController.java:167-202 /
+        HttpHealthServer.java:18-75)."""
+        return {
+            "running": self.query.isActive,
+            "status": self.query.status,
+            "last_progress": self.query.lastProgress,
+        }

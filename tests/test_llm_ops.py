@@ -1,0 +1,100 @@
+"""Semantic tests for the hash-family LLM ops that have no SQL oracle:
+MinHash-LSH candidate quality, SimHash collision behavior, LSH
+similarity recall vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kpipe_spark.functions import dedup as D
+from kpipe_spark.functions import similarity as S
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall green trees"
+)
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near-duplicate of 0
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning parquet files and catalyst"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = D.exact_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[0] == 2  # 0 and 1 collapse, min-id survivor
+    assert 1 not in by_id
+    assert by_id[3] == 1
+
+
+def test_minhash_finds_near_duplicates(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in D.minhash_candidates(docs).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup collides
+    assert (3, 4) not in pairs  # unrelated docs don't
+
+
+def test_ngram_jaccard_refinement(spark, docs):
+    # a one-word edit in a 24-word doc flips ~3 of ~22 3-shingles:
+    # jaccard ≈ 19/25 ≈ 0.76, so threshold 0.7 keeps it and 0.9 drops it
+    verified = D.ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    sims = {(r["id_a"], r["id_b"]): r["jaccard_sim"] for r in verified}
+    assert sims[(0, 1)] == 1.0
+    near = [v for k, v in sims.items() if 2 in k]
+    assert near and all(0.7 <= v < 1.0 for v in near)
+    strict = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert strict == {(0, 1)}
+
+
+def test_simhash_properties(spark, docs):
+    out = {r["doc_id"]: r["simhash64"] for r in D.simhash_df(docs).collect()}
+    assert out[0] == out[1]  # identical text ⇒ identical simhash
+    ham = docs.sparkSession.createDataFrame(
+        [(out[0], out[2]), (out[0], out[3])], "a bigint, b bigint"
+    ).select(D.hamming64(F.col("a"), F.col("b")).alias("d")).collect()
+    near_dist, far_dist = ham[0]["d"], ham[1]["d"]
+    assert near_dist < far_dist  # near-dup closer than unrelated doc
+    assert near_dist <= 16
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """LSH top-k must recover a decent fraction of true neighbors on the
+    real embeddings table (recall is the accuracy/speed dial)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    planes = np.random.RandomState(42).normal(size=(2, 64)).tolist()
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(emb, queries, planes, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_cosine_self_similarity(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(10)
+    v = S.as_double_array("embedding")
+    rows = emb.select(F.round(S.cosine(v, v), 6).alias("self_sim")).collect()
+    assert all(abs(r["self_sim"] - 1.0) < 1e-6 for r in rows)
