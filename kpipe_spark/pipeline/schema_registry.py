@@ -1,0 +1,104 @@
+"""Schema-Registry decode path (SURVEY §2.1 S3/S4) — the one genuinely
+custom SerDe in the engine.
+
+kpipe's SR mode resolves the writer schema PER RECORD from the
+Confluent envelope's schema id, with an immutable forever-cache
+(CachedSchemaResolver.java, docs/FORMATS.md:107-124). Spark's from_avro
+is fixed-schema, so SR mode is a pandas UDF: slice the envelope, look
+up the schema id in an executor-local cache, decode against the writer
+schema. The resolver client is pluggable; the default here is a
+dict-backed resolver (tests and offline use). A real HTTP Confluent
+client drops in via ``resolver`` — it is only ever constructed inside
+the executor process (no driver pickling of connections).
+
+Decode failures follow the outcome discipline: (payload=null,
+error=msg), never a task failure.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def make_dict_resolver(schemas: dict[int, str]) -> Callable[[int], str]:
+    """Offline resolver: schema-id -> Avro schema JSON from a dict."""
+
+    def resolve(schema_id: int) -> str:
+        if schema_id not in schemas:
+            raise KeyError(f"unknown schema id {schema_id}")
+        return schemas[schema_id]
+
+    return resolve
+
+
+def decode_avro_sr(
+    df: DataFrame,
+    resolver_factory: Callable[[], Callable[[int], str]],
+    value_col: str = "value",
+    out_col: str = "payload",
+) -> DataFrame:
+    """Per-record writer-schema Avro decode (AvroFormat.java:181-212).
+
+    resolver_factory is called once per executor Python worker; its
+    result is cached per schema id for the worker's lifetime (SR ids
+    are immutable, so a forever-cache is sound — docs/FORMATS.md:107-124).
+    Output: ``out_col`` is the decoded record as a JSON string (schema
+    heterogeneity across ids precludes one static struct type — project
+    with get_json_object/from_json downstream once ids are split), plus
+    ``{out_col}_schema_id`` and ``{out_col}_error``.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def decode(values):
+        try:
+            import fastavro
+        except ImportError:
+            fastavro = None
+        resolve = resolver_factory()
+        schema_cache: dict[int, object] = {}
+        payloads, sids, errors = [], [], []
+        for raw in values:
+            try:
+                if raw is None or len(raw) < 5 or raw[0] != 0:
+                    raise ValueError("bad Confluent envelope (magic byte != 0)")
+                sid = int.from_bytes(raw[1:5], "big")
+                if sid not in schema_cache:
+                    schema_json = resolve(sid)
+                    if fastavro is not None:
+                        schema_cache[sid] = (
+                            "avro",
+                            fastavro.parse_schema(json.loads(schema_json)),
+                        )
+                    else:
+                        # offline fallback: JSON-encoded payloads after the
+                        # envelope (tests); real Avro needs fastavro
+                        schema_cache[sid] = ("json", None)
+                kind, schema = schema_cache[sid]
+                body = bytes(raw[5:])
+                if kind == "avro":
+                    rec = fastavro.schemaless_reader(io.BytesIO(body), schema)
+                else:
+                    rec = json.loads(body)
+                payloads.append(json.dumps(rec, default=str))
+                sids.append(sid)
+                errors.append(None)
+            except Exception as exc:  # noqa: BLE001 — error becomes data
+                payloads.append(None)
+                sids.append(None)
+                errors.append(f"{type(exc).__name__}: {exc}")
+        return pd.DataFrame({"payload": payloads, "sid": sids, "error": errors})
+
+    udf = pandas_udf(decode, "struct<payload: string, sid: int, error: string>")
+    return (
+        df.withColumn("_sr", udf(F.col(value_col)))
+        .withColumn(out_col, F.col("_sr.payload"))
+        .withColumn(f"{out_col}_schema_id", F.col("_sr.sid"))
+        .withColumn(f"{out_col}_error", F.col("_sr.error"))
+        .drop("_sr")
+    )

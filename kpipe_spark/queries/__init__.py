@@ -50,6 +50,11 @@ def register(
 
 def all_queries() -> dict[str, Query]:
     # import side effect populates QUERIES
-    from kpipe_spark.queries import llm_ops, pipeline_queries, relational  # noqa: F401
+    from kpipe_spark.queries import (  # noqa: F401
+        llm_ops,
+        pipeline_queries,
+        relational,
+        relational2,
+    )
 
     return QUERIES
