@@ -61,6 +61,18 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
+def word_shingle_hashes(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles pre-hashed to array<bigint>.
+
+    Each shingle string is hashed ONCE; the minhash slots then reseed
+    from the 8-byte hash instead of re-hashing the string 64 times —
+    at ~10M shingles x 64 slots that's the difference between hashing
+    ~5 GB of strings and ~80 MB of longs per slot wave. Collisions at
+    64-bit are negligible vs MinHash's own approximation error.
+    """
+    return F.transform(word_shingles(text, k), lambda s: F.xxhash64(s))
+
+
 # -- minhash ------------------------------------------------------------------
 
 
@@ -81,7 +93,8 @@ def minhash_signature_df(
     (Catalyst CollapseProject), which blows up plan size and codegen.
     """
     exploded = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("_sh")
+        F.col(id_col),
+        F.explode(word_shingle_hashes(text_col, shingle_k)).alias("_sh"),
     )
     hashed = exploded.select(
         F.col(id_col),
