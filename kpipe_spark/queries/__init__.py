@@ -52,6 +52,7 @@ def all_queries() -> dict[str, Query]:
     # import side effect populates QUERIES
     from kpipe_spark.queries import (  # noqa: F401
         llm_ops,
+        llm_ops2,
         pipeline_queries,
         relational,
         relational2,

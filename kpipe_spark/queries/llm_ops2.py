@@ -1,0 +1,306 @@
+"""North-star LLM-pipeline operators, part 2.
+
+Embedding-cosine near-dup, document fingerprint sketches, IVF-style
+approximate nearest neighbors, and multimodal-column plumbing — each
+oracle-checked where the semantics are SQL-expressible.
+
+Scale notes are per-query; the shared discipline: no driver collect,
+no Python in scoring loops, shuffles carry (id, hash/score) tuples —
+never full documents or media blobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kpipe_spark.catalog import load_tables
+from kpipe_spark.functions import multimodal as M
+from kpipe_spark.functions import similarity as S
+from kpipe_spark.functions.dedup import word_shingles
+from kpipe_spark.queries import register
+
+# ---------------------------------------------------------------------------
+# d11 — embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d11_embedding_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, b.e), 4) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.35
+    """,
+    description="embedding-cosine near-duplicate pairs (sim >= 0.35). "
+    "Exact all-pairs is the oracle-checkable baseline; at 100 TB swap "
+    "candidate generation for the d09 LSH buckets and keep only the "
+    "exact-cosine verify on candidates.",
+    tags=("llm", "dedup", "similarity"),
+)
+def d11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir).embeddings
+    a = emb.select(F.col("vec_id").alias("id_a"), S.as_double_array("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), S.as_double_array("embedding").alias("_vb"))
+    # broadcast one side: the pair generator is then a map-side nested loop
+    # over corpus partitions — no shuffle of vectors at all. At scale the
+    # broadcast side is the (small) LSH-candidate set, not the corpus.
+    sim = F.round(S.cosine(F.col("_va"), F.col("_vb")), 4)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.35)
+    )
+
+
+# ---------------------------------------------------------------------------
+# d12 — document fingerprint: bottom-k shingle-hash sketch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d12_doc_fingerprint",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(1, len(t)-1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+                  ELSE [array_to_string(t, ' ')] END AS shingles
+      FROM toks
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_sort(list_transform(shingles, s -> md5(s)))[1:4],
+             ',') AS fp
+    FROM sh
+    """,
+    description="document fingerprint: bottom-4 sketch of md5(3-word "
+    "shingle) — a winnowing-style rolling-hash signature. Computed with "
+    "explode + per-doc window(rank<=4), so per-group state is bounded at "
+    "k hashes regardless of document length (no collect of full shingle "
+    "sets at 100 TB).",
+    tags=("llm", "text", "fingerprint"),
+)
+def d12_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    hashed = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("_sh")
+    ).select("doc_id", F.md5("_sh").alias("_h"))
+    w = Window.partitionBy("doc_id").orderBy("_h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 4)
+        .groupBy("doc_id")
+        .agg(F.array_join(F.array_sort(F.collect_list("_h")), ",").alias("fp"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# d13 — IVF-style approximate nearest neighbors
+# ---------------------------------------------------------------------------
+
+_IVF_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16
+    ), assigned AS (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.centroid_id
+               ) AS crn
+        FROM v, cents c
+      ) WHERE crn = 1
+    ), probes AS (
+      SELECT query_id, qe, centroid_id FROM (
+        SELECT v.vec_id AS query_id, v.e AS qe, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.centroid_id
+               ) AS crn
+        FROM v, cents c WHERE v.vec_id < 8
+      ) WHERE crn <= 2
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(p.qe, a.e) AS sim
+      FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@register(
+    "d13_ivf_topk",
+    oracle=_IVF_ORACLE,
+    description="IVF-style ANN: 16 coarse centroids (deterministic: the "
+    "first 16 vectors), corpus assigned to nearest centroid once, each "
+    "query probes its 2 nearest cells and scores only those. At 100 TB "
+    "the assignment is materialized as centroid-partitioned parquet and "
+    "reused across query batches; per-query work drops from full-scan "
+    "to nprobe/k_cells of the corpus.",
+    tags=("llm", "similarity", "ivf"),
+)
+def d13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir).embeddings
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    cents = v.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("_e").alias("_ce")
+    )
+
+    def nearest_cells(side: DataFrame, vec_col: str, nprobe: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents)).select(
+            side["*"],
+            "centroid_id",
+            S.cosine(side[vec_col], F.col("_ce")).alias("_csim"),
+        )
+        w = Window.partitionBy(side.columns[0]).orderBy(
+            F.col("_csim").desc(), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("_crn", F.row_number().over(w))
+            .filter(F.col("_crn") <= nprobe)
+            .drop("_csim", "_crn")
+        )
+
+    assigned = nearest_cells(v, "_e", 1)
+    probes = nearest_cells(
+        v.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
+        ),
+        "_qe",
+        2,
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("_qe"), F.col("_e")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("_sim", 4).alias("cosine_sim"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns — media table derived deterministically from documents
+# ---------------------------------------------------------------------------
+
+_KINDS = F.element_at(
+    F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+    (F.col("doc_id") % 3 + 1).cast("int"),
+)
+
+
+def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> multimodal frame: opaque binary content + typed
+    metadata struct (MEDIA_SCHEMA). The binary payload is the utf-8
+    encoding of the text (this container has no codec libs — the bytes
+    are a deterministic stand-in; the schema/partitioning/UDF plumbing
+    is the real deliverable)."""
+    docs = load_tables(spark, sf_dir).documents
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        _KINDS.alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.concat(F.lit("mem://documents/"), "doc_id").alias("media_ref"),
+        F.struct(
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            (F.col("doc_id") % 90 + 1).cast("int").alias("frames"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "m01_media_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS byte_size,
+           CAST(floor(log2(octet_length(encode(text)) + 1)) AS INT)
+             AS size_class,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    description="multimodal metadata pass: byte size, log2 size-class "
+    "(the straggler-avoidance partition key) and content digest computed "
+    "on the BINARY column — proves blobs ride through scan/project "
+    "without driver materialization.",
+    tags=("llm", "multimodal"),
+)
+def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_frame(spark, sf_dir)
+    size = F.octet_length("content")
+    return media.select(
+        "media_id",
+        "kind",
+        size.alias("byte_size"),
+        F.floor(F.log2(size + 1)).cast("int").alias("size_class"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@register(
+    "m02_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           unnest(range(0, CAST(doc_id % 90 + 1 AS BIGINT), 10)) AS frame_index
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+    description="video frame-sampling plumbing: every-10th frame index "
+    "fan-out from meta.frames via explode(sequence) — distributed "
+    "row-generation, no driver loop; the decode of each sampled frame is "
+    "the stubbed codec step.",
+    tags=("llm", "multimodal"),
+)
+def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.sample_frames(media_frame(spark, sf_dir), every_n=10)
+
+
+@register(
+    "m03_media_features",
+    oracle=None,  # mapInPandas decode stub — pytest pins exact feature values
+    description="feature extraction over binary media via Arrow-batched "
+    "mapInPandas (stubbed codec: normalized byte-histogram), size-class "
+    "repartitioned so giant blobs don't straggle; per-row decode "
+    "failures become (feature=null, decode_error) — outcome discipline, "
+    "not task failure.",
+    tags=("llm", "multimodal"),
+)
+def m03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.size_class_partitioned(media_frame(spark, sf_dir), num_partitions=8)
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.round(F.element_at("feature", 1), 6).alias("hist_0"),
+        F.round(F.element_at("feature", 8), 6).alias("hist_7"),
+        F.size("feature").alias("feature_dim"),
+        "decode_error",
+    )

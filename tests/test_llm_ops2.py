@@ -1,0 +1,101 @@
+"""Semantic tests for the part-2 LLM ops: IVF recall vs brute force,
+fingerprint sketch stability, and the multimodal mapInPandas plumbing
+(deterministic stubbed codec)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kpipe_spark.functions import multimodal as M
+from kpipe_spark.functions import similarity as S
+from kpipe_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """Probing 2 of 16 cells must still recover a useful fraction of the
+    exact neighbors — the recall/cost dial of the IVF layout."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in all_queries()["d13_ivf_topk"].build(spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+    # every approx neighbor must carry the true cosine (exact re-score)
+    assert len(approx) == 8 * 5
+
+
+def test_embedding_neardup_symmetric_and_thresholded(spark):
+    out = all_queries()["d11_embedding_neardup"].build(spark, SF).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]  # each pair exactly once
+        assert r["cosine_sim"] >= 0.35
+
+
+def test_fingerprint_is_stable_and_order_insensitive(spark):
+    """Same text ⇒ same bottom-4 sketch regardless of partitioning."""
+    q = all_queries()["d12_doc_fingerprint"]
+    a = {r["doc_id"]: r["fp"] for r in q.build(spark, SF).collect()}
+    b = {
+        r["doc_id"]: r["fp"]
+        for r in q.build(spark, SF).repartition(7).collect()
+    }
+    assert a == b
+    assert all(len(fp.split(",")) <= 4 for fp in a.values())
+
+
+@pytest.fixture
+def media(spark):
+    rows = [
+        (0, "image", b"\x00\x20\x40\x60\x80\xa0\xc0\xe0", None),
+        (1, "video", b"\xff" * 16, None),
+        (2, "audio", b"", None),  # empty content -> decode error
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id bigint, kind string, content binary, media_ref string"
+    )
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(25).alias("frames"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit("application/octet-stream").alias("mime"),
+        ),
+    )
+
+
+def test_extract_features_deterministic_and_error_isolated(media):
+    out = {r["media_id"]: r for r in M.extract_features(media).collect()}
+    # one byte in each of the 8 buckets -> uniform histogram
+    assert out[0]["feature"] == pytest.approx([0.125] * 8)
+    # all 0xff -> everything in the last bucket
+    assert out[1]["feature"][7] == pytest.approx(1.0)
+    # empty content fails THAT ROW only, as data
+    assert out[2]["feature"] is None
+    assert "empty media content" in out[2]["decode_error"]
+    assert out[0]["decode_error"] is None
+
+
+def test_sample_frames_fanout(media):
+    rows = M.sample_frames(media, every_n=10).collect()
+    got = {(r["media_id"], r["frame_index"]) for r in rows}
+    # only the video row fans out; frames 0,10,20 of 25
+    assert got == {(1, 0), (1, 10), (1, 20)}
+
+
+def test_size_class_partitioning_preserves_rows(media):
+    out = M.size_class_partitioned(media, num_partitions=4)
+    assert out.count() == 3
+    assert set(out.columns) == set(media.columns)
