@@ -208,10 +208,12 @@ def d13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal columns — media table derived deterministically from documents
 # ---------------------------------------------------------------------------
 
-_KINDS = F.element_at(
-    F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-    (F.col("doc_id") % 3 + 1).cast("int"),
-)
+def _kinds() -> F.Column:
+    # Column exprs need a live SparkContext — built lazily, not at import
+    return F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
 
 
 def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +225,7 @@ def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        _KINDS.alias("kind"),
+        _kinds().alias("kind"),
         F.encode("text", "UTF-8").alias("content"),
         F.concat(F.lit("mem://documents/"), "doc_id").alias("media_ref"),
         F.struct(
