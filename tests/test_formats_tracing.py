@@ -112,3 +112,67 @@ def test_trace_propagation_roundtrip(spark):
     }
     assert hdrs[1]["traceparent"].decode() == child[1]
     assert hdrs[1]["other"] == b"v"  # non-trace headers preserved
+
+
+# -- Protobuf SR envelope (ProtobufFormat.java:159-220 semantics) -----------
+
+
+def _zigzag_varint(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def test_protobuf_envelope_parse_shorthand_and_multi():
+    from kpipe_spark.pipeline.schema_registry import parse_protobuf_envelope
+
+    # single 0x00 byte = shorthand for index path [0]
+    sid, idx, body = parse_protobuf_envelope(_envelope(7, b"\x00payload"))
+    assert (sid, idx, body) == (7, [0], b"payload")
+    # explicit path [1, 2]: count then each index, zig-zag varints
+    wire = _zigzag_varint(2) + _zigzag_varint(1) + _zigzag_varint(2)
+    sid, idx, body = parse_protobuf_envelope(_envelope(300, wire + b"xyz"))
+    assert (sid, idx, body) == (300, [1, 2], b"xyz")
+    # multi-byte varint index (values >= 64 need 2 bytes zig-zagged)
+    wire = _zigzag_varint(1) + _zigzag_varint(200)
+    sid, idx, body = parse_protobuf_envelope(_envelope(1, wire + b"b"))
+    assert (sid, idx, body) == (1, [200], b"b")
+
+
+def test_protobuf_envelope_rejects_garbage():
+    import pytest
+
+    from kpipe_spark.pipeline.schema_registry import parse_protobuf_envelope
+
+    with pytest.raises(ValueError, match="magic"):
+        parse_protobuf_envelope(b"\x01\x00\x00\x00\x07\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_protobuf_envelope(b"\x00\x00\x00\x00\x07" + b"\x80")
+
+
+def test_protobuf_sr_decode_routes_and_isolates_errors(spark):
+    from kpipe_spark.pipeline.schema_registry import decode_protobuf_sr
+
+    rows = [
+        (1, _envelope(7, b"\x00" + b"alpha")),
+        (2, _envelope(9, _zigzag_varint(1) + _zigzag_varint(3) + b"beta")),
+        (3, b"\xffnot-an-envelope"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, value binary")
+    out = {r["id"]: r for r in decode_protobuf_sr(df).collect()}
+    assert out[1]["payload_schema_id"] == 7
+    assert out[1]["payload_message_index"] == [0]
+    assert bytes(out[1]["payload"]) == b"alpha"
+    assert out[2]["payload_schema_id"] == 9
+    assert out[2]["payload_message_index"] == [3]
+    assert bytes(out[2]["payload"]) == b"beta"
+    # bad envelope fails THAT ROW as data, never the task
+    assert out[3]["payload"] is None
+    assert "magic" in out[3]["payload_error"]
