@@ -1,0 +1,258 @@
+"""Streaming state & time semantics: watermarked tumbling/session
+windows with late-data drop, dropDuplicatesWithinWatermark,
+stream-stream interval join, and a custom stateful per-key operator —
+the capabilities kpipe points users to Kafka Streams for
+(reference README.md:203-208); in this engine they are native
+Structured Streaming (SURVEY §2.4 "Streaming windows" / "Stateful ops").
+
+All tests drive file sources batch-by-batch through
+``processAllAvailable`` (the deterministic flush, like the reference's
+TestStream.flush) into memory sinks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+SCHEMA = "event_id bigint, key string, ts timestamp, value double"
+
+
+def write_batch_file(path: str, rows: list[dict], name: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def stream(spark, src):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+
+
+def run_to_memory(df, name, ckpt, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def ev(i, key, ts, value=1.0):
+    return {"event_id": i, "key": key, "ts": ts, "value": value}
+
+
+def test_tumbling_window_with_watermark_drops_late_data(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    # batch 1: events in minute 0 and minute 1; watermark = max_ts - 30s
+    write_batch_file(
+        src,
+        [
+            ev(0, "a", "2024-01-01 00:00:05"),
+            ev(1, "a", "2024-01-01 00:00:20"),
+            ev(2, "b", "2024-01-01 00:01:10"),
+        ],
+        "b1.json",
+    )
+
+    agg = (
+        stream(spark, src)
+        .withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("start"), "key", "n")
+    )
+    q = run_to_memory(agg, "tumbling", ckpt)
+    try:
+        # batch 2 advances event time to 00:05 (watermark 00:04:30); the
+        # flush between writes pins batch order — THEN batch 3 delivers a
+        # LATE event for the already-finalized minute 0
+        write_batch_file(src, [ev(3, "a", "2024-01-01 00:05:00")], "b2.json")
+        q.processAllAvailable()
+        write_batch_file(src, [ev(4, "a", "2024-01-01 00:00:30")], "b3.json")
+        q.processAllAvailable()
+        rows = {
+            (r["start"], r["key"]): r["n"]
+            for r in spark.sql("SELECT * FROM tumbling").collect()
+        }
+        # minute-0 window finalized with the 2 on-time events; the late
+        # event_id=4 (behind the watermark) was DROPPED, not re-emitted
+        assert rows[("2024-01-01 00:00:00", "a")] == 2
+        assert rows[("2024-01-01 00:01:00", "b")] == 1
+        assert all(n <= 2 for n in rows.values())
+    finally:
+        q.stop()
+
+
+def test_session_window_merges_gaps(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    write_batch_file(
+        src,
+        [
+            # key a: two bursts separated by > 1 min gap -> 2 sessions
+            ev(0, "a", "2024-01-01 00:00:00"),
+            ev(1, "a", "2024-01-01 00:00:30"),
+            ev(2, "a", "2024-01-01 00:05:00"),
+        ],
+        "b1.json",
+    )
+    write_batch_file(src, [ev(3, "z", "2024-01-01 01:00:00")], "b2.json")
+
+    agg = (
+        stream(spark, src)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.session_window("ts", "1 minute").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("key", "n")
+    )
+    q = run_to_memory(agg, "sessions", ckpt)
+    try:
+        per_key = {}
+        for r in spark.sql("SELECT * FROM sessions").collect():
+            per_key.setdefault(r["key"], []).append(r["n"])
+        assert sorted(per_key["a"]) == [1, 2]  # burst of 2, then lone event
+    finally:
+        q.stop()
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    write_batch_file(
+        src,
+        [
+            ev(0, "a", "2024-01-01 00:00:00"),
+            ev(0, "a", "2024-01-01 00:00:01"),  # dup id inside watermark
+            ev(1, "b", "2024-01-01 00:00:02"),
+        ],
+        "b1.json",
+    )
+    write_batch_file(
+        src,
+        [
+            ev(0, "a", "2024-01-01 00:00:03"),  # dup again, same window
+            ev(2, "c", "2024-01-01 00:00:04"),
+        ],
+        "b2.json",
+    )
+    dedup = (
+        stream(spark, src)
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "key")
+    )
+    q = run_to_memory(dedup, "dedup", ckpt)
+    try:
+        ids = [r["event_id"] for r in spark.sql("SELECT * FROM dedup").collect()]
+        assert sorted(ids) == [0, 1, 2]  # each id exactly once
+    finally:
+        q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    left_src = str(tmp_path / "left")
+    right_src = str(tmp_path / "right")
+    ckpt = str(tmp_path / "ckpt")
+    write_batch_file(
+        left_src,
+        [ev(0, "a", "2024-01-01 00:00:00"), ev(1, "b", "2024-01-01 00:00:10")],
+        "l1.json",
+    )
+    write_batch_file(
+        right_src,
+        [
+            ev(100, "a", "2024-01-01 00:00:05"),  # within 30s of left a
+            ev(101, "b", "2024-01-01 00:10:00"),  # too far from left b
+        ],
+        "r1.json",
+    )
+    left = (
+        stream(spark, left_src)
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("key").alias("l_key"),
+            F.col("event_id").alias("l_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    right = (
+        stream(spark, right_src)
+        .withWatermark("ts", "1 minute")
+        .select(
+            F.col("key").alias("r_key"),
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "l_key = r_key AND r_ts BETWEEN l_ts AND l_ts + INTERVAL 30 SECONDS"
+        ),
+    ).select("l_id", "r_id")
+    q = run_to_memory(joined, "ssjoin", ckpt)
+    try:
+        pairs = {
+            (r["l_id"], r["r_id"])
+            for r in spark.sql("SELECT * FROM ssjoin").collect()
+        }
+        assert pairs == {(0, 100)}
+    finally:
+        q.stop()
+
+
+def test_custom_stateful_running_max_per_key(spark, tmp_path):
+    """Per-key custom state via applyInPandasWithState: running max of
+    value per key across micro-batches — the transformWithState-family
+    escape hatch for operators the built-ins can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    write_batch_file(
+        src,
+        [ev(0, "a", "2024-01-01 00:00:00", 10.0), ev(1, "b", "2024-01-01 00:00:01", 5.0)],
+        "b1.json",
+    )
+    write_batch_file(
+        src,
+        [ev(2, "a", "2024-01-01 00:00:02", 3.0), ev(3, "b", "2024-01-01 00:00:03", 50.0)],
+        "b2.json",
+    )
+
+    def running_max(key, pdfs, state):
+        mx = state.get[0] if state.exists else float("-inf")
+        for pdf in pdfs:
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((mx,))
+        yield pd.DataFrame({"key": [key[0]], "running_max": [mx]})
+
+    out = (
+        stream(spark, src)
+        .groupBy("key")
+        .applyInPandasWithState(
+            running_max,
+            outputStructType="key string, running_max double",
+            stateStructType="mx double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = run_to_memory(out, "runmax", ckpt, output_mode="update")
+    try:
+        latest = {}
+        # update-mode memory sink appends one row per key per batch;
+        # the running max is the max over emissions
+        for r in spark.sql("SELECT * FROM runmax").collect():
+            latest[r["key"]] = max(latest.get(r["key"], float("-inf")), r["running_max"])
+        assert latest == {"a": 10.0, "b": 50.0}
+    finally:
+        q.stop()
