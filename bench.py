@@ -34,6 +34,9 @@ HEADLINE = [
     "d01_dedup_exact",
     "d05_minhash_neardup",
     "d08_similarity_topk",
+    "d12_doc_fingerprint",
+    "d13_ivf_topk",
+    "m03_media_features",
 ]
 
 

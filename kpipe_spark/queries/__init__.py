@@ -56,6 +56,7 @@ def all_queries() -> dict[str, Query]:
         pipeline_queries,
         relational,
         relational2,
+        relational3,
     )
 
     return QUERIES
