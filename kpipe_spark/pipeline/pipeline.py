@@ -147,6 +147,26 @@ class Pipeline:
 
         return self._with(step)
 
+    def peek(self, observation: Any, *metrics: Column) -> "Pipeline":
+        """Observe-only side channel; the plan is unchanged
+        (Stream.peek / Operators.peek, Stream.java:64-71 — side effect,
+        value untouched).
+
+        Spark-first mapping: per-record callbacks don't exist executor-
+        side, so peek registers named aggregate metrics via
+        ``df.observe`` — computed during the action / micro-batch with
+        zero extra passes, retrievable through ``Observation.get`` in
+        batch or ``StreamingQueryListener`` observedMetrics in
+        streaming. Defaults to row count when no metrics are given.
+        ``observation`` is a name or a ``pyspark.sql.Observation``.
+        """
+        ms = metrics or (F.count(F.lit(1)).alias("rows"),)
+
+        def step(df: DataFrame) -> DataFrame:
+            return df.observe(observation, *ms)
+
+        return self._with(step)
+
     # -- field surgery (Operators.java:147-223) ----------------------------
 
     def rename(self, src: str, dst: str) -> "Pipeline":

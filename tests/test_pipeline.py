@@ -245,3 +245,23 @@ def test_json_roundtrip_and_decode_failure(spark):
     ok = decoded.filter(F.col("payload_error").isNull())
     out = encode_json(ok, "payload")
     assert b'"id":7' in bytes(out.collect()[0]["value"])
+
+
+def test_peek_observes_without_changing_plan(spark, df):
+    """peek (Stream.java:64-71): side-channel metrics, value untouched."""
+    from pyspark.sql import Observation
+
+    from kpipe_spark.pipeline import Pipeline
+
+    obs = Observation("peeked")
+    p = Pipeline().filter(F.col("total") > 10).peek(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("_status") == "filtered", 1).otherwise(0)).alias(
+            "filtered"
+        ),
+    )
+    applied = p.apply(df)
+    n_total = applied.count()  # action fires the observation
+    assert obs.get["rows"] == n_total  # every row still present
+    assert obs.get["filtered"] == df.filter(F.col("total") <= 10).count()
