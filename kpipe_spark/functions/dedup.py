@@ -154,11 +154,15 @@ def minhash_candidates(
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash.
 
-    Plan shape: shuffle-free signature projection (minhash_signature_df) ->
-    band -> shuffle on (band,bucket) -> within-bucket self-join. The
-    quadratic blowup is confined to a bucket, which at sane thresholds
-    is tiny; a hot bucket (boilerplate spam) is handled by AQE skew
-    splitting.
+    Plan shape: signature -> band -> ONE shuffle on (band, bucket) ->
+    within-bucket pair expansion. Grouping ids per bucket and expanding
+    (i < j) combinations from the sorted array computes the signature
+    once; the self-join formulation re-evaluated the whole signature
+    pipeline per side (Spark plans the two join inputs independently —
+    no exchange reuse under AQE), doubling the dominant cost. The
+    quadratic blowup stays confined to a bucket, which at sane
+    thresholds is tiny; a pathological hot bucket (boilerplate spam) is
+    capped the same way either formulation must — by bands/rows tuning.
     """
     sig = minhash_bands_df(
         minhash_signature_df(df, text_col, id_col, num_hashes, shingle_k),
@@ -166,19 +170,24 @@ def minhash_candidates(
         num_hashes,
         bands,
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
+    buckets = (
+        sig.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    n = F.size("_ids")
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, n),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
