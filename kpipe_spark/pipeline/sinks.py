@@ -15,7 +15,7 @@ from __future__ import annotations
 import logging
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kpipe_spark.pipeline.result import ERROR_COL, FAILED, STATUS_COL
@@ -75,6 +75,40 @@ def dlq_frame(applied: DataFrame, error_class: str = "ProcessingException") -> D
     )
     keep = [c for c in ("key", "value", "topic", "partition", "offset", "timestamp") if have(c)]
     return out.select(*keep, "headers", F.col(ERROR_COL).alias("error"))
+
+
+def kafka_producer_frame(
+    df: DataFrame,
+    topic: str,
+    value: Column | str = "value",
+    key: Column | str | None = "key",
+    propagate_trace: bool = True,
+) -> DataFrame:
+    """Shape processed rows for the Kafka producer sink
+    (KafkaMessageSink.java:28-76): serialized ``value``/``key`` cast to
+    binary, a literal ``topic`` column, and — matching inject-on-produce
+    (KPipeProducer.java:199-204) — the consumed traceparent re-injected
+    into the outbound headers when present.
+
+    The result matches the Kafka writer's expected schema, so the
+    terminal is just ``.writeStream.format("kafka")`` (or batch
+    ``.write``); serialization itself is whatever expression the caller
+    passes as ``value`` (to_json/to_avro/to_protobuf output, or an
+    already-binary column).
+    """
+    from kpipe_spark.streaming.tracing import extract_traceparent, inject_traceparent
+
+    v = (F.col(value) if isinstance(value, str) else value).cast("binary")
+    out = df
+    if propagate_trace and "headers" in df.columns:
+        out = inject_traceparent(out, extract_traceparent())
+    cols = [F.lit(topic).alias("topic"), v.alias("value")]
+    if key is not None:
+        k = F.col(key) if isinstance(key, str) else key
+        cols.insert(1, k.cast("binary").alias("key"))
+    if "headers" in out.columns:
+        cols.append(F.col("headers"))
+    return out.select(*cols)
 
 
 def to_console(df: DataFrame, n: int = 20, truncate: bool = True) -> None:

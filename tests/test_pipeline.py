@@ -5,6 +5,8 @@ pandas-UDF per-row failure capture."""
 
 from __future__ import annotations
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -265,3 +267,32 @@ def test_peek_observes_without_changing_plan(spark, df):
     n_total = applied.count()  # action fires the observation
     assert obs.get["rows"] == n_total  # every row still present
     assert obs.get["filtered"] == df.filter(F.col("total") <= 10).count()
+
+
+def test_kafka_producer_frame_schema_and_trace(spark):
+    """K5 (KafkaMessageSink.java:28-76): producer-ready frame — binary
+    key/value, literal topic, traceparent re-injected on produce."""
+    from kpipe_spark.pipeline.sinks import kafka_producer_frame
+
+    tp = b"00-0af7651916cd43dd8448eb211c80319c-b7ad6b7169203331-01"
+    rows = [
+        (b"k1", '{"a": 1}', [("traceparent", tp), ("other", b"x")]),
+        (b"k2", '{"a": 2}', None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "key binary, payload string, "
+        "headers array<struct<key: string, value: binary>>",
+    )
+    out = kafka_producer_frame(df, "out-topic", value=F.col("payload"))
+    assert [f.name for f in out.schema.fields] == ["topic", "key", "value", "headers"]
+    assert out.schema["value"].dataType.simpleString() == "binary"
+    got = {bytes(r["key"]): r for r in out.collect()}
+    assert got[b"k1"]["topic"] == "out-topic"
+    assert json.loads(bytes(got[b"k1"]["value"])) == {"a": 1}
+    # trace context re-injected as the LAST traceparent occurrence
+    hdrs = [(h["key"], bytes(h["value"])) for h in got[b"k1"]["headers"]]
+    assert hdrs[-1] == ("traceparent", tp)
+    assert ("other", b"x") in hdrs
+    # no inbound trace -> headers stay empty, row still produced
+    assert got[b"k2"]["headers"] == []
