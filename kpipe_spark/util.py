@@ -1,8 +1,10 @@
-"""Small plan-shaping utilities."""
+"""Plan-shaping utilities for the 100 TB discipline: under-split
+guards, skew-salted joins, bucketed co-located joins."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -20,3 +22,57 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join where ``skewed``'s join key is heavily skewed and
+    ``other`` is too large to broadcast.
+
+    A plain shuffle join sends every row of a hot key to ONE reducer —
+    the straggler that dominates wall-clock at scale. Salting splits
+    each hot key across ``salt`` reducers: the skewed side gets a
+    random salt in [0, salt), the other side is replicated ``salt``
+    times (explode of a sequence — a salt-factor blowup of the SMALL
+    side of the skew relation, not of the fact table), and the join key
+    becomes (key, salt). Result rows are identical to the plain join.
+
+    AQE's skew-join handles most cases first (it splits oversized
+    shuffle partitions); salting is for the residual case of a single
+    key too hot for partition-splitting to help (AQE cannot split one
+    key's hash bucket across joins with state).
+    """
+    skewed_s = skewed.withColumn(
+        "_salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    other_s = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return skewed_s.join(other_s, [on, "_salt"], how).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Materialize a bucketed+sorted table so later equi-joins and
+    aggregations on ``keys`` are exchange-free.
+
+    At 100 TB, re-shuffling a fact table for every join against the
+    same key is the dominant cost; bucketing pays the shuffle ONCE at
+    write time. Readers joining two tables bucketed on the same keys
+    with the same bucket count get a SortMergeJoin with no Exchange on
+    either side (verified in tests against the physical plan).
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table, format="parquet")

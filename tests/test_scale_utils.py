@@ -1,0 +1,74 @@
+"""Scale-discipline utilities: salted joins produce identical results
+to plain joins, and bucketed tables join without an Exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kpipe_spark.util import ensure_parallelism, salted_join, write_bucketed
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavy skew: 90% of fact rows share one key
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), "id").alias("payload")
+    )
+    plain = {
+        (r["row_id"], r["payload"])
+        for r in fact.join(dim, "k").collect()
+    }
+    salted = {
+        (r["row_id"], r["payload"])
+        for r in salted_join(fact, dim, on="k", salt=8).collect()
+    }
+    assert salted == plain
+    assert len(salted) == 2000  # every fact row found its dim row
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact = spark.range(0, 50).select(F.col("id").alias("k"))
+    dim = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("hit").alias("payload")
+    )
+    out = salted_join(fact, dim, on="k", how="left", salt=4).collect()
+    assert len(out) == 50
+    assert sum(1 for r in out if r["payload"] == "hit") == 10
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_id"), (F.col("id") % 97).alias("cust")
+    )
+    custs = spark.range(0, 97).select(
+        F.col("id").alias("cust"), F.concat(F.lit("c"), "id").alias("name")
+    )
+    # disable broadcast so the join strategy decision is about shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, "b_orders", ["cust"], num_buckets=8, sort_by=["cust"])
+        write_bucketed(custs, "b_custs", ["cust"], num_buckets=8, sort_by=["cust"])
+        joined = spark.table("b_orders").join(spark.table("b_custs"), "cust")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucketing pre-paid the shuffle
+        assert joined.count() == 1000
+        # control: the same join on non-bucketed frames DOES exchange
+        control = orders.join(custs, "cust")
+        control_plan = control._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in control_plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_custs")
+
+
+def test_ensure_parallelism_noop_when_wide(spark):
+    wide = spark.range(0, 100).repartition(64)
+    assert ensure_parallelism(wide) is wide  # already split enough
+    narrow = spark.range(0, 100).coalesce(1)
+    assert ensure_parallelism(narrow).rdd.getNumPartitions() > 1
