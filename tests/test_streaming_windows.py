@@ -256,3 +256,26 @@ def test_custom_stateful_running_max_per_key(spark, tmp_path):
         assert latest == {"a": 10.0, "b": 50.0}
     finally:
         q.stop()
+
+
+def test_stream_static_enrich_join(spark, tmp_path):
+    """Stream-static join (SURVEY §2.4): per-batch broadcast-enrich of a
+    stream against a static dimension — no state store involved."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    write_batch_file(
+        src,
+        [ev(0, "a", "2024-01-01 00:00:00"), ev(1, "zz", "2024-01-01 00:00:01")],
+        "b1.json",
+    )
+    dim = spark.createDataFrame(
+        [("a", "Alpha"), ("b", "Beta")], "key string, label string"
+    )
+    enriched = stream(spark, src).join(F.broadcast(dim), "key", "left").select(
+        "event_id", "key", "label"
+    )
+    q = run_to_memory(enriched, "enriched", ckpt)
+    try:
+        got = {r["event_id"]: r["label"] for r in spark.sql("SELECT * FROM enriched").collect()}
+        assert got == {0: "Alpha", 1: None}  # unmatched key survives (left)
+    finally:
+        q.stop()
