@@ -46,8 +46,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # warm-up: JVM JIT + parquet footer caches (not counted)
+    # warm-up (not counted): JVM JIT + codegen classes, parquet footer
+    # caches for EVERY table, and the Python worker pool for pandas-UDF
+    # queries — one-time session costs, not per-query work
+    from kpipe_spark.catalog import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
     queries["q01_pricing_summary"].build(spark, sf_dir).count()
+    spark.range(0, 32).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

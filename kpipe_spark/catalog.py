@@ -8,7 +8,6 @@ predicate pushdown, column pruning, and partition pruning on the scan.
 from __future__ import annotations
 
 import os
-from types import SimpleNamespace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -47,11 +46,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
+class LazyTables:
+    """Tables as attributes, constructed on first touch.
+
+    Building a DataFrame costs a driver round-trip (file listing +
+    footer schema read); eagerly constructing all 10 per query call
+    added ~1s of driver overhead to every single-table query. Resolved
+    frames are memoized per (session, sf_dir), so repeated queries in
+    one session share the analyzed scan relation.
+    """
+
+    _cache: dict[tuple[str, str, str], DataFrame] = {}
+
+    def __init__(self, spark: SparkSession, sf_dir: str) -> None:
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name not in TABLE_NAMES:
+            raise AttributeError(name)
+        key = (self._spark.sparkContext.applicationId, self._sf_dir, name)
+        df = LazyTables._cache.get(key)
+        if df is None:
+            df = load_table(self._spark, self._sf_dir, name)
+            LazyTables._cache[key] = df
+        return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> LazyTables:
     """All tables as attributes: ``t = load_tables(...); t.lineitem``."""
-    return SimpleNamespace(
-        **{name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
-    )
+    return LazyTables(spark, sf_dir)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
