@@ -54,6 +54,20 @@ class PipelineRegistry:
             out = out.compose(self.operator(n))
         return out
 
+    def pipeline_from_config(
+        self, spec: str | None = None, env_var: str = "PROCESSOR_PIPELINE"
+    ) -> Pipeline:
+        """Config-driven assembly: a comma-separated operator list from
+        a string or environment variable (``PROCESSOR_PIPELINE=
+        TIMESTAMP,SOURCE``, docs/ESCAPE-HATCHES.md:193-199). Unknown
+        names follow the warn-once identity contract, so a typo'd config
+        degrades to passthrough instead of failing the deploy."""
+        import os
+
+        raw = spec if spec is not None else os.environ.get(env_var, "")
+        names = [n.strip() for n in raw.split(",") if n.strip()]
+        return self.pipeline(*names)
+
     # -- sinks ----------------------------------------------------------------
 
     def register_sink(self, name: str, writer: Callable[[DataFrame], None]) -> None:

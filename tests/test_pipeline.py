@@ -296,3 +296,20 @@ def test_kafka_producer_frame_schema_and_trace(spark):
     assert ("other", b"x") in hdrs
     # no inbound trace -> headers stay empty, row still produced
     assert got[b"k2"]["headers"] == []
+
+
+def test_pipeline_from_config(spark, df, monkeypatch):
+    """Config-driven pipelines (docs/ESCAPE-HATCHES.md:193-199):
+    PROCESSOR_PIPELINE=names assembles registered fragments; unknown
+    names degrade to warn-once identity."""
+    reg = PipelineRegistry()
+    reg.register_operators(
+        {
+            "TAG": ops.add_field("tagged", True),
+            "KEEP_BIG": ops.filter_(F.col("total") > 50),
+        }
+    )
+    monkeypatch.setenv("PROCESSOR_PIPELINE", "TAG, KEEP_BIG, MISSING")
+    out = reg.pipeline_from_config().apply(df)
+    assert outcome_counts(out)[FILTERED] == 1
+    assert out.filter(F.col("tagged")).count() == 5

