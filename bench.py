@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from kpipe_spark.queries import all_queries  # noqa: E402
 from kpipe_spark.session import get_spark  # noqa: E402
 
@@ -65,6 +67,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # the reference's yardstick is consumer rec/s (BASELINE.md): p01 runs
+    # the full outcome pipeline (JSON extract + 4 operators + accounting)
+    # over the events table, so rows/elapsed is our comparable number
+    n_events = queries["p01_outcome_accounting"].build(spark, sf_dir) \
+        .agg(F.sum("n").alias("t")).collect()[0]["t"]
     print(
         json.dumps(
             {
@@ -72,6 +79,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pipeline_records_per_sec": int(
+                    n_events / timings["p01_outcome_accounting"]
+                ),
                 "sf": sf_dir,
             }
         )
