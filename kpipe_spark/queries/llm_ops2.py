@@ -302,3 +302,52 @@ def m03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("feature").alias("feature_dim"),
         "decode_error",
     )
+
+
+@register(
+    "d14_doc_embedding_quality",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS diversity
+      FROM documents
+    )
+    SELECT e.label, q.lang,
+           count(*) AS n_docs,
+           round(avg(q.diversity), 4) AS avg_diversity,
+           round(avg(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                                  x -> x * x)))), 4) AS avg_norm
+    FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+    GROUP BY e.label, q.lang
+    """,
+    description="document<->embedding linkage (doc_id = vec_id): lexical "
+    "diversity joined to vector norms per (label, lang) — the text-vs-"
+    "embedding hygiene cross-check of a training corpus. Equi-join on "
+    "the id, aggregates carry scalars only (vectors reduce map-side).",
+    tags=("llm", "join", "quality"),
+)
+def d14_doc_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions import text as T
+
+    t = load_tables(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    q = t.documents.select(
+        "doc_id",
+        "lang",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("diversity"),
+    )
+    e = t.embeddings.select(
+        F.col("vec_id").alias("doc_id"),
+        "label",
+        S.norm(S.as_double_array("embedding")).alias("_norm"),
+    )
+    return (
+        q.join(e, "doc_id")
+        .groupBy("label", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("diversity"), 4).alias("avg_diversity"),
+            F.round(F.avg("_norm"), 4).alias("avg_norm"),
+        )
+    )
