@@ -72,3 +72,15 @@ def test_ensure_parallelism_noop_when_wide(spark):
     assert ensure_parallelism(wide) is wide  # already split enough
     narrow = spark.range(0, 100).coalesce(1)
     assert ensure_parallelism(narrow).rdd.getNumPartitions() > 1
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """approx_count_distinct (HLL) is the 100 TB path for distinct
+    counting; exact distinct is the oracle-checked variant (q19). The
+    sketch must land within its documented rsd of exact."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
