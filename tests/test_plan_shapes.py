@@ -1,0 +1,71 @@
+"""Physical-plan regression tests — the 'is this the plan you'd want
+at 100 TB' gate. These pin the properties that matter at scale:
+dimension joins broadcast, filters reach the parquet scan, column
+pruning holds, and no operator degenerates to a cartesian product.
+"""
+
+from __future__ import annotations
+
+import re
+
+from kpipe_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name].build(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q02_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "q02_revenue_by_nation")
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|CartesianProduct)", plan)
+    assert joins and set(joins) == {"BroadcastHashJoin"}, joins
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    # column pruning: the scan must not read columns q01 never touches
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_d08_vectors_never_shuffle(spark):
+    """Similarity scoring: probes broadcast, the corpus is scanned in
+    place; the only shuffle carries (query, neighbor, sim) tuples for
+    the per-query top-k window — never embedding arrays."""
+    plan = plan_of(spark, "d08_similarity_topk")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the row exchanged into the window must be scalars only
+    window_exchange = plan.split("Exchange hashpartitioning(query_id")[-1]
+    assert "_cvec" not in window_exchange.splitlines()[0]
+
+
+def test_no_query_degenerates_to_cartesian(spark):
+    """Cross products are only ever broadcast nested loops over probe
+    batches (d11's bounded pair generator); a CartesianProduct node in
+    any registered query is a planning bug."""
+    for name in all_queries():
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_whole_stage_codegen_covers_pipeline_ops(spark):
+    """The outcome-column pipeline must stay inside whole-stage codegen
+    (one fused stage), not fall back to interpreted eval. AQE finalizes
+    the physical plan at execution, so run the query first."""
+    df = all_queries()["p01_outcome_accounting"].build(spark, SF)
+    df.collect()  # count() would plan its own agg; execute THIS frame
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # codegen regions print as "*(n)" prefixes in the final plan; the
+    # operator chain (projects + partial agg) must be inside one
+    assert "*(1)" in plan
+    assert "*(1) Project" in plan or "*(1) HashAggregate" in plan
+    # exactly one shuffle: the status-count aggregation
+    assert "Exchange hashpartitioning(_status" in plan
