@@ -147,6 +147,41 @@ class Pipeline:
 
         return self._with(step)
 
+    def safe_cast(self, name: str, src: ColumnLike, dtype: str) -> "Pipeline":
+        """Cast with kpipe's failure contract under ANSI SQL.
+
+        This session runs ANSI mode (Spark 4 default), where a plain
+        CAST on a poison value throws and fails the TASK — kpipe's
+        contract is exception ⇒ Failed(that record) only
+        (MessagePipeline.java:8-19). try_cast yields null on a bad
+        value; a null result from a non-null input is therefore a
+        per-row cast failure: status Failed, error recorded, task
+        survives.
+        """
+        s = _as_col(src)
+
+        def step(df: DataFrame) -> DataFrame:
+            casted = s.try_cast(dtype)
+            bad = _passed() & s.isNotNull() & casted.isNull()
+            return (
+                df.withColumn(name, F.when(_passed(), casted))
+                .withColumn(
+                    ERROR_COL,
+                    F.when(
+                        bad,
+                        F.concat(
+                            F.lit(f"CastException: cannot cast to {dtype}: "),
+                            s.cast("string"),
+                        ),
+                    ).otherwise(F.col(ERROR_COL)),
+                )
+                .withColumn(
+                    STATUS_COL, F.when(bad, FAILED).otherwise(F.col(STATUS_COL))
+                )
+            )
+
+        return self._with(step)
+
     def peek(self, observation: Any, *metrics: Column) -> "Pipeline":
         """Observe-only side channel; the plan is unchanged
         (Stream.peek / Operators.peek, Stream.java:64-71 — side effect,

@@ -313,3 +313,20 @@ def test_pipeline_from_config(spark, df, monkeypatch):
     out = reg.pipeline_from_config().apply(df)
     assert outcome_counts(out)[FILTERED] == 1
     assert out.filter(F.col("tagged")).count() == 5
+
+
+def test_safe_cast_fails_poison_row_only(spark):
+    """ANSI mode makes a plain CAST throw the whole task on one poison
+    value; safe_cast keeps kpipe's contract — exception ⇒ Failed(that
+    record) (MessagePipeline.java:8-19)."""
+    df = spark.createDataFrame(
+        [(1, "42"), (2, "not-a-number"), (3, None)], "id int, raw string"
+    )
+    p = Pipeline().safe_cast("parsed", F.col("raw"), "int")
+    rows = {r["id"]: r for r in p.apply(df).collect()}
+    assert rows[1]["_status"] == PASSED and rows[1]["parsed"] == 42
+    assert rows[2]["_status"] == FAILED
+    assert "not-a-number" in rows[2]["_error"]
+    # null input is NOT a cast failure (kpipe: null handling is the
+    # filter/require_field contract, not an error)
+    assert rows[3]["_status"] == PASSED and rows[3]["parsed"] is None
