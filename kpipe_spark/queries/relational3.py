@@ -114,3 +114,102 @@ def q45_array_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_len"),
         F.array_join(F.reverse(F.array_sort(words)), "|").alias("joined_desc"),
     )
+
+
+@register(
+    "q46_union_by_name",
+    oracle="""
+    SELECT nation_key, name, src, region_key FROM (
+      SELECT n_nationkey AS nation_key, n_name AS name, 'nation' AS src,
+             n_regionkey AS region_key
+      FROM nation
+      UNION ALL BY NAME
+      SELECT r_name AS name, 'region' AS src, r_regionkey AS nation_key,
+             NULL AS region_key
+      FROM region
+    )
+    """,
+    description="unionByName with missing columns (schema-aligned union "
+    "across heterogeneous frames — the multi-source merge shape)",
+    tags=("setop",),
+)
+def q46_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t.nation.select(
+        F.col("n_nationkey").alias("nation_key"),
+        F.col("n_name").alias("name"),
+        F.lit("nation").alias("src"),
+        F.col("n_regionkey").alias("region_key"),
+    )
+    b = t.region.select(
+        F.col("r_name").alias("name"),
+        F.lit("region").alias("src"),
+        F.col("r_regionkey").alias("nation_key"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "q47_time_bucket_window",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL 15 MINUTES, ts) AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    GROUP BY 1, 2
+    """,
+    description="batch run of the STREAMING tumbling-window operator "
+    "(window() produces the same buckets withWatermark would maintain "
+    "incrementally — one operator, both execution modes)",
+    tags=("window", "streaming-shaped"),
+)
+def q47_time_bucket_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).events
+    return (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q48_null_handling_and_editdist",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), '<open>') AS status_or_default,
+           CASE WHEN o_totalprice > 100000 THEN o_totalprice END AS big_price,
+           nullif(o_orderpriority, '1-URGENT') AS non_urgent_priority,
+           least(o_totalprice, 50000.0) AS capped,
+           levenshtein(o_orderpriority, o_orderstatus) AS edit_dist
+    FROM orders WHERE o_orderkey < 300
+    """,
+    description="null-discipline scalars (coalesce/nullif/least + "
+    "conditional null) and edit distance — the fuzzy-matching scalar "
+    "used in record linkage",
+    tags=("scalar", "null", "text"),
+)
+def q48_null_handling_and_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).orders
+    return o.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif("o_orderstatus", F.lit("O")), F.lit("<open>")
+        ).alias("status_or_default"),
+        F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice")).alias(
+            "big_price"
+        ),
+        F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("non_urgent_priority"),
+        F.least("o_totalprice", F.lit(50000.0)).alias("capped"),
+        F.levenshtein("o_orderpriority", "o_orderstatus").alias("edit_dist"),
+    )
