@@ -280,3 +280,68 @@ def simhash_df(
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit simhashes (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: hamming(simhash_a, simhash_b)
+    <= max_hamming.
+
+    Candidate generation is the pigeonhole chunk scheme: split the
+    64-bit fingerprint into (max_hamming + 1) chunks — any pair within
+    max_hamming bits agrees EXACTLY on at least one chunk — and bucket
+    on (chunk_index, chunk_value). One shuffle on well-spread buckets,
+    within-bucket pair expansion (same shape as minhash_candidates),
+    then the exact hamming verify on candidates only. Recall is 100%
+    by construction; precision comes from the verify.
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sig = simhash_df(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash64"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    bucketed = sig.select(
+        F.col(id_col), F.col("simhash64"), F.explode(chunks).alias("cb")
+    ).select(id_col, "simhash64", F.col("cb.chunk").alias("chunk"), F.col("cb.val").alias("val"))
+    buckets = (
+        bucketed.groupBy("chunk", "val")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col(id_col).alias("id"), "simhash64"))
+            ).alias("_m")
+        )
+        .filter(F.size("_m") > 1)
+    )
+    n = F.size("_m")
+    pairs = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, n),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    hamming64(x["simhash64"], y["simhash64"]).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

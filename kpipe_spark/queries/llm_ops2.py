@@ -351,3 +351,20 @@ def d14_doc_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("_norm"), 4).alias("avg_norm"),
         )
     )
+
+
+@register(
+    "d15_simhash_neardup",
+    oracle=None,  # xxhash64-based fingerprints — semantics pinned in pytest
+    description="SimHash near-dup pairs (hamming <= 3) via the "
+    "pigeonhole chunk scheme: 4 x 16-bit chunks bucket the corpus — any "
+    "pair within 3 bits shares a chunk exactly (100% recall by "
+    "construction) — then exact hamming verifies candidates only. One "
+    "shuffle; the quadratic work confined to chunk buckets.",
+    tags=("llm", "dedup", "simhash"),
+)
+def d15_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.dedup import simhash_neardup_pairs
+
+    docs = load_tables(spark, sf_dir).documents
+    return simhash_neardup_pairs(docs).orderBy("id_a", "id_b")

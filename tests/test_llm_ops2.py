@@ -99,3 +99,23 @@ def test_size_class_partitioning_preserves_rows(media):
     out = M.size_class_partitioned(media, num_partitions=4)
     assert out.count() == 3
     assert set(out.columns) == set(media.columns)
+
+
+def test_simhash_neardup_pairs_semantics(spark):
+    from kpipe_spark.functions.dedup import simhash_neardup_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the fire"),
+        (1, "the quick brown fox jumps over the lazy dog near the fire"),
+        (2, "completely different text about spark catalyst and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_neardup_pairs(docs).collect()}
+    assert pairs.get((0, 1)) == 0  # identical docs: distance 0
+    assert not any(2 in k for k in pairs)  # unrelated doc pairs with no one
+
+
+def test_simhash_neardup_runs_on_corpus(spark):
+    out = all_queries()["d15_simhash_neardup"].build(spark, SF).collect()
+    for r in out:
+        assert r["hamming"] <= 3 and r["id_a"] < r["id_b"]

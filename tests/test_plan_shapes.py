@@ -69,3 +69,21 @@ def test_whole_stage_codegen_covers_pipeline_ops(spark):
     assert "*(1) Project" in plan or "*(1) HashAggregate" in plan
     # exactly one shuffle: the status-count aggregation
     assert "Exchange hashpartitioning(_status" in plan
+
+
+def test_fact_join_falls_back_to_sort_merge_at_scale(spark):
+    """With broadcast off (how a 100 TB fact-fact join looks), the plan
+    must become a SortMergeJoin on the shuffle keys — never a nested
+    loop — and AQE still finalizes it."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = all_queries()["q02_revenue_by_nation"].build(spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
