@@ -368,3 +368,34 @@ def d15_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir).documents
     return simhash_neardup_pairs(docs).orderBy("id_a", "id_b")
+
+
+@register(
+    "d16_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_redactions,
+           length(text) - length(regexp_replace(text, '[0-9]+', '', 'g'))
+             AS n_digits_removed
+    FROM documents
+    """,
+    description="PII-scrub plumbing: pattern redaction over the corpus "
+    "(kpipe's removeFields('password','ssn') generalized to free text, "
+    "docs/FORMATS.md:27) — digit-run redaction with audit counts, pure "
+    "projection; swap the pattern set for email/phone/ssn regexes in "
+    "production.",
+    tags=("llm", "text", "privacy"),
+)
+def d16_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    redacted = F.regexp_replace("text", "[0-9]+", "#")
+    stripped = F.regexp_replace("text", "[0-9]+", "")
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias(
+            "n_redactions"
+        ),
+        (F.length("text") - F.length(stripped)).alias("n_digits_removed"),
+    )

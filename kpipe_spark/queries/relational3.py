@@ -213,3 +213,36 @@ def q48_null_handling_and_editdist(spark: SparkSession, sf_dir: str) -> DataFram
         F.least("o_totalprice", F.lit(50000.0)).alias("capped"),
         F.levenshtein("o_orderpriority", "o_orderstatus").alias("edit_dist"),
     )
+
+
+@register(
+    "q49_exists_subquery",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, count(*) AS n_active_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+    )
+    GROUP BY c.c_mktsegment
+    """,
+    description="correlated EXISTS via Spark SQL (Catalyst decorrelates "
+    "to a left-semi join on the correlation key — same physical plan "
+    "the q09 DataFrame semi-join declares directly)",
+    tags=("subquery", "sql"),
+)
+def q49_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("_q49_customer")
+    t.orders.createOrReplaceTempView("_q49_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment, count(*) AS n_active_customers
+        FROM _q49_customer c
+        WHERE EXISTS (
+          SELECT 1 FROM _q49_orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+        )
+        GROUP BY c.c_mktsegment
+        """
+    )
