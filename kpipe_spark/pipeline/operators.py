@@ -26,6 +26,11 @@ def map_(name: str, expr: ColumnLike) -> Pipeline:
     return pipe(name, expr)
 
 
+def peek(observation, *metrics) -> Pipeline:
+    """Observe-only side channel (Operators.peek, Operators.java:76-81)."""
+    return Pipeline().peek(observation, *metrics)
+
+
 def filter_(pred: ColumnLike) -> Pipeline:
     return Pipeline().filter(pred)
 

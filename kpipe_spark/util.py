@@ -56,6 +56,24 @@ def salted_join(
     return skewed_s.join(other_s, [on, "_salt"], how).drop("_salt")
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet layout (path/key=value/...).
+
+    The read-side payoff is partition PRUNING: a filter on the
+    partition key never touches non-matching directories — at 100 TB
+    the difference between scanning a day and scanning a decade.
+    Choose low-cardinality, always-filtered keys (date, region, kind);
+    high-cardinality keys create a small-file explosion instead.
+    Verified in tests via PartitionFilters in the scan plan.
+    """
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -84,3 +84,24 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.countDistinct("l_orderkey").alias("exact"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_partitioned_write_enables_pruning(spark, tmp_path):
+    """Hive-partitioned layout: a filter on the partition key shows up
+    as PartitionFilters and prunes non-matching directories — the
+    scan-a-day-not-a-decade property."""
+    from kpipe_spark.catalog import load_table
+    from kpipe_spark.util import write_partitioned
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "by_type")
+    write_partitioned(
+        events.withColumn("etype", F.col("event_type")),
+        out,
+        partition_by=["etype"],
+    )
+    pruned = spark.read.parquet(out).filter(F.col("etype") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(etype" in plan
+    exact = events.filter(F.col("event_type") == "click").count()
+    assert pruned.count() == exact
