@@ -399,3 +399,51 @@ def d16_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.length("text") - F.length(stripped)).alias("n_digits_removed"),
     )
+
+
+@register(
+    "d17_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents
+    ), freq AS (
+      SELECT t, count(*) / (SELECT count(*) FROM tok) AS p
+      FROM tok GROUP BY t
+    )
+    SELECT tok.doc_id,
+           round(avg(log10(freq.p)), 4) AS avg_logprob,
+           count(*) AS n_tokens
+    FROM tok JOIN freq ON tok.t = freq.t
+    GROUP BY tok.doc_id
+    """,
+    description="unigram language-model quality score: corpus token "
+    "frequencies (pass 1, one shuffle on token) joined back per token "
+    "occurrence, per-doc mean log10 probability (pass 2). The "
+    "KenLM-style perplexity pre-filter shape: the frequency table is "
+    "tiny relative to the corpus and broadcasts; only (doc_id, logp) "
+    "scalars shuffle into the final aggregate.",
+    tags=("llm", "text", "quality"),
+)
+def d17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.text import tokens
+
+    docs = load_tables(spark, sf_dir).documents
+    tok = ensure_parallelism(docs).select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("_n"))
+    # corpus total derived from the (vocab-sized) counts table and
+    # broadcast as a 1-row frame — no driver action, tok computed once
+    total = counts.agg(F.sum("_n").alias("_total"))
+    freq = counts.crossJoin(F.broadcast(total)).select(
+        "t", (F.col("_n") / F.col("_total")).alias("p")
+    )
+    return (
+        tok.join(F.broadcast(freq), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log10("p")), 4).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
