@@ -447,3 +447,32 @@ def d17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+@register(
+    "d18_bpe_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+             AS n_subword_tokens,
+           len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')))
+             AS n_distinct_subwords,
+           regexp_extract_all(lower(text), '[a-z]+|[0-9]+')[1] AS first_token
+    FROM documents
+    """,
+    description="BPE-ish pre-tokenization counts: maximal same-class "
+    "(letter/digit) runs — the GPT-2-style pre-tok boundary, the cheap "
+    "deterministic stand-in for a real BPE vocab. Pure projection.",
+    tags=("llm", "text", "tokenize"),
+)
+def d18_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.text import bpe_ish_tokens
+
+    docs = load_tables(spark, sf_dir).documents
+    toks = bpe_ish_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_subword_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_subwords"),
+        F.element_at(toks, 1).alias("first_token"),
+    )
