@@ -1,0 +1,32 @@
+"""The examples/ scripts are living documentation of the API surface —
+run each end-to-end so they can't rot."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize(
+    "script,expect",
+    [
+        ("examples/json_pipeline.py", "outcomes:"),
+        ("examples/streaming_dlq.py", "DLQ-parked per batch: [10]"),
+        ("examples/multi_topic.py", "unrouted dropped: 5"),
+    ],
+)
+def test_example_runs(script, expect):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, script), "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=ROOT,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert expect in proc.stdout

@@ -105,7 +105,6 @@ def test_session_window_merges_gaps(spark, tmp_path):
         ],
         "b1.json",
     )
-    write_batch_file(src, [ev(3, "z", "2024-01-01 01:00:00")], "b2.json")
 
     agg = (
         stream(spark, src)
@@ -116,6 +115,11 @@ def test_session_window_merges_gaps(spark, tmp_path):
     )
     q = run_to_memory(agg, "sessions", ckpt)
     try:
+        # the watermark-advancing batch is written only AFTER b1 is
+        # processed — pre-writing both races file ordering, and a
+        # first-processed b2 would mark every b1 event late
+        write_batch_file(src, [ev(3, "z", "2024-01-01 01:00:00")], "b2.json")
+        q.processAllAvailable()
         per_key = {}
         for r in spark.sql("SELECT * FROM sessions").collect():
             per_key.setdefault(r["key"], []).append(r["n"])
