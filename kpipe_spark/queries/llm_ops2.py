@@ -476,3 +476,62 @@ def d18_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_distinct_subwords"),
         F.element_at(toks, 1).alias("first_token"),
     )
+
+
+@register(
+    "d19_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn % 5 = 1
+    """,
+    description="systematic stratified sampling: every 5th document per "
+    "language stratum (deterministic, unlike Bernoulli sampleBy — "
+    "reproducible across runs/engines, the property a training-data "
+    "pipeline needs for auditable subsets). One shuffle on the stratum "
+    "key; at 100 TB swap row_number for a hash-mod filter to avoid the "
+    "per-stratum sort.",
+    tags=("llm", "sampling"),
+)
+def d19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") % 5 == 1)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "d20_dataset_split",
+    oracle="""
+    SELECT CASE WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+                WHEN substr(md5(text), 1, 1) IN ('e', 'f') THEN 'test'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    description="content-addressed train/val/test split: bucket by the "
+    "first hex digit of md5(text) (12/2/2 of 16) — stable under "
+    "re-runs, resharding, and re-ingestion (id-based splits leak when "
+    "ids get reassigned); duplicate documents always land in the same "
+    "split, so dedup order can't cause train/test contamination.",
+    tags=("llm", "sampling", "split"),
+)
+def d20_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    h = F.substring(F.md5("text"), 1, 1)
+    split = (
+        F.when(h.isin("c", "d"), "val")
+        .when(h.isin("e", "f"), "test")
+        .otherwise("train")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
