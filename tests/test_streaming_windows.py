@@ -315,3 +315,47 @@ def test_metrics_listener_folds_progress(spark, tmp_path):
         assert c["queries.terminated.ok"] >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_content_dedup(spark, tmp_path):
+    """Streaming exact dedup on the content fingerprint: duplicate TEXT
+    arriving in later micro-batches is suppressed within the watermark
+    — the streaming face of d01 (batch exact dedup)."""
+    from kpipe_spark.functions.text import fingerprint
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    write_batch_file(
+        src,
+        [
+            {"event_id": 0, "key": "Hello   World", "ts": "2024-01-01 00:00:00", "value": 1.0},
+            {"event_id": 1, "key": "fresh text", "ts": "2024-01-01 00:00:01", "value": 1.0},
+        ],
+        "b1.json",
+    )
+    write_batch_file(
+        src,
+        [
+            # same content modulo whitespace/case -> same fingerprint
+            {"event_id": 2, "key": "hello world", "ts": "2024-01-01 00:00:02", "value": 1.0},
+            {"event_id": 3, "key": "brand new", "ts": "2024-01-01 00:00:03", "value": 1.0},
+        ],
+        "b2.json",
+    )
+    deduped = (
+        stream(spark, src)
+        .withColumn("fp", fingerprint("key"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("event_id")
+    )
+    q = run_to_memory(deduped, "contentdedup", ckpt)
+    try:
+        ids = sorted(
+            r["event_id"] for r in spark.sql("SELECT * FROM contentdedup").collect()
+        )
+        # one survivor per fingerprint; the near-identical text (id 2)
+        # was suppressed even though it arrived in a later batch
+        assert 2 not in ids
+        assert len(ids) == 3
+    finally:
+        q.stop()
