@@ -74,6 +74,43 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet dataset into ~target-sized files; returns the
+    output file count.
+
+    Streaming sinks and fine-grained partitioned writes accumulate
+    small files; at scale the metadata and open() overhead of a
+    million 1 MB files dominates scan time. Sizing from actual input
+    bytes (not row counts) keeps output files near the parquet
+    row-group sweet spot. Uses coalesce — a partition merge with NO
+    shuffle — since compaction must not pay a network pass over the
+    whole dataset.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    total = _dataset_bytes(src_path)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
+def _dataset_bytes(path: str) -> int:
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -105,3 +105,29 @@ def test_partitioned_write_enables_pruning(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(etype" in plan
     exact = events.filter(F.col("event_type") == "click").count()
     assert pruned.count() == exact
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Small-file compaction: many tiny files -> few target-sized ones,
+    same rows, no shuffle (coalesce)."""
+    import os
+
+    from kpipe_spark.util import compact_parquet
+
+    fragmented = str(tmp_path / "fragmented")
+    spark.range(0, 10000).repartition(50).write.parquet(fragmented)
+    n_small = len([f for f in os.listdir(fragmented) if f.endswith(".parquet")])
+    assert n_small == 50
+
+    compacted = str(tmp_path / "compacted")
+    total_bytes = sum(
+        os.path.getsize(os.path.join(fragmented, f))
+        for f in os.listdir(fragmented)
+        if f.endswith(".parquet")
+    )
+    n_out = compact_parquet(
+        spark, fragmented, compacted, target_file_bytes=total_bytes // 4
+    )
+    n_big = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_big == n_out <= 6
+    assert spark.read.parquet(compacted).count() == 10000
