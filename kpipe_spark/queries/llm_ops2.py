@@ -535,3 +535,50 @@ def d20_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@register(
+    "d21_embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS max_abs
+      FROM v
+    )
+    SELECT vec_id,
+           round(max_abs, 6) AS scale,
+           CAST(list_sum(list_transform(e,
+                x -> floor(x * 127.0 / max_abs + 0.5))) AS BIGINT)
+             AS q_checksum,
+           len(e) AS dim
+    FROM scaled
+    """,
+    description="int8 symmetric quantization of the embedding column "
+    "(per-vector max-abs scale): 4x smaller storage/shuffle for ANN "
+    "pipelines. floor(x+0.5) spelled out in BOTH engines so the oracle "
+    "is round-mode independent; checksum audits the quantized values. "
+    "Pure projection — arrays never leave the JVM.",
+    tags=("llm", "similarity", "quantization"),
+)
+def d21_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir).embeddings
+    e = S.as_double_array("embedding")
+    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    return (
+        emb.select("vec_id", e.alias("_e"), max_abs.alias("_max_abs"))
+        .select(
+            "vec_id",
+            F.round("_max_abs", 6).alias("scale"),
+            F.aggregate(
+                F.transform(
+                    F.col("_e"),
+                    lambda x: F.floor(x * 127.0 / F.col("_max_abs") + 0.5),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("q_checksum"),
+            F.size("_e").alias("dim"),
+        )
+    )
