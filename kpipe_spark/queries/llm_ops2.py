@@ -582,3 +582,53 @@ def d21_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("_e").alias("dim"),
         )
     )
+
+
+@register(
+    "d22_repetition_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> concat_ws(' ', t[i], t[i+1]))) AS g
+      FROM toks WHERE len(t) >= 2
+    ), freq AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac,
+           sum(c) AS n_bigrams
+    FROM freq GROUP BY doc_id
+    """,
+    description="repetition quality filter (Gopher-style): fraction of "
+    "the document covered by its most frequent word bigram — "
+    "boilerplate/spam detector. Explode bigrams -> per-(doc,gram) "
+    "count -> per-doc max/sum; both aggregations map-side combine and "
+    "shuffle only (doc, gram-hash, count) tuples.",
+    tags=("llm", "text", "quality"),
+)
+def d22_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.text import tokens
+
+    docs = load_tables(spark, sf_dir).documents
+    # raw (non-distinct) bigrams — word_shingles dedups, and repetition
+    # scoring needs the true occurrence counts
+    toks = tokens("text")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - 2)
+    raw_grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " ")
+    )
+    grams = (
+        ensure_parallelism(docs)
+        .filter(n >= 2)
+        .select("doc_id", F.explode(raw_grams).alias("_g"))
+    )
+    freq = grams.groupBy("doc_id", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    return freq.groupBy("doc_id").agg(
+        F.round(F.max("_c") / F.sum("_c"), 4).alias("top_bigram_frac"),
+        F.sum("_c").alias("n_bigrams"),
+    )

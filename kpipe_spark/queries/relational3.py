@@ -246,3 +246,37 @@ def q49_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """
     )
+
+
+@register(
+    "q50_histogram_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 400000 THEN 21
+                ELSE CAST(floor(o_totalprice / 20000) AS BIGINT) + 1
+           END AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    description="equi-width histogram via width_bucket: the profiling "
+    "primitive behind data-quality dashboards; single map-side-combined "
+    "shuffle on a 22-value key",
+    tags=("agg", "histogram"),
+)
+def q50_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).orders
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(400000), F.lit(20)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
