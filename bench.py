@@ -42,6 +42,54 @@ HEADLINE = [
 ]
 
 
+def _streaming_pipeline_rate(spark, sf_dir: str, n_batches: int = 5) -> int:
+    """End-to-end Structured-Streaming throughput through the full
+    outcome pipeline (decode -> operators -> DLQ split -> sink), the
+    closest apples-to-apples number to the reference's consumer rec/s
+    benchmarks (BASELINE.md): n_batches micro-batches of the events
+    table driven through StreamRunner on a file source."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kpipe_spark.pipeline import Pipeline
+    from kpipe_spark.streaming import StreamRunner
+
+    workdir = tempfile.mkdtemp(prefix="kpipe-bench-stream-")
+    src = os.path.join(workdir, "src")
+    os.makedirs(src)
+    events_path = os.path.join(sf_dir, "events.parquet")
+    for i in range(n_batches):
+        shutil.copy(events_path, os.path.join(src, f"b{i}.parquet"))
+    schema = spark.read.parquet(events_path).schema
+    n_rows = spark.read.parquet(events_path).count() * n_batches
+
+    runner = StreamRunner(
+        pipeline=(
+            Pipeline()
+            .pipe("k_val", F.get_json_object("props", "$.k").cast("int"))
+            .fail_when(F.col("event_type") == "error", "DeserializationException")
+            .require_field("k_val")
+            .filter(F.col("value") > 50.0)
+        ),
+        sink=lambda df, batch_id: df.write.format("noop").mode("overwrite").save(),
+        dlq_writer=lambda df, batch_id: df.write.format("noop").mode("overwrite").save(),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    handle = runner.start(stream, os.path.join(workdir, "ckpt"), "bench-stream")
+    handle.process_all_available()
+    handle.close()
+    elapsed = time.perf_counter() - t0
+    shutil.rmtree(workdir, ignore_errors=True)
+    return int(n_rows / elapsed)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="kpipe-spark-bench")
@@ -71,6 +119,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    streaming_rate = _streaming_pipeline_rate(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     # the reference's yardstick is consumer rec/s (BASELINE.md): p01 runs
     # the full outcome pipeline (JSON extract + 4 operators + accounting)
@@ -87,6 +136,7 @@ def main() -> None:
                 "pipeline_records_per_sec": int(
                     n_events / timings["p01_outcome_accounting"]
                 ),
+                "streaming_records_per_sec": streaming_rate,
                 "sf": sf_dir,
             }
         )
