@@ -280,3 +280,35 @@ def q50_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "q51_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           quarter(o_orderdate) AS qtr,
+           dayofweek(o_orderdate) + 1 AS dow,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+             AS days_since_epoch_95
+    FROM orders WHERE o_orderkey < 200
+    """,
+    description="date arithmetic family: quarter/day-of-week extraction, "
+    "interval shift, month-end snap, day difference — SLA/due-date "
+    "computations, all codegen scalar expressions",
+    tags=("scalar", "date"),
+)
+def q51_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).orders
+    d = F.to_date("o_orderdate")
+    return o.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_add(d, 30).cast("string").alias("due_date"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_95"
+        ),
+    )
