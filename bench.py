@@ -38,6 +38,7 @@ HEADLINE = [
     "d08_similarity_topk",
     "d12_doc_fingerprint",
     "d13_ivf_topk",
+    "d17_unigram_logprob",
     "m03_media_features",
 ]
 

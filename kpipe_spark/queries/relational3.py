@@ -312,3 +312,30 @@ def q51_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_epoch_95"
         ),
     )
+
+
+@register(
+    "q52_posexplode_lateral",
+    oracle="""
+    WITH w AS (
+      SELECT p_partkey, regexp_split_to_array(p_name, ' ') AS words
+      FROM part WHERE p_partkey < 100
+    )
+    SELECT p_partkey,
+           unnest(list_transform(range(1, len(words) + 1), i -> i - 1))
+             AS pos,
+           unnest(words) AS word
+    FROM w
+    """,
+    description="positional explode (posexplode): ordinality-preserving "
+    "fan-out — the lateral-join shape for token/position features; "
+    "row generation stays distributed, nothing collects",
+    tags=("scalar", "lateral"),
+)
+def q52_posexplode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir).part
+    return (
+        part.filter(F.col("p_partkey") < 100)
+        .select("p_partkey", F.posexplode(F.split("p_name", " ")))
+        .select("p_partkey", F.col("pos"), F.col("col").alias("word"))
+    )
