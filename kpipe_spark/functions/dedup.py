@@ -87,24 +87,27 @@ def minhash_signature_df(
     """num_hashes-slot minhash signature as one array<bigint> column.
 
     Slot i = min over shingles of xxhash64(shingle_hash, i). Shape:
-    explode pre-hashed shingles -> project the n seeded hashes (all
-    inside whole-stage codegen; a higher-order-function formulation
-    measured ~2× slower — HOF lambdas evaluate interpreted) -> groupBy
-    (id) MIN -> pack to array. The shuffle carries (id, n×8B) with
-    map-side partial MIN, never text. ensure_parallelism spreads the
-    hash work first — an under-split scan would otherwise run every
-    document on one core (measured 8× at sf0.1 on local[32]).
+    explode pre-hashed shingles -> MIN(xxhash64(_sh, i)) × n as the
+    aggregate expressions themselves -> pack to array. Hashing INSIDE
+    the aggregate matters: a separate 64-column projection before the
+    groupBy materializes |shingles| × 520 B UnsafeRows (measured ~1.6×
+    slower end-to-end at sf0.1); here the agg input row stays (id, 8 B)
+    and each hash feeds its min-buffer directly. The shuffle carries
+    (id, n×8 B) after map-side partial MIN, never text.
+    ensure_parallelism spreads the work first — an under-split scan
+    would otherwise run every document on one core (measured 8× at
+    sf0.1 on local[32]). A higher-order-function formulation is ~2×
+    slower again (HOF lambdas evaluate interpreted).
     """
     exploded = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(word_shingle_hashes(text_col, shingle_k)).alias("_sh"),
     )
-    hashed = exploded.select(
-        F.col(id_col),
-        *[F.xxhash64("_sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
-    )
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("_sh", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     ).select(
         F.col(id_col),
         F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
