@@ -632,3 +632,40 @@ def d22_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("_c") / F.sum("_c"), 4).alias("top_bigram_frac"),
         F.sum("_c").alias("n_bigrams"),
     )
+
+
+@register(
+    "d23_mllib_minhash_join",
+    oracle=None,  # randomized hash family (seed-fixed) — semantics in pytest
+    description="MLlib-path near-dup: RegexTokenizer -> NGram(3) -> "
+    "HashingTF -> MinHashLSH.approxSimilarityJoin (seed-fixed), "
+    "3-gram-set Jaccard distance <= 0.3 — the built-in alternative to "
+    "the custom expression-level MinHash (d05); same shingling, same "
+    "bucketed-join shape under the hood, vectors instead of signature "
+    "arrays.",
+    tags=("llm", "dedup", "minhash", "mllib"),
+)
+def d23_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    docs = load_tables(spark, sf_dir).documents
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="_words", pattern=r"\s+"
+    ).transform(ensure_parallelism(docs))
+    grams = NGram(n=3, inputCol="_words", outputCol="_grams").transform(tok)
+    tf = HashingTF(
+        inputCol="_grams", outputCol="_features", numFeatures=1 << 18
+    ).transform(grams)
+    model = MinHashLSH(
+        inputCol="_features", outputCol="_hashes", numHashTables=8, seed=42
+    ).fit(tf)
+    pairs = model.approxSimilarityJoin(tf, tf, 0.3, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -119,3 +119,25 @@ def test_simhash_neardup_runs_on_corpus(spark):
     out = all_queries()["d15_simhash_neardup"].build(spark, SF).collect()
     for r in out:
         assert r["hamming"] <= 3 and r["id_a"] < r["id_b"]
+
+
+def test_mllib_minhash_join_finds_duplicates(spark, tmp_path):
+    """The MLlib path (d23) must agree with the custom path on the
+    basics: identical docs collide at distance 0, unrelated don't."""
+    import shutil
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the fire", "en", "a", 1),
+        (1, "the quick brown fox jumps over the lazy dog near the fire", "en", "a", 1),
+        (2, "totally unrelated words about catalyst shuffles and parquet", "en", "a", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/documents.parquet")
+    out = all_queries()["d23_mllib_minhash_join"].build(spark, sf_dir).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_dist"] for r in out}
+    assert pairs.get((0, 1)) == 0.0
+    assert not any(2 in k for k in pairs)
+    shutil.rmtree(sf_dir, ignore_errors=True)
