@@ -57,6 +57,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         relational2,
         relational3,
+        relational4,
     )
 
     return QUERIES
