@@ -195,6 +195,89 @@ def minhash_candidates(
     )
 
 
+# -- duplicate clustering -------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation -> (id, cluster_id = min id in component).
+
+    Each round: push every node's current label across its edges, keep
+    the per-node min, stop when a round changes nothing. Rounds needed =
+    component diameter, which for near-dup clusters is tiny (dups of one
+    page form near-cliques). Per-round cost is one shuffle join
+    edges><labels plus a map-side-combined min — proportional to the
+    DUP-GRAPH size, not the corpus, since only candidate pairs carry
+    edges. localCheckpoint truncates the iterative lineage so the plan
+    doesn't grow per round (on a real cluster use checkpoint() to
+    durable storage instead; convergence check moves O(1) rows).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        pushed = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("cluster_id")
+        )
+        new_labels = (
+            labels.union(pushed)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cluster assignment for every document: near-dup candidates from
+    banded MinHash, transitively closed into components, singletons
+    keeping their own id -> (id_col, cluster_id, is_canonical).
+
+    The keep-one-per-cluster dedup a training pipeline runs is then
+    ``filter(is_canonical)`` — one broadcast-size join back onto the
+    corpus (the component table only holds ids, never text).
+    """
+    pairs = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 # -- n-gram Jaccard ------------------------------------------------------------
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kpipe_spark.catalog import load_tables
+from kpipe_spark.functions import dedup as D
 from kpipe_spark.functions import multimodal as M
 from kpipe_spark.functions import similarity as S
 from kpipe_spark.functions.dedup import word_shingles
@@ -668,4 +669,28 @@ def d23_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
         .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "d24_dup_clusters",
+    oracle=None,  # transitive closure over xxhash64-banded candidates
+    description="duplicate-cluster assignment: MinHash-LSH candidate "
+    "pairs transitively closed into connected components by iterative "
+    "min-label propagation (rounds = component diameter; per-round "
+    "cost scales with the dup graph, not the corpus). cluster_id = "
+    "min doc id; keep-one dedup = filter(is_canonical).",
+    tags=("llm", "dedup", "clustering", "iterative"),
+)
+def d24_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    return (
+        D.dup_clusters(docs)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canonical"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("cluster_id")
     )

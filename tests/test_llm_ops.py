@@ -98,3 +98,31 @@ def test_cosine_self_similarity(spark):
     v = S.as_double_array("embedding")
     rows = emb.select(F.round(S.cosine(v, v), 6).alias("self_sim")).collect()
     assert all(abs(r["self_sim"] - 1.0) < 1e-6 for r in rows)
+
+
+def test_connected_components_transitive_closure(spark):
+    """Chain a-b, b-c must close into one cluster; disjoint pair and
+    untouched nodes stay separate; cluster_id is the component min."""
+    from kpipe_spark.functions import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_exact_copies_share_cluster(spark):
+    """Verbatim copies must land in one cluster with exactly one
+    canonical survivor; a distinct doc stays a singleton."""
+    from kpipe_spark.functions import dedup as D
+
+    body = "the quick brown fox jumps over the lazy dog " * 8
+    other = "completely different content with unique words " * 8
+    docs = spark.createDataFrame(
+        [(1, body), (2, body), (3, other)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in D.dup_clusters(docs).collect()}
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == 1
+    assert rows[1]["is_canonical"] and not rows[2]["is_canonical"]
+    assert rows[3]["cluster_id"] == 3 and rows[3]["is_canonical"]
