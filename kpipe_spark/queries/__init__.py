@@ -53,6 +53,7 @@ def all_queries() -> dict[str, Query]:
     from kpipe_spark.queries import (  # noqa: F401
         llm_ops,
         llm_ops2,
+        llm_ops3,
         pipeline_queries,
         relational,
         relational2,

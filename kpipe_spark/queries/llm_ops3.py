@@ -1,0 +1,90 @@
+"""LLM-data-pipeline operators, part 3: corpus vocabulary construction
+and TF-IDF keyword extraction — the tokenizer-training / doc-profiling
+side of a training-data pipeline. Both fully SQL-expressible (DuckDB
+oracles); both stay JVM-side (explode + aggregate, no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kpipe_spark.catalog import load_tables
+from kpipe_spark.functions.text import tokens
+from kpipe_spark.queries import register
+
+_TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register(
+    "d25_vocab_build",
+    oracle=f"""
+    SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+    GROUP BY term
+    HAVING count(*) >= 20
+    """,
+    description="corpus vocabulary construction: term frequency + "
+    "document frequency with a min-count floor (the tokenizer-training "
+    "input). One explode + one map-side-combined agg on term; the "
+    "shuffle carries (term, partial counts) — Zipf skew on hot terms "
+    "is exactly what partial aggregation absorbs (hot keys combine "
+    "map-side, so no salting needed)",
+    tags=("llm", "text", "vocab"),
+)
+def d25_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .filter(F.col("tf") >= 20)
+    )
+
+
+@register(
+    "d26_tfidf_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf, rn FROM (
+      SELECT t.doc_id, t.term,
+             round(t.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 4) AS tfidf,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * ln(CAST(n_docs AS DOUBLE) / df.df) DESC, t.term
+             ) AS rn
+      FROM tf t JOIN df ON t.term = df.term CROSS JOIN n
+    ) WHERE rn <= 3 AND doc_id < 50
+    """,
+    description="TF-IDF keyword extraction, top-3 terms per document: "
+    "per-(doc,term) TF agg, per-term DF agg, corpus size as a 1-row "
+    "broadcast cross join, window top-k per doc. The DF side is "
+    "vocabulary-sized -> broadcast onto the TF side, so the only big "
+    "shuffles are the two aggregations; deterministic tie-break on term",
+    tags=("llm", "text", "tfidf"),
+)
+def d26_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", F.round(score, 4).alias("tfidf"), "rn")
+    )
