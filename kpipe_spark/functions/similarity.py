@@ -142,3 +142,89 @@ def lsh_topk(
             "rn",
         )
     )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    vec_col: str,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Train IVF cell centroids with MLlib KMeans (distributed Lloyd
+    iterations — each round is one aggregate over the corpus, state on
+    the driver is k centroids, nothing else) -> (centroid_id, _ce).
+
+    The returned frame is k rows — broadcast it everywhere it's used.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    feats = vectors.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    cents = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(
+        cents, "centroid_id int, _ce array<double>"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "_e",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "_qe",
+) -> DataFrame:
+    """IVF search: corpus rows live in their nearest-centroid cell
+    (cosine), probes scan their nprobe closest cells, exact cosine
+    top-k within the candidate union. One broadcast of the k-row
+    centroid table to both sides; the only corpus-sized shuffle is the
+    cell-keyed candidate join.
+    """
+
+    def nearest_cells(side: DataFrame, vcol: str, idcol: str, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(centroids)).select(
+            side["*"],
+            "centroid_id",
+            cosine(F.col(vcol), F.col("_ce")).alias("_csim"),
+        )
+        w = Window.partitionBy(idcol).orderBy(
+            F.col("_csim").desc(), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("_crn", F.row_number().over(w))
+            .filter(F.col("_crn") <= n)
+            .drop("_csim", "_crn")
+        )
+
+    assigned = nearest_cells(corpus, vec_col, id_col, 1)
+    probes = nearest_cells(queries, query_vec_col, query_id_col, nprobe)
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col(query_vec_col), F.col(vec_col)).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("_sim", 4).alias("cosine_sim"),
+            "rn",
+        )
+    )

@@ -88,3 +88,48 @@ def d26_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "term", F.round(score, 4).alias("tfidf"), "rn")
     )
+
+
+@register(
+    "d27_ivf_kmeans_topk",
+    oracle=None,  # trained-centroid assignment is approximate by construction
+    description="IVF similarity search with MLlib-KMeans-TRAINED "
+    "centroids (seed-fixed, 16 cells, 5 Lloyd iterations — the "
+    "training loop is MLlib's distributed aggregate, never a driver "
+    "loop): corpus assigned to nearest cell, probes scan nprobe=2 "
+    "cells, exact cosine top-5 within candidates. The trained variant "
+    "of d13's fixed-centroid IVF — recall floor pinned in pytest.",
+    tags=("llm", "similarity", "ivf", "mllib"),
+)
+def d27_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions import similarity as S
+
+    emb = load_tables(spark, sf_dir).embeddings
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    cents = S.kmeans_centroids(v, "_e", k=16, seed=42, max_iter=5)
+    queries = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
+    )
+    return S.ivf_topk(v, queries, cents, nprobe=2, k=5)
+
+
+@register(
+    "d28_bpe_train",
+    oracle=None,  # iterative merge loop is not single-SQL-expressible
+    description="BPE tokenizer training (8 merge rules) on the corpus. "
+    "One corpus pass builds the word-frequency table; every merge "
+    "round then aggregates the VOCAB table (Zipf-small), not the "
+    "corpus — pair counts map-side combined, top-1 via "
+    "TakeOrdered(1), only the winning rule reaches the driver. "
+    "Deterministic (weight desc, pair asc tie-break); exact toy-corpus "
+    "merges pinned in pytest.",
+    tags=("llm", "text", "bpe", "iterative"),
+)
+def d28_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions import bpe
+
+    docs = load_tables(spark, sf_dir).documents
+    rules = bpe.train_bpe(docs, num_merges=8)
+    return spark.createDataFrame(
+        rules, "rank int, left string, right string, pair_weight long"
+    )

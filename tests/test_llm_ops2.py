@@ -141,3 +141,57 @@ def test_mllib_minhash_join_finds_duplicates(spark, tmp_path):
     assert pairs.get((0, 1)) == 0.0
     assert not any(2 in k for k in pairs)
     shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+def test_bpe_train_classic_corpus(spark):
+    """Sennrich toy corpus: most frequent pair merges first, ranks are
+    deterministic via (weight desc, pair asc)."""
+    from kpipe_spark.functions import bpe
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rules = bpe.train_bpe(df, num_merges=5)
+    assert [(r[1], r[2]) for r in rules] == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+    ]
+    assert [r[3] for r in rules] == [9, 9, 9, 7, 7]
+
+
+def test_bpe_apply_respects_merges_and_order(spark):
+    """apply_bpe tokenizes with learned rules; token order follows word
+    order (positional sort, not collect_list arrival order)."""
+    from kpipe_spark.functions import bpe
+
+    train = spark.createDataFrame(
+        [(1, " ".join(["ab"] * 10))], ["doc_id", "text"]
+    )
+    rules = bpe.train_bpe(train, num_merges=2)
+    test = spark.createDataFrame([(7, "ab ab cd")], ["doc_id", "text"])
+    toks = bpe.apply_bpe(test, rules).collect()[0]["bpe_tokens"]
+    assert toks == ["ab</w>", "ab</w>", "c", "d", "</w>"]
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """Trained-centroid IVF must recover a decent fraction of the true
+    top-5 on the real embeddings table."""
+    from kpipe_spark.functions import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    cents = S.kmeans_centroids(v, "_e", k=8, seed=42, max_iter=5)
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
+    )
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(v, q, cents, nprobe=3, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF-kmeans recall collapsed: {recall}"
