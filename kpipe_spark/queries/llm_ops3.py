@@ -133,3 +133,55 @@ def d28_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "rank int, left string, right string, pair_weight long"
     )
+
+
+@register(
+    "d29_column_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS "column", count(*) AS n_rows,
+           count(*) - count(o_orderstatus) AS n_nulls,
+           count(DISTINCT o_orderstatus) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey) FROM orders
+    """,
+    description="column profiling (null counts + exact cardinalities) "
+    "in ONE scan: all per-column aggregates fused into a single "
+    "map-side-combined aggregation, the 1-row result unpivoted to "
+    "long form — profile cost is one pass regardless of column count",
+    tags=("llm", "profiling", "quality"),
+)
+def d29_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.profiling import profile_columns
+
+    orders = load_tables(spark, sf_dir).orders
+    return profile_columns(
+        orders, ["o_orderstatus", "o_totalprice", "o_orderpriority", "o_custkey"]
+    )
+
+
+@register(
+    "d30_k_anonymity",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, count(*) AS class_size,
+           count(*) < 10 AS at_risk
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+    description="k-anonymity audit over (mktsegment, nationkey) "
+    "quasi-identifiers: equivalence-class sizes with an at-risk flag "
+    "for classes below k=10 — the privacy release gate alongside d16's "
+    "PII scrub; one shuffle on the QI tuple",
+    tags=("llm", "privacy", "governance"),
+)
+def d30_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.profiling import k_anonymity
+
+    customer = load_tables(spark, sf_dir).customer
+    return k_anonymity(customer, ["c_mktsegment", "c_nationkey"], k=10)

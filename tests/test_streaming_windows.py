@@ -359,3 +359,74 @@ def test_streaming_content_dedup(spark, tmp_path):
         assert len(ids) == 3
     finally:
         q.stop()
+
+
+def test_transform_with_state_running_count(spark, tmp_path):
+    """Per-key state via the Spark 4 transformWithStateInPandas API
+    (ValueState + StatefulProcessor): running event count per key
+    across micro-batches. Requires the RocksDB state store provider —
+    the provider a production deployment should run anyway (changelog
+    checkpointing, bounded memory). The state-server protocol needs the
+    google.protobuf python package — absent in this container, so the
+    test documents the path and skips; applyInPandasWithState above is
+    the exercised stateful API here."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "cnt bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"key": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    write_batch_file(
+        src,
+        [ev(0, "a", "2024-01-01 00:00:00"), ev(1, "b", "2024-01-01 00:00:01")],
+        "b1.json",
+    )
+    write_batch_file(
+        src,
+        [ev(2, "a", "2024-01-01 00:00:02"), ev(3, "a", "2024-01-01 00:00:03")],
+        "b2.json",
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = (
+            stream(spark, src)
+            .groupBy("key")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningCount(),
+                outputStructType="key string, n bigint",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        q = run_to_memory(out, "twscount", ckpt, output_mode="update")
+        try:
+            latest = {}
+            for r in spark.sql("SELECT * FROM twscount").collect():
+                latest[r["key"]] = max(latest.get(r["key"], 0), r["n"])
+            assert latest == {"a": 3, "b": 1}
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
