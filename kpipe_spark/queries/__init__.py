@@ -59,6 +59,7 @@ def all_queries() -> dict[str, Query]:
         relational2,
         relational3,
         relational4,
+        relational5,
     )
 
     return QUERIES

@@ -1,0 +1,357 @@
+"""Relational inventory, part 5: the remaining TPC-H classic shapes the
+trimmed test schema supports (no partsupp table, no commit/receipt
+dates, so Q2/Q9/Q11/Q16/Q20 are out of reach and Q12/Q21 are adapted to
+shipdate-vs-orderdate lateness).
+
+Covered here: Q13 (outer-join count distribution), Q14 (promo revenue
+ratio), Q17 (correlated per-key average threshold), Q19 (disjunctive
+predicate join), Q21 (multi-exists "only late supplier"), Q8 (market
+share ratio per year).
+
+Determinism rule for money sums: cast the addend to DECIMAL(18,4) on
+BOTH sides before SUM so the aggregate is exact and order-independent
+(double summation order differs between Spark partial aggs and DuckDB).
+
+Scale notes per query; common rules: part/supplier/nation/region
+broadcast, lineitem-side aggregates are map-side-combined shuffles on
+their natural keys, AQE reuses the l_orderkey exchange where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kpipe_spark.catalog import load_tables
+from kpipe_spark.queries import register
+
+
+@register(
+    "q58_customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey AS c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    description="TPC-H Q13 shape: customers-per-order-count histogram via "
+    "a left outer join with an ON-clause (not WHERE) filter, then two "
+    "cascaded aggregations. Scale: join shuffles on custkey; the first "
+    "agg reuses that partitioning (no extra exchange); the second agg's "
+    "domain is tiny (distinct order counts) so its shuffle is trivial.",
+    tags=("join", "outer", "agg"),
+)
+def q58_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(
+            t.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q59_promo_revenue",
+    oracle="""
+    SELECT CAST(round(
+             100.00 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4)) ELSE 0 END)
+             / sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,4))), 4) AS DOUBLE) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    description="TPC-H Q14 shape: conditional-revenue ratio over a "
+    "fact-to-dim equi-join in one date window. Scale: part broadcasts "
+    "(filter+project first), shipdate predicate pushes to the parquet "
+    "scan, single global agg of two partial sums — no wide shuffle.",
+    tags=("join", "agg", "broadcast"),
+)
+def q59_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(t.part.select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)))
+                / F.sum(vol),
+                4,
+            )
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q60_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2)
+           AS DOUBLE) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#23'
+      AND l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey
+          )
+    """,
+    description="TPC-H Q17 shape: correlated per-partkey average "
+    "threshold. Spark plan: per-part thresholds computed once "
+    "(groupBy(l_partkey).avg — map-side combined), restricted to the "
+    "brand's parts via a broadcast semi-join BEFORE the heavy agg, then "
+    "broadcast back onto lineitem. At 100 TB the threshold table is "
+    "|parts-in-brand| rows — tiny — so both joins broadcast; lineitem "
+    "is scanned twice but never shuffled.",
+    tags=("join", "subquery", "agg", "broadcast"),
+)
+def q60_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    brand_parts = t.part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    thresholds = (
+        t.lineitem.join(
+            F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .groupBy("l_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q61_disjunctive_part_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ( (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 1 AND 21)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+             AND l_quantity BETWEEN 20 AND 40) )
+    """,
+    description="TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicate "
+    "mixing join-side and fact-side columns. Catalyst extracts the "
+    "common p_partkey = l_partkey equi-key so this stays a broadcast "
+    "hash join (NOT a cartesian/BNL) with the disjunction evaluated as "
+    "a post-join filter; the l_quantity bounds (1..40 overall) are "
+    "CNF-extracted and pushed to the lineitem scan.",
+    tags=("join", "filter", "broadcast"),
+)
+def q61_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    joined = t.lineitem.join(
+        F.broadcast(t.part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return joined.filter(
+        arm("Brand#15", 15, 1, 21)
+        | arm("Brand#23", 25, 10, 30)
+        | arm("Brand#19", 35, 20, 40)
+    ).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q62_waiting_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+            SELECT * FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT * FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+      AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_7'
+    GROUP BY s_name
+    """,
+    description="TPC-H Q21 shape (lateness = shipped >60 days after "
+    "order date since the trimmed schema lacks commit/receipt dates): "
+    "multi-supplier 'F' orders where exactly one supplier was late. "
+    "The correlated EXISTS / NOT EXISTS pair is decorrelated into one "
+    "per-order aggregate — countDistinct(supplier) >= 2 AND "
+    "countDistinct(late supplier) == 1 — computed on the SAME "
+    "l_orderkey shuffle as the join, so the whole query is one "
+    "exchange over lineitem plus broadcasts (orders-F projected to two "
+    "columns; supplier+nation tiny). No repeated correlated scans.",
+    tags=("join", "subquery", "agg", "decorrelate"),
+)
+def q62_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ord_f = t.orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        ord_f, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    late = F.col("l_shipdate") > F.date_add(
+        F.col("o_orderdate").cast("date"), 60
+    ).cast("timestamp")
+    flagged = li.withColumn("is_late", late)
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "nlate_supp"
+        ),
+    )
+    qualifying = per_order.filter(
+        (F.col("nsupp") >= 2) & (F.col("nlate_supp") == 1)
+    ).select("l_orderkey")
+    culprit_rows = flagged.filter(F.col("is_late")).join(
+        qualifying, "l_orderkey", "left_semi"
+    )
+    supp = t.supplier.join(
+        F.broadcast(t.nation.filter(F.col("n_name") == "NATION_7")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        culprit_rows.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q63_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(round(
+             sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+               AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        AND s_nationkey = n2.n_nationkey
+        AND p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+    description="TPC-H Q8 shape: one nation's share of regional revenue "
+    "per year — an 8-table join tree. Scale: the only big-big join is "
+    "lineitem-orders (shuffle on orderkey); part (filtered to one "
+    "type), supplier, customer, nation x2, region all broadcast, so "
+    "the plan is one exchange plus a chain of broadcast hash joins, "
+    "then a tiny per-year agg of decimal sums.",
+    tags=("join", "agg", "broadcast"),
+)
+def q63_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cust_region = (
+        t.customer.join(
+            F.broadcast(
+                t.nation.join(
+                    F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select(F.col("n_nationkey").alias("cn_nationkey"))
+            ),
+            F.col("c_nationkey") == F.col("cn_nationkey"),
+        )
+    ).select("c_custkey")
+    supp_nation = t.supplier.join(
+        F.broadcast(t.nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    econ_parts = t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    joined = (
+        t.lineitem.join(
+            F.broadcast(econ_parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"),
+              "left_semi")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        joined.select(
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum("volume"),
+                4,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
