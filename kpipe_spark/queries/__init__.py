@@ -54,6 +54,7 @@ def all_queries() -> dict[str, Query]:
         llm_ops,
         llm_ops2,
         llm_ops3,
+        llm_ops4,
         pipeline_queries,
         relational,
         relational2,
