@@ -18,6 +18,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("examples/json_pipeline.py", "outcomes:"),
         ("examples/streaming_dlq.py", "DLQ-parked per batch: [10]"),
         ("examples/multi_topic.py", "unrouted dropped: 5"),
+        ("examples/corpus_curation.py", "curation funnel:"),
     ],
 )
 def test_example_runs(script, expect):
