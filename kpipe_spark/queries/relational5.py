@@ -355,3 +355,114 @@ def q63_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mkt_share")
         )
     )
+
+
+@register(
+    "q64_returned_item_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC
+    LIMIT 20
+    """,
+    description="TPC-H Q10 shape: top-20 customers by lost revenue from "
+    "returned items in one quarter. Scale: returnflag + orderdate "
+    "predicates push to both scans; orders-lineitem shuffles on "
+    "orderkey; customer+nation broadcast; the ORDER BY .. LIMIT 20 "
+    "compiles to TakeOrderedAndProject (per-partition top-20, no "
+    "global sort). Ties below rank 20 are impossible in practice at "
+    "4-decimal revenue, and the driver compare is order-insensitive.",
+    tags=("join", "agg", "topk", "broadcast"),
+)
+def q64_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ord_q = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    return (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(ord_q, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+        .limit(20)
+    )
+
+
+@register(
+    "q65_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    description="TPC-H Q15 shape: supplier(s) with the quarter's maximum "
+    "revenue — the view + global-scalar-subquery pattern. Spark plan: "
+    "the revenue aggregate is computed ONCE as a cached-lineage "
+    "DataFrame reused on both sides; the global max is a 1-row "
+    "broadcast cross-joined as a filter (never collected to Python); "
+    "supplier broadcasts. At 100 TB the only heavy stage is the "
+    "suppkey aggregate over the date-pruned lineitem scan.",
+    tags=("join", "subquery", "agg", "broadcast"),
+)
+def q65_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    revenue = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t.supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
