@@ -466,3 +466,50 @@ def q65_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.supplier), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register(
+    "q66_stat_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(0.0 + round(stddev_samp(l_quantity), 4) AS DOUBLE) AS qty_stddev,
+           CAST(0.0 + round(var_pop(l_quantity), 4) AS DOUBLE) AS qty_varpop,
+           CAST(0.0 + round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE)
+             AS qty_price_corr,
+           CAST(0.0 + round(covar_samp(l_discount, l_tax), 6) AS DOUBLE)
+             AS disc_tax_covar,
+           CAST(0.0 + round(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE)
+             AS price_per_qty_slope,
+           CAST(0.0 + round(regr_intercept(l_extendedprice, l_quantity), 4)
+                AS DOUBLE) AS price_intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Statistical aggregate family: stddev/variance, "
+    "correlation, covariance and linear-regression slope/intercept per "
+    "return flag (skewness/kurtosis excluded deliberately — Spark uses "
+    "population moments, DuckDB sample-corrected, so they are not "
+    "cross-engine comparable). Scale: all are single-pass moment "
+    "aggregates with map-side partial merge — one tiny shuffle on a "
+    "3-value group key; no row ever leaves its scan partition "
+    "unaggregated.",
+    tags=("agg", "stats"),
+)
+def q66_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        (F.round(F.stddev_samp("l_quantity"), 4) + 0.0).cast("double").alias("qty_stddev"),
+        (F.round(F.var_pop("l_quantity"), 4) + 0.0).cast("double").alias("qty_varpop"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + 0.0)
+        .cast("double")
+        .alias("qty_price_corr"),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0)
+        .cast("double")
+        .alias("disc_tax_covar"),
+        (F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4) + 0.0)
+        .cast("double")
+        .alias("price_per_qty_slope"),
+        (F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4) + 0.0)
+        .cast("double")
+        .alias("price_intercept"),
+    )
