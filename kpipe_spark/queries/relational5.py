@@ -513,3 +513,48 @@ def q66_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_intercept"),
     )
+
+
+@register(
+    "q67_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, count(*) AS len
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id, count(*) AS n_streaks, max(len) AS longest_streak
+    FROM streaks
+    GROUP BY user_id
+    """,
+    description="Gaps-and-islands: per-user consecutive-active-day "
+    "streaks via the date-minus-row_number grouping trick. Scale: the "
+    "(user, day) distinct is map-side-combined; the window, both "
+    "aggregations, and the final rollup all share the user_id hash "
+    "partitioning, so after the first exchange everything is "
+    "partition-local — no global sort anywhere.",
+    tags=("window", "agg", "events"),
+)
+def q67_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    days = (
+        t.events.select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.date_sub("d", F.row_number().over(w)))
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
