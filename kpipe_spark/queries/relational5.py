@@ -558,3 +558,44 @@ def q67_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("len").alias("longest_streak"),
     )
+
+
+@register(
+    "q68_argmax_aggregates",
+    oracle="""
+    SELECT n_name,
+           max_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 100000000
+                          + c_custkey) AS richest_customer,
+           min_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 100000000
+                          + c_custkey) AS poorest_customer,
+           count_if(c_acctbal > 5000) AS n_above_5k
+    FROM customer, nation
+    WHERE c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    description="Argmax aggregate family: max_by / min_by / count_if "
+    "per nation. The ordering key encodes (acctbal cents, custkey) in "
+    "one bigint so ties are deterministic on BOTH engines — bare "
+    "max_by(x, acctbal) picks an arbitrary row under ties, which the "
+    "driver's value-hash would flag. Scale: single-pass map-side "
+    "combinable aggregates over a broadcast dim join; the argmax "
+    "partial state is one (key, value) pair per group per partition.",
+    tags=("agg", "argmax", "broadcast"),
+)
+def q68_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * F.lit(100000000)
+        + F.col("c_custkey")
+    )
+    return (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", key).alias("richest_customer"),
+            F.min_by("c_name", key).alias("poorest_customer"),
+            F.count_if(F.col("c_acctbal") > 5000).alias("n_above_5k"),
+        )
+    )
