@@ -599,3 +599,40 @@ def q68_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("c_acctbal") > 5000).alias("n_above_5k"),
         )
     )
+
+
+@register(
+    "q69_lateral_topk",
+    oracle="""
+    SELECT n_name, top.c_name, top.c_acctbal
+    FROM nation,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) AS top
+    """,
+    description="Correlated LATERAL subquery with per-row ORDER BY + "
+    "LIMIT: top-2 customers per nation (tie-broken by custkey so both "
+    "engines agree). Spark decorrelates the lateral into a "
+    "rank-window over the child — the same physical plan as the "
+    "row_number() <= k idiom (q11), i.e. one hash partition on the "
+    "correlation key, per-partition top-k heaps, no per-outer-row "
+    "rescan of customer.",
+    tags=("join", "subquery", "lateral", "topk"),
+)
+def q69_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("_q69_nation")
+    t.customer.createOrReplaceTempView("_q69_customer")
+    return spark.sql(
+        """
+        SELECT n_name, top.c_name, top.c_acctbal
+        FROM _q69_nation,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM _q69_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) AS top
+        """
+    )
