@@ -1,0 +1,250 @@
+"""Relational inventory, part 6: event-log analytics shapes (funnel,
+retention cohorts, Markov transitions) plus the two classic relational
+shapes still missing — the TPC-H Q12 two-conditional-count join (adapted
+to shipdate-vs-orderdate lateness; the test schema has no
+commit/receipt dates or ship modes, see relational5.py) and relational
+division ("customers with orders in every quarter").
+
+Reference parity: kpipe itself has no relational operators
+(reference README.md:190-191 "no windowing, joins, or state stores");
+these queries are the §2.4 engine surface mandated by SURVEY.md, all
+Spark built-ins, all DuckDB-oracle-checked.
+
+Scale notes per query. Common rules: events queries shuffle once on
+user_id and reuse that exchange for the second aggregate where
+possible; orders⋈lineitem shuffles on orderkey (AQE-coalesced);
+dimension tables broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kpipe_spark.catalog import load_tables
+from kpipe_spark.queries import register
+
+
+@register(
+    "q70_lateness_priority_counts",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    description="TPC-H Q12 shape (two conditional counts over an "
+    "orders⋈lineitem join) adapted to shipdate-vs-orderdate lateness "
+    "and l_returnflag standing in for l_shipmode. Scale: shipdate range "
+    "predicate pushes to the lineitem scan; the join shuffles both "
+    "sides on orderkey; the lateness predicate is evaluated post-join "
+    "(it references both sides); final agg domain is tiny (3 flags).",
+    tags=("join", "agg", "conditional"),
+)
+def q70_lateness_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.orders.select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q71_event_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_signup) AS n_signup,
+           sum(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS n_signup_click,
+           sum(CASE WHEN t_purchase > t_click AND t_click > t_signup
+               THEN 1 ELSE 0 END) AS n_funnel_complete
+    FROM per_user
+    """,
+    description="funnel conversion (signup→click→purchase) with "
+    "first-occurrence ordering semantics: a user converts at stage k iff "
+    "the earliest occurrences are strictly time-ordered. Scale: one "
+    "shuffle on user_id with map-side combine for the three conditional "
+    "mins, then a single-row global aggregate (partial-combined; no "
+    "second wide shuffle). SQL NULL-comparison semantics make the CASE "
+    "conditions false whenever a stage is absent — identical in both "
+    "engines.",
+    tags=("events", "funnel", "agg"),
+)
+def q71_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).events
+    first = lambda typ: F.min(F.when(F.col("event_type") == typ, F.col("ts")))  # noqa: E731
+    per_user = e.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_signup"), 1).otherwise(0)
+        ).alias("n_signup_click"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_funnel_complete"),
+    )
+
+
+@register(
+    "q72_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(floor(date_diff('day', cohort_week, active_week) / 7)
+                AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    description="retention cohort triangle: users bucketed by "
+    "first-seen week, activity counted per (cohort, week-offset). "
+    "Scale: both CTEs shuffle on user_id — Catalyst reuses one "
+    "exchange for first_seen, the DISTINCT, and the join (all "
+    "user_id-partitioned); only the final small-domain "
+    "(cohort, offset) agg reshuffles. count(DISTINCT) expands "
+    "per-group but cohort-cells are few; no row explosion.",
+    tags=("events", "window-time", "agg"),
+)
+def q72_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).events
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "q73_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n_transitions
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    description="first-order Markov transition counts over per-user "
+    "event sequences (lead() window, event_id tie-break for "
+    "determinism). Scale: one shuffle on user_id for the window sort "
+    "— per-user sequences are bounded, so no skew; the 5×5 transition "
+    "matrix agg is map-side-combined into a trivial shuffle.",
+    tags=("events", "window", "agg"),
+)
+def q73_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "q74_loyal_customers_by_nation",
+    oracle="""
+    WITH cq AS (
+      SELECT o_custkey, count(DISTINCT quarter(o_orderdate)) AS nq
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT n_name,
+           count(*) AS loyal_customers,
+           CAST(round(avg(c_acctbal), 2) AS DOUBLE) AS avg_acctbal
+    FROM cq
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE nq = 4
+    GROUP BY n_name
+    """,
+    description="relational division: customers with ≥1 order in EVERY "
+    "quarter of 1997, rolled up to nation. Scale: orderdate predicate "
+    "pushes to the orders scan; count(DISTINCT quarter) has a 4-value "
+    "domain so the per-custkey agg stays narrow; customer joins on "
+    "custkey (shuffle), 25-row nation broadcasts; final agg domain is "
+    "25 nations.",
+    tags=("join", "agg", "division", "broadcast"),
+)
+def q74_loyal_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cq = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.count_distinct(F.quarter("o_orderdate")).alias("nq"))
+        .filter(F.col("nq") == 4)
+    )
+    return (
+        cq.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("loyal_customers"),
+            F.round(F.avg("c_acctbal"), 2).cast("double").alias("avg_acctbal"),
+        )
+    )
