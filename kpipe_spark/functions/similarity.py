@@ -195,6 +195,17 @@ def ivf_topk(
             "centroid_id",
             cosine(F.col(vcol), F.col("_ce")).alias("_csim"),
         )
+        if n == 1:
+            # argmax as an aggregate, not a window: partial (map-side)
+            # combine collapses the k-per-row candidates BEFORE the
+            # shuffle, so only one row per id moves — vs shuffling and
+            # sorting id×k rows for row_number. Tie-break matches the
+            # window path: max sim, then lowest centroid_id.
+            key = F.struct(F.col("_csim"), (-F.col("centroid_id")).alias("_nc"))
+            return scored.groupBy(idcol).agg(
+                F.max_by("centroid_id", key).alias("centroid_id"),
+                F.any_value(F.col(vcol)).alias(vcol),
+            )
         w = Window.partitionBy(idcol).orderBy(
             F.col("_csim").desc(), F.col("centroid_id")
         )

@@ -167,6 +167,16 @@ def d13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_id",
             S.cosine(side[vec_col], F.col("_ce")).alias("_csim"),
         )
+        if nprobe == 1:
+            # argmax via max_by: map-side partial agg ships one row per
+            # vector instead of shuffling+sorting 16 candidate rows per
+            # vector through row_number. Tie-break identical to the
+            # window path (max sim, then lowest centroid_id).
+            key = F.struct(F.col("_csim"), (-F.col("centroid_id")).alias("_nc"))
+            return scored.groupBy(side.columns[0]).agg(
+                F.max_by("centroid_id", key).alias("centroid_id"),
+                F.any_value(F.col(vec_col)).alias(vec_col),
+            )
         w = Window.partitionBy(side.columns[0]).orderBy(
             F.col("_csim").desc(), F.col("centroid_id")
         )
