@@ -145,3 +145,133 @@ def d37_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cosine_sim").alias("max_cosine"),
         F.any_value("centroid_id").alias("cluster_id"),
     )
+
+
+@register(
+    "d38_key_skew_profile",
+    oracle="""
+    WITH hh AS (
+      SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT sum(n) AS total FROM hh)
+    SELECT key, n,
+           CAST(round(n * 1.0 / total, 6) AS DOUBLE) AS share
+    FROM hh, tot
+    ORDER BY n DESC, key
+    LIMIT 20
+    """,
+    description="join-key skew profiler: top-20 heavy-hitter keys with "
+    "corpus share — the diagnostic that sizes the salting factor for "
+    "`util.salted_join` (a key at share s needs ~s×parallelism salts). "
+    "Scale: one map-side-combined count per key (domain = key "
+    "cardinality, not corpus), total derived from the counts table "
+    "(no second corpus pass), broadcast 1-row total, TakeOrdered "
+    "top-20 — never a global sort. At 100 TB swap the exact count "
+    "for a sampled scan or count-min sketch if the key domain itself "
+    "explodes (e.g. URLs).",
+    tags=("llm", "profiling", "skew"),
+)
+def d38_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir).lineitem
+    hh = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = hh.agg(F.sum("n").alias("total"))
+    return (
+        hh.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).cast("double").alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(20)
+    )
+
+
+@register(
+    "d39_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+                  AS BIGINT) AS seq_id
+      FROM t
+    )
+    SELECT source, seq_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens
+    FROM packed
+    GROUP BY source, seq_id
+    """,
+    description="training-sequence packing (concat-then-chunk): docs "
+    "concatenated per source in doc_id order, assigned to 512-token "
+    "bins by the cumulative token count BEFORE each doc — the standard "
+    "GPT-style pretraining packer. Scale: one window shuffle on "
+    "source with an in-order running sum (no second sort — the frame "
+    "is ROWS UNBOUNDED PRECEDING over the partition sort); per-source "
+    "partitions bound memory; the bin agg reuses the source "
+    "partitioning.",
+    tags=("llm", "tokenize", "window"),
+)
+def d39_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.select(
+        "source", "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@register(
+    "d40_corpus_card",
+    oracle="""
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           CAST(round(avg(n_chars), 2) AS DOUBLE) AS avg_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+    """,
+    description="dataset-card rollup: corpus composition by language, "
+    "by source, by the cross, and overall, in one GROUPING SETS pass "
+    "— the summary table a training-mix decision reads. Scale: "
+    "Catalyst expands grouping sets into a single shuffle whose key "
+    "includes the grouping-set id (one corpus scan, partial aggs per "
+    "set); domain is |lang|×|source| — tiny.",
+    tags=("llm", "profiling", "grouping"),
+)
+def d40_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(source, 'ALL') AS source,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               CAST(round(avg(n_chars), 2) AS DOUBLE) AS avg_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+        """
+    )

@@ -248,3 +248,91 @@ def q74_loyal_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.avg("c_acctbal"), 2).cast("double").alias("avg_acctbal"),
         )
     )
+
+
+@register(
+    "q75_boolean_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(bool_and(o_totalprice > 1000) AS INTEGER) AS all_above_1k,
+           CAST(bool_or(o_orderstatus = 'F') AS INTEGER) AS any_finished,
+           CAST(bool_and(o_orderdate >= TIMESTAMP '1995-01-01')
+                AS INTEGER) AS all_in_range,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    description="universal/existential aggregate family: bool_and / "
+    "bool_or per group (SQL EVERY/ANY), cast to 0/1 for engine-neutral "
+    "comparison. Scale: single map-side-combined shuffle on a 5-value "
+    "group domain; booleans combine associatively so partial aggs are "
+    "one bit per group per partition.",
+    tags=("agg", "boolean"),
+)
+def q75_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).orders
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).cast("int").alias("all_above_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").cast("int").alias("any_finished"),
+        F.bool_and(
+            F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+        ).cast("int").alias("all_in_range"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "q76_error_rate_anomaly",
+    oracle="""
+    WITH h AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+             count(*) AS n_events,
+             avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END)
+               AS err_rate
+      FROM events
+      GROUP BY 1
+    ),
+    stats AS (
+      SELECT avg(err_rate) AS mu, stddev_samp(err_rate) AS sigma FROM h
+    )
+    SELECT hour_ts, n_events,
+           CAST(round(err_rate, 4) AS DOUBLE) AS err_rate,
+           CAST(round((err_rate - mu) / sigma, 2) AS DOUBLE) AS z_score
+    FROM h, stats
+    WHERE round((err_rate - mu) / sigma, 2) > 2
+    """,
+    description="hourly error-rate anomaly detection: z-score of each "
+    "hour's error fraction against the global mean/stddev, flag hours "
+    "above 2σ (rounded before the threshold so the gate is "
+    "engine-stable). Scale: hourly agg is map-side-combined into a "
+    "time-bucket domain; the stats aggregate runs over BUCKETS (not "
+    "events) and broadcasts back as one row — the corpus is scanned "
+    "exactly once.",
+    tags=("events", "window-time", "anomaly"),
+)
+def q76_error_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir).events
+    h = e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_ts"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg(
+            F.when(F.col("event_type") == "error", F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("err_rate"),
+    )
+    stats = h.agg(
+        F.avg("err_rate").alias("mu"), F.stddev_samp("err_rate").alias("sigma")
+    )
+    z = F.round((F.col("err_rate") - F.col("mu")) / F.col("sigma"), 2)
+    return (
+        h.crossJoin(F.broadcast(stats))
+        .filter(z > 2)
+        .select(
+            "hour_ts",
+            "n_events",
+            F.round("err_rate", 4).cast("double").alias("err_rate"),
+            z.cast("double").alias("z_score"),
+        )
+    )

@@ -195,3 +195,23 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF-kmeans recall collapsed: {recall}"
+
+
+def test_semdedup_pairs_subset_of_brute_force(spark):
+    """d37's within-cluster dup pairs must be exactly a subset of the
+    brute-force >=0.35 cosine pairs (d11): clustering prunes candidates,
+    it never invents similarity. Also asserts the op finds something."""
+    from kpipe_spark.queries import all_queries
+
+    qs = all_queries()
+    sem = qs["d37_semdedup_clusters"].build(spark, SF).collect()
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in qs["d11_embedding_neardup"].build(spark, SF).collect()
+    }
+    assert len(sem) > 0
+    for r in sem:
+        assert (r["dup_of"], r["vec_id"]) in brute, (
+            f"semdedup flagged ({r['dup_of']},{r['vec_id']}) "
+            "not present in brute-force pairs"
+        )
