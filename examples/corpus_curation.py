@@ -131,8 +131,29 @@ def main() -> None:
     counts = {r["split"]: r["n"] for r in
               split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
 
+    # 7. sequence packing — concat-then-chunk the train split into
+    #    512-token bins per source (the d39 operator): one in-order
+    #    running sum per source partition, no extra corpus pass
+    from pyspark.sql import Window  # noqa: E402
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        split.filter(F.col("split") == "train")
+        .select("source", "doc_id", n_tok.alias("n_tokens"))
+        .withColumn(
+            "seq_id",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0),
+        )
+    )
+    n_seqs = packed.select("source", "seq_id").distinct().count()
+
     print("curation funnel:", " -> ".join(f"{k}={v}" for k, v in funnel))
     print("splits:", {k: counts.get(k, 0) for k in ("train", "val", "test")})
+    print("packed train sequences (512-token bins):", n_seqs)
     spark.stop()
 
 
