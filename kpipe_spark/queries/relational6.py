@@ -336,3 +336,105 @@ def q76_error_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.cast("double").alias("z_score"),
         )
     )
+
+
+@register(
+    "q77_monthly_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT month,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(round(
+             100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month), 2) AS DOUBLE)
+             AS growth_pct
+    FROM m
+    """,
+    description="month-over-month revenue growth: monthly DECIMAL "
+    "revenue (exact, order-independent), lag() over the month series, "
+    "percent delta. Scale: the corpus-sized work is one "
+    "map-side-combined agg to an ~80-row month domain; the lag window "
+    "sorts MONTHS, not orders — a driver-trivial partition. First "
+    "month's growth is NULL in both engines.",
+    tags=("window", "agg", "time-series"),
+)
+def q77_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).orders
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month"
+        )
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 2)
+        .cast("double")
+        .alias("growth_pct"),
+    )
+
+
+@register(
+    "q78_revenue_pareto",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             sum(rev) OVER () AS total_rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk
+      FROM c
+    )
+    SELECT rk, o_custkey,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(round(100.0 * cum_rev / total_rev, 4) AS DOUBLE)
+             AS cum_share_pct
+    FROM ranked
+    WHERE cum_rev - rev < 0.5 * total_rev
+    """,
+    description="revenue Pareto head: customers ranked by spend whose "
+    "PRECEDING cumulative share is under 50% — 'which customers make "
+    "up the first half of revenue' (the subtraction keeps the row that "
+    "crosses the line, deterministic via DECIMAL sums and id "
+    "tie-break). Scale: per-customer agg is one map-side-combined "
+    "shuffle; the running sum orders CUSTOMER AGGREGATES (not orders); "
+    "at extreme cardinality swap for a two-phase quantile cut on the "
+    "rev distribution.",
+    tags=("window", "agg", "topk"),
+)
+def q78_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir).orders
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    w_order = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = c.select(
+        F.row_number().over(w_order).alias("rk"),
+        "o_custkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+    )
+    return ranked.filter(
+        F.col("cum_rev") - F.col("rev") < 0.5 * F.col("total_rev")
+    ).select(
+        "rk",
+        "o_custkey",
+        F.col("rev").cast("double").alias("rev"),
+        F.round(100.0 * F.col("cum_rev") / F.col("total_rev"), 4)
+        .cast("double")
+        .alias("cum_share_pct"),
+    )
