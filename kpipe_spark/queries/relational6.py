@@ -438,3 +438,70 @@ def q78_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cum_share_pct"),
     )
+
+
+@register(
+    "q79_gap_fill_locf",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, date_trunc('day', ts)::DATE AS day,
+             round(sum(value), 4) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(date_trunc('day', ts)::DATE) AS lo,
+             max(date_trunc('day', ts)::DATE) AS hi
+      FROM events
+    ), cal AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), grid AS (
+      SELECT u.user_id, c.day
+      FROM (SELECT DISTINCT user_id FROM p) u, cal c
+    )
+    SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+           CAST(last_value(p.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS filled,
+           CAST(p.v IS NOT NULL AS INTEGER) AS observed
+    FROM grid g
+    LEFT JOIN p ON g.user_id = p.user_id AND g.day = p.day
+    """,
+    description="time-series gap fill + LOCF forward fill: per-user "
+    "daily purchase totals densified onto the full corpus calendar "
+    "(sequence+explode), missing days carried forward with "
+    "last(ignorenulls) — the resample/ffill operator every metrics "
+    "pipeline needs. Days before a user's first purchase stay NULL. "
+    "Scale: the calendar is tiny (broadcast side of the grid "
+    "cross-join — users x days rows but only (user_id, day) tuples); "
+    "the LOCF window partitions by user, so state is one value per "
+    "user per partition, no global sort. Daily sums rounded BEFORE the "
+    "fill so both engines carry identical doubles forward.",
+    tags=("window", "time-series", "events"),
+)
+def q79_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir).events
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    grid = p.select("user_id").distinct().crossJoin(F.broadcast(cal))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = grid.join(p, ["user_id", "day"], "left")
+    return g.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("filled"),
+        F.col("v").isNotNull().cast("integer").alias("observed"),
+    )
