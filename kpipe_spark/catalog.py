@@ -33,16 +33,22 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
-        # outright; read the raw int64 and truncate to a microsecond
-        # timestamp (the same truncation DuckDB applies to TIMESTAMP_NS).
+        # events.ts is parquet TIMESTAMP(NANOS). Older Spark rejects it
+        # outright unless read as a raw int64 (legacy conf); Spark 4.1+
+        # reads it natively as TIMESTAMP_NTZ truncated to micros (the
+        # same truncation DuckDB applies to TIMESTAMP_NS). Handle both,
+        # normalizing to session-local TimestampType (session tz is
+        # pinned UTC, so the NTZ cast is value-preserving).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

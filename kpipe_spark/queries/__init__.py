@@ -65,6 +65,7 @@ def all_queries() -> dict[str, Query]:
         relational4,
         relational5,
         relational6,
+        relational7,
     )
 
     return QUERIES
