@@ -611,7 +611,7 @@ def d21_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac,
-           sum(c) AS n_bigrams
+           CAST(sum(c) AS BIGINT) AS n_bigrams
     FROM freq GROUP BY doc_id
     """,
     description="repetition quality filter (Gopher-style): fraction of "

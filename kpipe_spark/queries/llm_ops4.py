@@ -33,8 +33,8 @@ from kpipe_spark.queries import register
     )
     SELECT e.doc_id AS doc_id,
            count(*) AS n_grams,
-           sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_contaminated,
+           CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
            CAST(round(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)
                       * 1.0 / count(*), 4) AS DOUBLE)
              AS contamination_rate
@@ -97,7 +97,8 @@ def d31_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d32_source_mixing_weights",
     oracle="""
     WITH tok AS (
-      SELECT source, sum(len(string_split(text, ' '))) AS src_tokens
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS src_tokens
       FROM documents GROUP BY source
     )
     SELECT source, src_tokens,

@@ -157,8 +157,10 @@ def d34_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS n_kept,
-           sum(CASE WHEN rk <= 10 THEN n_chars ELSE 0 END) AS kept_chars
+           CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rk <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
     FROM ranked
     GROUP BY source
     """,

@@ -46,7 +46,7 @@ from kpipe_spark.util import ensure_parallelism
     )
     SELECT bucket,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(round(avg(lp), 4) AS DOUBLE) AS avg_logprob
     FROM bucketed
     GROUP BY bucket
@@ -206,7 +206,7 @@ def d38_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, seq_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM packed
     GROUP BY source, seq_id
     """,
@@ -246,7 +246,7 @@ def d39_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(lang, 'ALL') AS lang,
            coalesce(source, 'ALL') AS source,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(round(avg(n_chars), 2) AS DOUBLE) AS avg_chars,
            max(n_chars) AS max_chars
     FROM documents

@@ -190,7 +190,8 @@ def q36_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
     FROM flagged GROUP BY user_id
     """,
     description="gap-based sessionization (30 min) via lag window — the "

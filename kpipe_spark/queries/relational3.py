@@ -88,7 +88,8 @@ def q44_range_frame_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(words) AS n_words,
            list_sort(list_transform(words, w -> upper(w)))[1] AS first_upper,
            len(list_filter(words, w -> length(w) > 5)) AS n_long,
-           list_sum(list_transform(words, w -> length(w))) AS total_len,
+           CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT)
+             AS total_len,
            array_to_string(list_reverse_sort(words), '|') AS joined_desc
     FROM parts
     """,

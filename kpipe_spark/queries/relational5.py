@@ -568,7 +568,7 @@ def q67_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                           + c_custkey) AS richest_customer,
            min_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 100000000
                           + c_custkey) AS poorest_customer,
-           count_if(c_acctbal > 5000) AS n_above_5k
+           CAST(count_if(c_acctbal > 5000) AS BIGINT) AS n_above_5k
     FROM customer, nation
     WHERE c_nationkey = n_nationkey
     GROUP BY n_name

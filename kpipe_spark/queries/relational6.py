@@ -29,10 +29,10 @@ from kpipe_spark.queries import register
     "q70_lateness_priority_counts",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey
       AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
@@ -80,9 +80,10 @@ def q70_lateness_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*) AS n_users,
            count(t_signup) AS n_signup,
-           sum(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END) AS n_signup_click,
-           sum(CASE WHEN t_purchase > t_click AND t_click > t_signup
-               THEN 1 ELSE 0 END) AS n_funnel_complete
+           CAST(sum(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup_click,
+           CAST(sum(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_complete
     FROM per_user
     """,
     description="funnel conversion (signup→click→purchase) with "
