@@ -4,9 +4,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect-to-count) after
+Each query is timed end-to-end (plan + execute + noop-sink write) after
 one warm-up query primes the JVM/session. Queries are the oracle-graded
 headliners spanning scan-agg, multi-join, window, dedup and similarity.
+
+Methodology: the noop sink forces FULL materialization of every output
+column. A count() would let Catalyst prune the measured work away — a
+pure-projection query (q12's window columns, d12's md5 shingles) would
+"benchmark" a parquet row-count instead of the query (CLAUDE.md
+benchmark discipline).
 """
 
 from __future__ import annotations
@@ -113,10 +119,11 @@ def main() -> None:
         best = float("inf")
         # best-of-2: first run includes codegen compilation; the repeat
         # measures steady-state (GC noise at 32 threads is ±30% on the
-        # heavy queries otherwise). count() forces full execution.
+        # heavy queries otherwise). The noop write forces execution of
+        # every output column — count() would column-prune projections.
         for _ in range(2):
             t0 = time.perf_counter()
-            q.build(spark, sf_dir).count()
+            q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

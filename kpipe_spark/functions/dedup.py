@@ -6,16 +6,24 @@ Four families, each shuffle-partitioned and driver-collect-free:
            a uniformly-distributed 128-bit key — scales linearly; AQE
            handles stragglers.
 - minhash: shingle -> 64 minhash slots -> band -> bucket join. Candidate
-           generation is a self-equi-join on (band, bucket-hash), i.e. a
+           generation is a self-equi-join on (band, bucket), i.e. a
            shuffle join on a well-distributed key rather than an O(n^2)
            cross join.
-- simhash: 64-bit simhash via per-token xxhash64 bit-voting; near-dups
-           are buckets of equal simhash prefixes (hamming refinement in
+- simhash: 64-bit simhash via per-token md5 bit-voting; near-dups
+           are buckets of equal simhash chunks (hamming refinement in
            the verify step).
 - ngram-jaccard: exact Jaccard over shingle sets, for verification of
            candidate pairs (never run all-pairs at scale).
 
-All built-in expressions (xxhash64/transform/aggregate) — no Python UDFs.
+Hash family: md5 is the cross-engine bridge — Spark, DuckDB and Python
+produce identical digests for identical UTF-8 bytes, so every operator
+here is oracle-checkable bit-for-bit (xxhash64 exists only in Spark).
+The minhash slot family is affine rehash over the Mersenne prime
+2^31-1: slot_k = (a_k * h + b_k) mod p with h the md5-derived 60-bit
+shingle hash mod p — classic universal hashing, integer-exact in every
+engine, and cheaper than one full hash call per slot.
+
+All built-in expressions (md5/conv/transform/aggregate) — no Python UDFs.
 """
 
 from __future__ import annotations
@@ -62,16 +70,45 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     ).otherwise(F.array(F.array_join(toks, " ")))
 
 
-def word_shingle_hashes(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles pre-hashed to array<bigint>.
+MERSENNE_P31 = 2147483647  # 2^31 - 1: modulus of the affine slot family
 
-    Each shingle string is hashed ONCE; the minhash slots then reseed
-    from the 8-byte hash instead of re-hashing the string 64 times —
-    at ~10M shingles x 64 slots that's the difference between hashing
-    ~5 GB of strings and ~80 MB of longs per slot wave. Collisions at
-    64-bit are negligible vs MinHash's own approximation error.
+
+def md5_hash60(c: Column, offset: int = 1) -> Column:
+    """60 bits of md5(c) as a non-negative bigint (hex digits
+    [offset, offset+15) of the digest).
+
+    md5 is bit-identical across Spark / DuckDB / Python for the same
+    UTF-8 bytes, which makes every hash-derived operator oracle-
+    checkable; 15 hex digits keep the value inside a signed 64-bit
+    range in both engines.
     """
-    return F.transform(word_shingles(text, k), lambda s: F.xxhash64(s))
+    return F.conv(F.substring(F.md5(c), offset, 15), 16, 10).cast("long")
+
+
+def slot_coefficients(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for minhash slot i — the same closed
+    form is inlined in oracle SQL, so both engines agree exactly."""
+    return (
+        (i * 2654435761 + 1) % MERSENNE_P31,
+        (i * 40503 + 7) % MERSENNE_P31,
+    )
+
+
+def word_shingle_hashes(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles pre-hashed to array<bigint> (mod 2^31-1).
+
+    Each shingle string is md5-hashed ONCE; the minhash slots then
+    apply the integer affine family to the pre-hash instead of
+    re-hashing the string 64 times — at ~10M shingles x 64 slots that's
+    the difference between hashing ~5 GB of strings and 64 integer
+    mults per 8-byte long. Collisions at 31 bits are negligible vs
+    MinHash's own approximation error at sane corpus sizes; widen to
+    two independent 60-bit lanes if a 100 TB corpus pushes shingle
+    cardinality past ~2^24 per band.
+    """
+    return F.transform(
+        word_shingles(text, k), lambda s: md5_hash60(s) % MERSENNE_P31
+    )
 
 
 # -- minhash ------------------------------------------------------------------
@@ -86,18 +123,19 @@ def minhash_signature_df(
 ) -> DataFrame:
     """num_hashes-slot minhash signature as one array<bigint> column.
 
-    Slot i = min over shingles of xxhash64(shingle_hash, i). Shape:
-    explode pre-hashed shingles -> MIN(xxhash64(_sh, i)) × n as the
-    aggregate expressions themselves -> pack to array. Hashing INSIDE
-    the aggregate matters: a separate 64-column projection before the
-    groupBy materializes |shingles| × 520 B UnsafeRows (measured ~1.6×
-    slower end-to-end at sf0.1); here the agg input row stays (id, 8 B)
-    and each hash feeds its min-buffer directly. The shuffle carries
-    (id, n×8 B) after map-side partial MIN, never text.
-    ensure_parallelism spreads the work first — an under-split scan
-    would otherwise run every document on one core (measured 8× at
-    sf0.1 on local[32]). A higher-order-function formulation is ~2×
-    slower again (HOF lambdas evaluate interpreted).
+    Slot i = min over shingles of (a_i * h + b_i) mod 2^31-1 with h the
+    md5-derived shingle pre-hash (cross-engine exact — see module
+    docstring). Shape: explode pre-hashed shingles -> MIN(affine_i(h))
+    × n as the aggregate expressions themselves -> pack to array.
+    Rehashing INSIDE the aggregate matters: a separate 64-column
+    projection before the groupBy materializes |shingles| × 520 B
+    UnsafeRows (measured ~1.6× slower end-to-end at sf0.1); here the
+    agg input row stays (id, 8 B) and each slot feeds its min-buffer
+    directly. The shuffle carries (id, n×8 B) after map-side partial
+    MIN, never text. ensure_parallelism spreads the work first — an
+    under-split scan would otherwise run every document on one core
+    (measured 8× at sf0.1 on local[32]). A higher-order-function
+    formulation is ~2× slower again (HOF lambdas evaluate interpreted).
     """
     exploded = ensure_parallelism(df).select(
         F.col(id_col),
@@ -105,8 +143,12 @@ def minhash_signature_df(
     )
     return exploded.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64("_sh", F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min(
+                (F.lit(a) * F.col("_sh") + F.lit(b)) % MERSENNE_P31
+            ).alias(f"h{i}")
+            for i, (a, b) in (
+                (j, slot_coefficients(j)) for j in range(num_hashes)
+            )
         ]
     ).select(
         F.col(id_col),
@@ -121,15 +163,20 @@ def minhash_bands_df(
     bands: int = 16,
 ) -> DataFrame:
     """LSH banding over an (id, sig array) frame -> (id, band, bucket).
-    Two docs sharing any band collide; P(collide) = 1-(1-j^rows)^bands."""
+    Two docs sharing any band collide; P(collide) = 1-(1-j^rows)^bands.
+
+    The bucket key is the '_'-joined slot string (cross-engine exact;
+    ~40 B vs an 8 B hash — irrelevant next to the shuffle's id column,
+    and it keeps the whole candidate pipeline oracle-checkable)."""
     rows = num_hashes // bands
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
+                F.concat_ws(
+                    "_",
                     *[
-                        F.element_at("sig", b * rows + r + 1)
+                        F.element_at("sig", b * rows + r + 1).cast("string")
                         for r in range(rows)
                     ]
                 ).alias("bucket"),
@@ -329,23 +376,36 @@ def simhash_df(
 ) -> DataFrame:
     """64-bit SimHash per document -> (id_col, simhash64).
 
-    Per-token xxhash64; each bit position votes +1/-1 across the doc's
-    distinct tokens; the vote sign becomes the output bit. Shape:
-    explode tokens -> one xxhash64 -> groupBy(id) with 64 conditional
-    SUMs (map-side combined) -> fold bits into one bigint. The shuffle
-    carries (id, 64 ints); text never moves. (A single-expression
-    formulation duplicates the token-array expression 64x in the plan —
-    OOMs the driver on plan serialization.) Token-less documents get
-    simhash 0 via the left join back onto the input ids.
+    Per-token md5, split into two 60-bit lanes (hex digits 1-15 and
+    17-31): bits 0-31 of the simhash vote on lane-1 bits, bits 32-63 on
+    lane-2 bits — cross-engine exact, so the op is oracle-checkable.
+    Each bit position votes +1/-1 across the doc's distinct tokens; the
+    vote sign becomes the output bit. Shape: explode tokens -> one md5
+    -> groupBy(id) with 64 conditional SUMs (map-side combined) -> fold
+    bits into one bigint. The shuffle carries (id, 64 ints); text never
+    moves. (A single-expression formulation duplicates the token-array
+    expression 64x in the plan — OOMs the driver on plan
+    serialization.) Token-less documents get simhash 0 via the left
+    join back onto the input ids.
     """
-    tok = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    tok = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("_t"),
+        )
+        .withColumn("_h1", md5_hash60(F.col("_t"), 1))
+        .withColumn("_h2", md5_hash60(F.col("_t"), 17))
+    )
     votes = tok.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
+                F.when(
+                    F.shiftright(
+                        F.col("_h1" if b < 32 else "_h2"), b % 32
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"v{b}")
             for b in range(bits)
         ]

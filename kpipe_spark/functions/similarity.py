@@ -87,6 +87,22 @@ def brute_force_topk(
     )
 
 
+def srp_planes(n: int, dim: int) -> list[list[float]]:
+    """Exact-rational signed-random-projection hyperplanes.
+
+    ((k*131 + j*17) % 97 - 48) / 48.0 is computed bit-identically by
+    Python, the JVM and DuckDB (integer arithmetic + one correctly-
+    rounded IEEE division), so the sign of each projection agrees
+    across engines and every SRP-bucketed operator is oracle-checkable
+    — a ``sin()``- or PRNG-based plane could differ by 1 ulp between
+    libm implementations.
+    """
+    return [
+        [((k * 131 + j * 17) % 97 - 48) / 48.0 for j in range(dim)]
+        for k in range(n)
+    ]
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-of-dot-product LSH bucket id (one bit per hyperplane)."""
     bits = []

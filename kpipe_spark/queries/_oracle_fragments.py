@@ -1,0 +1,77 @@
+"""Shared DuckDB oracle-SQL fragments for the hash-based dedup ops.
+
+These mirror ``kpipe_spark.functions.dedup`` expression-for-expression:
+the cross-engine contract is md5 (identical digests for identical UTF-8
+bytes in Spark / DuckDB / Python) plus pure integer arithmetic — the
+affine minhash slot family over the Mersenne prime 2^31-1 and two
+60-bit md5 lanes for the simhash bit votes. Every constant here must
+stay in lockstep with ``dedup.slot_coefficients`` / ``dedup.md5_hash60``.
+"""
+
+from __future__ import annotations
+
+# (a_i, b_i) closed forms inlined as SQL — keep identical to
+# dedup.slot_coefficients.
+MINHASH_CTES = r"""
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+      FROM toks WHERE len(t) >= 3
+      UNION ALL
+      SELECT doc_id, array_to_string(t, ' ') AS g
+      FROM toks WHERE len(t) < 3
+    ), sh AS (
+      SELECT DISTINCT doc_id, g FROM grams
+    ), hh AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+               % 2147483647 AS h
+      FROM sh
+    ), slots AS (
+      SELECT doc_id, k,
+             min((((k * 2654435761 + 1) % 2147483647) * h
+                  + (k * 40503 + 7) % 2147483647) % 2147483647) AS slot
+      FROM hh, range(64) t(k) GROUP BY doc_id, k
+    ), bands AS (
+      SELECT doc_id, k // 4 AS band,
+             string_agg(slot, '_' ORDER BY k) AS bucket
+      FROM slots GROUP BY doc_id, k // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+    )
+"""
+
+SIMHASH_CTES = r"""
+    tok AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents)
+    ), lanes AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h1,
+             CAST(concat('0x', substr(md5(t), 17, 15)) AS BIGINT) AS h2
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, k,
+             sum(CASE WHEN ((CASE WHEN k < 32 THEN h1 >> k
+                                  ELSE h2 >> (k - 32) END) & 1) = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM lanes, range(64) t(k) GROUP BY doc_id, k
+    ), fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN
+                        CASE WHEN k = 63 THEN -9223372036854775807 - 1
+                             ELSE (1::BIGINT << k) END
+                      ELSE 0 END) AS BIGINT) AS simhash64
+      FROM votes GROUP BY doc_id
+    ), sim AS (
+      SELECT d.doc_id, coalesce(fp.simhash64, 0) AS simhash64
+      FROM documents d LEFT JOIN fp USING (doc_id)
+    )
+"""

@@ -1,10 +1,12 @@
 """LLM-data-pipeline operator queries (north-star extensions).
 
 Dedup / similarity / text-analysis over the documents and embeddings
-tables. SQL-expressible ones carry a DuckDB oracle; the hash-family ops
-(MinHash/SimHash use Spark's xxhash64, which DuckDB doesn't have) are
-rows-only here and get semantic pytest coverage instead
-(tests/test_llm_ops.py: identical docs collide, unrelated docs don't).
+tables. Every op here is oracle-checked: the hash-family ops
+(MinHash/SimHash) build on md5 + integer affine rehash — bit-identical
+across Spark and DuckDB (see functions/dedup.py module docstring) — and
+the SRP top-k uses exact-rational hyperplanes; semantic pytest coverage
+(tests/test_llm_ops.py: identical docs collide, unrelated docs don't)
+guards the dedup contracts on top.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ from kpipe_spark.functions import dedup as D
 from kpipe_spark.functions import similarity as S
 from kpipe_spark.functions import text as T
 from kpipe_spark.queries import register
+from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
 
 _FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
 _TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
@@ -136,21 +139,32 @@ def d04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d05_minhash_neardup",
-    oracle=None,  # xxhash64 signature — not DuckDB-expressible; pytest covers semantics
+    oracle=f"""
+    WITH {MINHASH_CTES}
+    SELECT id_a, id_b FROM cand
+    """,
     description="MinHash-LSH near-duplicate candidate pairs "
-    "(shingle -> 64-slot signature -> 16 bands -> bucket self-join)",
+    "(shingle -> md5-affine 64-slot signature -> 16 bands -> bucket "
+    "self-join), oracle-checked bit-for-bit via the md5 + Mersenne-"
+    "affine hash family. No global sort — candidate pairs stream out "
+    "of the bucket join; the driver's comparator sorts, the engine "
+    "never pays a full exchange for display order.",
     tags=("llm", "dedup", "minhash"),
 )
 def d05_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
-    return D.minhash_candidates(docs).orderBy("id_a", "id_b")
+    return D.minhash_candidates(docs)
 
 
 @register(
     "d06_simhash",
-    oracle=None,  # xxhash64 bit votes — pytest covers collision semantics
+    oracle=f"""
+    WITH {SIMHASH_CTES}
+    SELECT doc_id, simhash64 FROM sim
+    """,
     description="64-bit SimHash fingerprint per document (bit-vote over "
-    "per-token xxhash64, one codegen projection)",
+    "two 60-bit md5 lanes, one codegen projection) — oracle-checked "
+    "bit-for-bit across engines.",
     tags=("llm", "dedup", "simhash"),
 )
 def d06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,14 +174,33 @@ def d06_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d07_ngram_jaccard_pairs",
-    oracle=None,  # candidate generation uses xxhash64 banding
+    oracle=f"""
+    WITH {MINHASH_CTES},
+    sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS i
+      FROM cand p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.g = a.g
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(i.i * 1.0 / (na.n + nb.n - i.i), 4) AS jaccard_sim
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE round(i.i * 1.0 / (na.n + nb.n - i.i), 4) >= 0.8
+    """,
     description="near-dup pairs verified by exact 3-gram Jaccard >= 0.8 "
-    "over MinHash candidates (exact measure only on candidates)",
+    "over MinHash candidates (exact measure only on candidates; "
+    "|A∪B| = |A|+|B|-|A∩B| on distinct-shingle sets, identical in both "
+    "engines). Unsorted output — order is the comparator's job.",
     tags=("llm", "dedup", "jaccard"),
 )
 def d07_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
-    return D.ngram_jaccard_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
+    return D.ngram_jaccard_pairs(docs, threshold=0.8)
 
 
 @register(
@@ -206,22 +239,45 @@ def d08_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d09_lsh_similarity_topk",
-    oracle=None,  # approximate by construction; pytest checks recall vs brute force
-    description="LSH-bucketed approximate top-k (8 random hyperplanes, "
-    "seed-fixed): each probe scores only its bucket — the 100 TB path",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), bits AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+                 j -> v[j + 1] * (((k * 131 + j * 17) % 97 - 48) / 48.0)))
+                 > 0 THEN 1 << k ELSE 0 END) AS INTEGER) AS bucket
+      FROM e, range(4) t(k)
+      GROUP BY vec_id
+    ), b AS (
+      SELECT e.vec_id, e.v, bits.bucket FROM e JOIN bits USING (vec_id)
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS sim
+      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    description="LSH-bucketed approximate top-k (4 exact-rational "
+    "hyperplanes — see similarity.srp_planes): each probe scores only "
+    "its bucket — the 100 TB path where brute force is a full corpus "
+    "scan per probe batch. Oracle-checked: the rational planes make "
+    "the bucket assignment bit-identical across engines, so the "
+    "'approximate' result is still deterministic and verifiable.",
     tags=("llm", "similarity", "lsh"),
 )
 def d09_lsh_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     emb = load_tables(spark, sf_dir).embeddings
-    dim = 64
-    rng = np.random.RandomState(42)
-    planes = rng.normal(size=(4, dim)).tolist()
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_topk(emb, queries, planes, k=5)
+    return S.lsh_topk(emb, queries, S.srp_planes(4, 64), k=5)
 
 
 @register(

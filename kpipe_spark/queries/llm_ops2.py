@@ -21,6 +21,7 @@ from kpipe_spark.functions import multimodal as M
 from kpipe_spark.functions import similarity as S
 from kpipe_spark.functions.dedup import word_shingles
 from kpipe_spark.queries import register
+from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
 from kpipe_spark.util import ensure_parallelism
 
 # ---------------------------------------------------------------------------
@@ -366,19 +367,29 @@ def d14_doc_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d15_simhash_neardup",
-    oracle=None,  # xxhash64-based fingerprints — semantics pinned in pytest
+    oracle=f"""
+    WITH {SIMHASH_CTES}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER)
+             AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+    """,
     description="SimHash near-dup pairs (hamming <= 3) via the "
     "pigeonhole chunk scheme: 4 x 16-bit chunks bucket the corpus — any "
     "pair within 3 bits shares a chunk exactly (100% recall by "
     "construction) — then exact hamming verifies candidates only. One "
-    "shuffle; the quadratic work confined to chunk buckets.",
+    "shuffle; the quadratic work confined to chunk buckets. The oracle "
+    "exploits the recall guarantee: an all-pairs hamming filter is the "
+    "same result set, so the bucketed plan is verified end-to-end "
+    "(md5-lane simhash is bit-identical across engines).",
     tags=("llm", "dedup", "simhash"),
 )
 def d15_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kpipe_spark.functions.dedup import simhash_neardup_pairs
 
     docs = load_tables(spark, sf_dir).documents
-    return simhash_neardup_pairs(docs).orderBy("id_a", "id_b")
+    return simhash_neardup_pairs(docs)
 
 
 @register(
@@ -684,12 +695,38 @@ def d23_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d24_dup_clusters",
-    oracle=None,  # transitive closure over xxhash64-banded candidates
+    oracle=f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b, id_a FROM cand
+    ),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
+    ),
+    comp AS (
+      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT cluster_id,
+           count(*) AS cluster_size,
+           CAST(sum(CASE WHEN id = cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_canonical
+    FROM comp
+    GROUP BY cluster_id
+    HAVING count(*) > 1
+    """,
     description="duplicate-cluster assignment: MinHash-LSH candidate "
     "pairs transitively closed into connected components by iterative "
     "min-label propagation (rounds = component diameter; per-round "
     "cost scales with the dup graph, not the corpus). cluster_id = "
-    "min doc id; keep-one dedup = filter(is_canonical).",
+    "min doc id; keep-one dedup = filter(is_canonical). The Spark side "
+    "iterates (checkpointed label propagation); the oracle reproduces "
+    "the fixpoint with a recursive CTE over the same md5-affine "
+    "candidate pairs — the iteration is implementation, the component "
+    "labeling is the checkable contract.",
     tags=("llm", "dedup", "clustering", "iterative"),
 )
 def d24_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,14 +22,9 @@ from kpipe_spark.catalog import load_tables
 from kpipe_spark.functions import similarity as S
 from kpipe_spark.queries import register
 
-# Exact-rational hyperplanes: ((k*131 + j*17) % 97 - 48) / 48.0 is
-# computed bit-identically by Python, the JVM, and DuckDB (integer
-# arithmetic + one correctly-rounded IEEE division), so the sign of
-# each projection agrees across engines — a `sin()`-based plane could
-# differ by 1 ulp between libm implementations.
-_SRP_PLANES = [
-    [((k * 131 + j * 17) % 97 - 48) / 48.0 for j in range(64)] for k in range(8)
-]
+# Exact-rational hyperplanes (see similarity.srp_planes): bit-identical
+# signs across Python / JVM / DuckDB, so the SRP join is oracle-checked.
+_SRP_PLANES = S.srp_planes(8, 64)
 
 
 def _token_counts(docs: DataFrame) -> DataFrame:
