@@ -429,22 +429,27 @@ def d16_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
       FROM documents
+    ), cnt AS (
+      SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
     ), freq AS (
-      SELECT t, count(*) / (SELECT count(*) FROM tok) AS p
-      FROM tok GROUP BY t
+      SELECT t, sum(c) / (SELECT sum(c) FROM cnt) AS p
+      FROM cnt GROUP BY t
     )
-    SELECT tok.doc_id,
-           round(avg(log10(freq.p)), 4) AS avg_logprob,
-           count(*) AS n_tokens
-    FROM tok JOIN freq ON tok.t = freq.t
-    GROUP BY tok.doc_id
+    SELECT cnt.doc_id,
+           round(sum(cnt.c * log10(freq.p)) / sum(cnt.c), 4) AS avg_logprob,
+           CAST(sum(cnt.c) AS BIGINT) AS n_tokens
+    FROM cnt JOIN freq ON cnt.t = freq.t
+    GROUP BY cnt.doc_id
     """,
-    description="unigram language-model quality score: corpus token "
-    "frequencies (pass 1, one shuffle on token) joined back per token "
-    "occurrence, per-doc mean log10 probability (pass 2). The "
-    "KenLM-style perplexity pre-filter shape: the frequency table is "
-    "tiny relative to the corpus and broadcasts; only (doc_id, logp) "
-    "scalars shuffle into the final aggregate.",
+    description="unigram language-model quality score: one explode into "
+    "per-(doc, token) counts, whose exchange BOTH branches consume — "
+    "the vocab frequency table (tiny, broadcast back) and the scoring "
+    "join (weighted mean log10 p per doc). Catalyst's ReuseExchange "
+    "materializes the exploded counts once in shuffle files instead of "
+    "re-running the corpus explode per branch (the naive two-pass shape "
+    "scans and splits every document twice). The KenLM-style perplexity "
+    "pre-filter shape; only (doc_id, scalar) rows shuffle after the "
+    "counts exchange.",
     tags=("llm", "text", "quality"),
 )
 def d17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,19 +459,24 @@ def d17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = ensure_parallelism(docs).select(
         "doc_id", F.explode(tokens("text")).alias("t")
     )
-    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("_n"))
+    # one shuffle on (doc_id, t): both consumers below read this SAME
+    # exchange (ReuseExchange) — the explode runs once
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    counts = cnt.groupBy("t").agg(F.sum("c").alias("_n"))
     # corpus total derived from the (vocab-sized) counts table and
-    # broadcast as a 1-row frame — no driver action, tok computed once
+    # broadcast as a 1-row frame — no driver action
     total = counts.agg(F.sum("_n").alias("_total"))
     freq = counts.crossJoin(F.broadcast(total)).select(
         "t", (F.col("_n") / F.col("_total")).alias("p")
     )
     return (
-        tok.join(F.broadcast(freq), "t")
+        cnt.join(F.broadcast(freq), "t")
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg(F.log10("p")), 4).alias("avg_logprob"),
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.log10("p")) / F.sum("c"), 4
+            ).alias("avg_logprob"),
+            F.sum("c").alias("n_tokens"),
         )
     )
 

@@ -215,7 +215,7 @@ def q82_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tie semantics. Scale: pairs aggregate is one shuffle on "
     "l_partkey of a pre-projected 2-column scan; supplier and part "
     "broadcast; no correlated per-row execution anywhere.",
-    tags=("join", "subquery", "window", "tpch"),
+    tags=("join", "subquery", "agg", "tpch"),
 )
 def q83_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)

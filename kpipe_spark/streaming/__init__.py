@@ -12,5 +12,10 @@ outcome-aware foreachBatch terminals with DLQ-before-commit ordering,
 and the processing-mode batch shapers in ``modes``.
 """
 
-from kpipe_spark.streaming.runner import StreamRunner  # noqa: F401
+from kpipe_spark.streaming.backpressure import (  # noqa: F401
+    Action,
+    BackpressureGovernor,
+    kafka_lag,
+)
 from kpipe_spark.streaming.modes import ProcessingMode  # noqa: F401
+from kpipe_spark.streaming.runner import StreamRunner  # noqa: F401

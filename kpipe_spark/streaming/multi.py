@@ -55,12 +55,10 @@ class MultiRunner:
                     log.warning("no route for topic %r — %d records dropped", t, r["n"])
                     self._warned_topics.add(t)
 
+            # route metrics stay per-route; totals() aggregates on read
             for topic, runner in self.routes.items():
                 branch = batch.filter(F.col(self.topic_col) == topic)
                 runner.process_batch(branch, batch_id)
-                # roll route counters into consumer-wide totals
-                for k, v in runner.metrics.counters.items():
-                    pass  # route metrics stay per-route; totals below
             self.metrics.add("batches.completed")
         finally:
             batch.unpersist()

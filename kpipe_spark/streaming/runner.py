@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 from kpipe_spark.pipeline.pipeline import Pipeline
 from kpipe_spark.pipeline.result import ERROR_COL, FAILED, FILTERED, PASSED, STATUS_COL
 from kpipe_spark.pipeline.sinks import dlq_frame
+from kpipe_spark.streaming.backpressure import BackpressureGovernor, kafka_lag
 from kpipe_spark.streaming.modes import ProcessingMode, shape_batch
+from kpipe_spark.util import ensure_parallelism
 
 log = logging.getLogger(__name__)
 
@@ -145,6 +147,14 @@ class StreamRunner:
     sink_retry_backoff_s: float = 0.5
     circuit_breaker: CircuitBreaker | None = None
     metrics: Metrics = field(default_factory=Metrics)
+    # Error-handler sample cap: during an outage the failed set can be
+    # the whole batch; an unbounded collect() is a driver OOM at scale.
+    # The handler gets at most this many rows; the TRUE failed count is
+    # always in metrics["pipeline.processed.failed"] (and is passed to
+    # on_failed). Mirrors the reference's per-record callback contract
+    # (RecordProcessor.java:437-448) without the reference's
+    # one-record-at-a-time memory profile.
+    error_sample_limit: int = 1000
 
     def _write_with_retry(self, write: Callable[[], None], what: str) -> None:
         """Fixed-backoff retry (Stream.withRetry semantics: maxRetries
@@ -165,7 +175,11 @@ class StreamRunner:
         if self.circuit_breaker:
             self.circuit_breaker.gate()
 
-        shaped = shape_batch(batch, self.mode, key_col=self.key_col)
+        # an under-split source (one file per trigger, one Kafka
+        # partition) would otherwise run the whole pipeline single-task
+        shaped = shape_batch(
+            ensure_parallelism(batch), self.mode, key_col=self.key_col
+        )
         applied = self.pipeline.apply(shaped)
         applied.persist()
         try:
@@ -201,15 +215,22 @@ class StreamRunner:
                         self.metrics.add("dlq.send.failures")
                         raise  # batch not committed ⇒ replay (offset held)
                 if self.error_handler is not None:
-                    # invoked once per terminally-failed record, after
+                    # invoked with terminally-failed records, after
                     # retries; a throwing handler is contained
-                    # (RecordProcessor.java:437-448)
+                    # (RecordProcessor.java:437-448). Bounded sample —
+                    # never collect a whole failed batch to the driver.
                     try:
                         failed_rows = (
                             applied.filter(F.col(STATUS_COL) == FAILED)
-                            .select("*")
+                            .limit(self.error_sample_limit)
                             .collect()
                         )
+                        if n_failed > len(failed_rows):
+                            log.warning(
+                                "error handler sampled %d of %d failed records",
+                                len(failed_rows),
+                                n_failed,
+                            )
                         self.error_handler(failed_rows)
                     except Exception:  # noqa: BLE001
                         log.exception("error handler raised — contained")
@@ -233,6 +254,7 @@ class StreamRunner:
         checkpoint_dir: str,
         query_name: str = "kpipe-stream",
         trigger: dict[str, Any] | None = None,
+        backpressure: BackpressureGovernor | None = None,
     ):
         """writeStream.foreachBatch(...).start() -> Handle."""
         writer = (
@@ -242,17 +264,39 @@ class StreamRunner:
         )
         if trigger:
             writer = writer.trigger(**trigger)
-        return Handle(writer.start(), self.metrics)
+        return Handle(writer.start(), self.metrics, governor=backpressure)
 
 
 class Handle:
     """Lifecycle handle (kpipe-api Handle.java / docs/API.md:76-94):
-    await / close (graceful drain) / health / metrics over a
-    StreamingQuery."""
+    await / close (graceful drain) / health / metrics / backpressure
+    over a StreamingQuery."""
 
-    def __init__(self, query, metrics: Metrics) -> None:
+    def __init__(
+        self,
+        query,
+        metrics: Metrics,
+        governor: BackpressureGovernor | None = None,
+    ) -> None:
         self.query = query
         self._metrics = metrics
+        self.governor = governor
+
+    def lag(self) -> int:
+        """Total source lag from the last progress report
+        (calculateTotalLag analogue, BackpressureController.java:164-186)."""
+        return kafka_lag(self.query.lastProgress)
+
+    def govern(self) -> int | None:
+        """Fold the current lag into the backpressure governor and
+        return the recommended next-trigger admission (None when no
+        governor is attached). Poll this between progress updates; when
+        the recommendation changes materially, roll the query with the
+        new ``max_offsets_per_trigger`` — Spark fixes source options at
+        start, so admission changes apply at the next (re)start."""
+        if self.governor is None:
+            return None
+        return self.governor.observe(self.lag())
 
     def await_shutdown(self, timeout_s: float | None = None) -> bool:
         return self.query.awaitTermination(timeout_s)

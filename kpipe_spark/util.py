@@ -7,6 +7,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size string ('134217728b', '128MB', '4m') -> bytes."""
+    s = v.strip().lower().removesuffix("b")
+    if s and s[-1] in _BYTE_SUFFIX:
+        return int(s[:-1]) * _BYTE_SUFFIX[s[-1]]
+    return int(s)
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the input has fewer partitions than the session's
     parallelism.
@@ -17,8 +28,48 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     whole derivation on one core. At 100 TB inputs already exceed core
     count and this is a no-op — the guard only pays the (tiny) shuffle
     when the input is under-split.
+
+    Split estimation avoids a planner round-trip per call site:
+    ``df.rdd.getNumPartitions()`` converts the frame to an RDD plan just
+    to count splits — cheap locally, an extra analysis pass per query at
+    scale. For file-backed frames the scan's split count is estimated
+    the same way Spark packs splits (total bytes + per-file open cost,
+    over maxPartitionBytes); the RDD fallback only fires for in-memory
+    frames (streaming micro-batches, createDataFrame fixtures), which
+    are already materialized. Set session conf
+    ``spark.kpipe.ensureParallelism=false`` to make this a no-op on
+    clusters where inputs are known well-split.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    if spark.conf.get("spark.kpipe.ensureParallelism", "true") == "false":
+        return df
+    target = min_partitions or spark.sparkContext.defaultParallelism
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed plans (e.g. streaming batches)
+        files = []
+    if files:
+        import os
+        from urllib.parse import urlparse
+
+        max_split = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        open_cost = _parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+        )
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("file", ""):
+                # remote store: listing sizes here would re-do the
+                # catalog's work; assume well-split (big-file layouts)
+                return df
+            total += os.path.getsize(p.path) + open_cost
+        est = max(1, -(-total // max_split))
+        return df.repartition(target) if est < target else df
+
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

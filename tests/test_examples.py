@@ -19,6 +19,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("examples/streaming_dlq.py", "DLQ-parked per batch: [10]"),
         ("examples/multi_topic.py", "unrouted dropped: 5"),
         ("examples/corpus_curation.py", "curation funnel:"),
+        ("examples/avro_static.py", "v2 field silently dropped = True"),
+        ("examples/schema_registry_mode.py", "v2 field preserved + bad envelope contained = True"),
+        ("examples/protobuf_sr.py", "envelope routing parsed: 3 of 4"),
+        ("examples/circuit_breaker.py", "CLOSED -> OPEN -> HALF_OPEN -> CLOSED = True"),
     ],
 )
 def test_example_runs(script, expect):

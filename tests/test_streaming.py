@@ -131,34 +131,28 @@ def test_dlq_failure_holds_commit_and_replays(spark, tmp_path):
 
 
 def test_crash_restart_at_least_once(spark, tmp_path):
-    """CrashRestartHarness analogue (CrashRestartHarness.java:24-63):
-    stop after the first batch, restart, assert full coverage with no
-    lost records (duplicates allowed = at-least-once)."""
-    src = str(tmp_path / "src")
-    ckpt = str(tmp_path / "ckpt")
+    """At-least-once across a crash, via the exported test kit
+    (kpipe_spark.testkit.CrashRestartHarness — the public analogue of
+    CrashRestartHarness.java:24-63): consumer A processes [0, 20) but
+    commits only [0, 10); consumer B resumes over [10, 30)."""
+    from kpipe_spark.testkit import CrashRestartHarness
+
     all_rows = rows_batch(0, 30, key_cycle=5)
-    write_batch_file(src, all_rows[:10], "a.json")
-
-    seen: list = []
-    runner = StreamRunner(
-        pipeline=Pipeline().add_field("stage", "v1"),
-        sink=lambda df, bid: seen.extend(df.collect()),
+    result = (
+        CrashRestartHarness(spark, SCHEMA, str(tmp_path))
+        .with_pipeline(Pipeline().add_field("stage", "v1"))
+        .seed(all_rows)
+        .commit_up_to(10)
+        .crash_after(20)
+        .restart()
     )
-    h = runner.start(file_source(spark, src, SCHEMA), ckpt, query_name="crash1")
-    h.process_all_available()
-    h.close()  # "crash" after batch 1 committed
-    first_run = {r["event_id"] for r in seen}
-    assert first_run == {r["event_id"] for r in all_rows[:10]}
-
-    # more data lands while we're down
-    write_batch_file(src, all_rows[10:], "b.json")
-    h2 = runner.start(file_source(spark, src, SCHEMA), ckpt, query_name="crash2")
-    h2.process_all_available()
-    h2.close()
-    seen_ids = {r["event_id"] for r in seen}
-    assert seen_ids == {r["event_id"] for r in all_rows}  # nothing lost
-    # committed batch 1 NOT redelivered (checkpoint, not group rebalance)
-    assert len(seen) == len(all_rows)
+    # the uncommitted tail [10, 20) is REDELIVERED to B (at-least-once)
+    assert result.tail_ids("event_id") <= result.second_run_ids("event_id")
+    # committed prefix [0, 10) NOT redelivered (checkpoint, not rebalance)
+    assert result.second_run_ids("event_id") == set(range(10, 30))
+    # nothing lost across the crash
+    first_ids = {r["event_id"] for r in result.first_run}
+    assert first_ids | result.second_run_ids("event_id") == set(range(30))
 
 
 def test_key_ordered_mode(spark, tmp_path):
