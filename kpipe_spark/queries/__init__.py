@@ -119,6 +119,7 @@ def all_queries() -> dict[str, Query]:
         llm_ops5,
         llm_ops6,
         llm_ops7,
+        llm_ops8,
         pipeline_queries,
         relational,
         relational2,

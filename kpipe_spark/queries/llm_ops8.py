@@ -1,0 +1,317 @@
+"""LLM-pipeline operators, part 8: sampling temperature, sequence-
+length profiling, cross-source contamination, dedup survivor
+accounting, and MinHash estimator calibration.
+
+Reference parity note: kpipe declares analytics out of scope
+(/root/reference/README.md:190-208); these extend the north-star LLM
+surface (SURVEY.md §2.4) over the synthetic documents table.
+
+Cross-engine determinism notes (the repo's oracle discipline):
+- temperature weights use T=0.5, i.e. ``sqrt`` — IEEE-754 sqrt is
+  correctly rounded, so Spark and DuckDB agree bit-for-bit where a
+  ``pow(x, 0.7)`` could differ by 1 ulp between libm implementations;
+- length buckets are ``length(bin(n))`` = floor(log2 n)+1 — pure
+  integer/string semantics, no float log at bucket boundaries;
+- every integer sum is CAST to BIGINT in the oracle (DuckDB hugeint
+  -> pandas float64 otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kpipe_spark.catalog import load_tables
+from kpipe_spark.functions import dedup as D
+from kpipe_spark.queries import register
+from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
+
+
+@register(
+    "d44_temperature_sampling_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS t FROM tok
+    ), p AS (
+      SELECT source, n, sqrt(n * 1.0 / t) AS pt, t FROM tok, tot
+    )
+    SELECT source,
+           n AS src_tokens,
+           CAST(round(pt / sum(pt) OVER (), 6) AS DOUBLE) AS sample_prob,
+           CAST(round((pt / sum(pt) OVER ()) / (n * 1.0 / t), 6) AS DOUBLE)
+             AS upsample_factor
+    FROM p
+    """,
+    description="temperature-based source sampling (T=0.5, the "
+    "multilingual-rebalance move): sample_prob_i ∝ p_i^T flattens the "
+    "source distribution so low-resource sources are seen more often; "
+    "upsample_factor is the repeat rate vs natural frequency. sqrt IS "
+    "pow(x, 0.5) and is correctly rounded in IEEE-754, so both engines "
+    "agree exactly. Scale: one map-side-combined groupBy(source); the "
+    "normalization windows run on |sources| rows.",
+    tags=("llm", "sampling", "agg"),
+)
+def d44_temperature_sampling_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    tok = (
+        docs.select("source", F.size(F.split("text", " ")).alias("_n"))
+        .groupBy("source")
+        .agg(F.sum("_n").alias("src_tokens"))
+    )
+    w = Window.partitionBy()
+    t = F.sum("src_tokens").over(w)
+    pt = F.sqrt(F.col("src_tokens") * 1.0 / t)
+    prob = pt / F.sum(pt).over(w)
+    return tok.select(
+        "source",
+        "src_tokens",
+        F.round(prob, 6).cast("double").alias("sample_prob"),
+        F.round(prob / (F.col("src_tokens") * 1.0 / t), 6)
+        .cast("double")
+        .alias("upsample_factor"),
+    )
+
+
+@register(
+    "d45_sequence_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT source, len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT source,
+           length(bin(n)) AS len_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           min(n) AS min_tokens,
+           max(n) AS max_tokens
+    FROM t GROUP BY source, length(bin(n))
+    """,
+    description="power-of-two sequence-length histogram per source — "
+    "the profile that sizes packing bins (d39) and flags truncation "
+    "loss before training. Bucket = floor(log2 n)+1 computed as the "
+    "BINARY-STRING length: integer-exact in both engines, no float "
+    "log at bucket boundaries. Scale: one projection + one "
+    "map-side-combined groupBy on (source, bucket) — domain is "
+    "|sources| × ~20 buckets.",
+    tags=("llm", "profiling", "tokenize"),
+)
+def d45_sequence_length_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    n = F.size(F.split("text", " "))
+    return (
+        docs.select(
+            "source",
+            n.alias("_n"),
+            F.length(F.bin(n.cast("long"))).alias("len_bucket"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.min("_n").alias("min_tokens"),
+            F.max("_n").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "d46_cross_source_overlap",
+    oracle=f"""
+    WITH {SIMHASH_CTES},
+    labeled AS (
+      SELECT s.doc_id, s.simhash64, d.source
+      FROM sim s JOIN documents d USING (doc_id)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_pairs,
+           count(DISTINCT a.doc_id) AS n_docs_a
+    FROM labeled a JOIN labeled b
+      ON a.simhash64 = b.simhash64 AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    description="cross-source content overlap: pairs of documents from "
+    "DIFFERENT sources with identical 64-bit simhash — the 'which "
+    "sources mirror each other' matrix that catches a crawl ingesting "
+    "the same site twice under two names. Scale: the self-join keys on "
+    "the fingerprint, so candidate work is bounded by duplicate-group "
+    "sizes, not the corpus; the per-(source,source) agg domain is "
+    "|sources|^2.",
+    tags=("llm", "dedup", "profiling", "simhash"),
+)
+def d46_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    labeled = D.simhash_df(docs).join(docs.select("doc_id", "source"), "doc_id")
+    a = labeled.select(
+        F.col("doc_id").alias("_ida"),
+        F.col("simhash64").alias("_ha"),
+        F.col("source").alias("source_a"),
+    )
+    b = labeled.select(
+        F.col("doc_id").alias("_idb"),
+        F.col("simhash64").alias("_hb"),
+        F.col("source").alias("source_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("_ha") == F.col("_hb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("_ida").alias("n_docs_a"),
+        )
+    )
+
+
+@register(
+    "d47_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b, id_a FROM cand
+    ),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
+    ),
+    comp AS (
+      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+                    THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    GROUP BY d.source
+    """,
+    description="keep-one dedup OUTPUT accounting: per source, how many "
+    "documents (and bytes) survive MinHash-component dedup "
+    "(is_canonical = lowest doc id of the near-dup component keeps; "
+    "d24 reports the clusters, this reports what a training mix "
+    "actually retains). Scale: the component table holds only ids from "
+    "the dup graph and broadcasts back onto the corpus scan; the "
+    "per-source agg reuses one shuffle.",
+    tags=("llm", "dedup", "sampling"),
+)
+def d47_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    clusters = D.dup_clusters(docs)
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(F.broadcast(clusters), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_canonical").cast("int")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("is_canonical"), F.col("n_chars")).otherwise(0)
+            ).alias("kept_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "d48_minhash_estimator_calibration",
+    oracle=f"""
+    WITH {MINHASH_CTES},
+    agree AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN sa.slot = sb.slot THEN 1 ELSE 0 END) AS eq_slots
+      FROM cand c
+      JOIN slots sa ON sa.doc_id = c.id_a
+      JOIN slots sb ON sb.doc_id = c.id_b AND sb.k = sa.k
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ),
+    exact AS (
+      SELECT p.id_a, p.id_b, count(*) AS i
+      FROM cand p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.g = a.g
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT ag.id_a, ag.id_b,
+           CAST(round(ag.eq_slots / 64.0, 4) AS DOUBLE) AS est_jaccard,
+           CAST(round(coalesce(e.i, 0) * 1.0
+                      / (na.n + nb.n - coalesce(e.i, 0)), 4) AS DOUBLE)
+             AS exact_jaccard
+    FROM agree ag
+    LEFT JOIN exact e ON e.id_a = ag.id_a AND e.id_b = ag.id_b
+    JOIN sizes na ON na.doc_id = ag.id_a
+    JOIN sizes nb ON nb.doc_id = ag.id_b
+    """,
+    description="MinHash estimator calibration over the candidate "
+    "pairs: signature-agreement fraction (eq_slots/64 — the unbiased "
+    "Jaccard estimator) next to the exact shingle Jaccard, the table "
+    "that tunes bands/rows for a target precision/recall before a "
+    "100 TB run. Scale: both measures run ONLY on candidates; the "
+    "signature join moves (id, 64×8 B) rows, the exact join counts "
+    "shared shingles via an equi-join on the gram.",
+    tags=("llm", "dedup", "minhash", "profiling"),
+)
+def d48_minhash_estimator_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    cands = D.minhash_candidates(docs)
+    sig = D.minhash_signature_df(docs)
+    sh = docs.select("doc_id", D.word_shingles("text").alias("_sh"))
+
+    eq = F.size(
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    jac = D.jaccard(F.col("_ga"), F.col("_gb"))
+    return (
+        cands.join(
+            F.broadcast(
+                sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sa"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("_sb"))
+            ),
+            "id_b",
+        )
+        .join(
+            F.broadcast(
+                sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_ga"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_gb"))
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(eq / 64.0, 4).cast("double").alias("est_jaccard"),
+            F.round(jac, 4).cast("double").alias("exact_jaccard"),
+        )
+    )
