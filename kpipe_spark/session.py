@@ -58,6 +58,15 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # local[N] puts driver + all N task slots in ONE JVM; Spark's 1g
+        # default heap thrashes GC at 32 threads (measured: GCLocker
+        # retry failures on wide unions, ±30% timing noise on the heavy
+        # queries). On a real cluster executor memory comes from
+        # spark-submit and this setting only sizes the driver.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -90,3 +90,69 @@ def test_circuit_breaker_invariants(batches):
     for passed, filtered, _ in batches:
         clean.record(passed, filtered, 0)
     assert clean.state == "CLOSED" and clean.trips == 0
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=100)
+)
+@settings(deadline=None)
+def test_backpressure_governor_invariants(lags):
+    """Governor invariants under arbitrary lag traces (the jqwik-style
+    analogue for BackpressureController semantics):
+    - admission always within [min_admission, max_admission],
+    - admission never shrinks while lag is at/below the low watermark,
+    - a resume (lag <= low while paused) always restores max_admission,
+    - paused implies some earlier sample reached the high watermark."""
+    from kpipe_spark.streaming.backpressure import BackpressureGovernor
+
+    g = BackpressureGovernor(
+        high_watermark=10_000,
+        low_watermark=7_000,
+        max_admission=64_000,
+        min_admission=500,
+    )
+    ever_high = False
+    for lag in lags:
+        before_paused = g.paused
+        adm = g.observe(lag)
+        ever_high = ever_high or lag >= g.high_watermark
+        assert g.min_admission <= adm <= g.max_admission
+        if before_paused and lag <= g.low_watermark:
+            assert adm == g.max_admission and not g.paused
+        if g.paused:
+            assert ever_high
+
+
+@given(st.integers(min_value=0, max_value=1 << 40), st.integers(min_value=0, max_value=1 << 40))
+@settings(deadline=None)
+def test_kafka_lag_clamped_and_additive(end, latest):
+    """Per-partition lag is max(0, latest - end) — never negative, and
+    partitions sum (calculateTotalLag, BackpressureController.java:164-186)."""
+    from kpipe_spark.streaming.backpressure import kafka_lag
+
+    progress = {
+        "sources": [
+            {
+                "endOffset": {"t": {"0": end, "1": 10}},
+                "latestOffset": {"t": {"0": latest, "1": 10}},
+            }
+        ]
+    }
+    assert kafka_lag(progress) == max(0, latest - end)
+
+
+@given(st.text(max_size=40))
+@settings(deadline=None)
+def test_md5_hash60_matches_duckdb(s):
+    """The cross-engine hash bridge: Python's hashlib agrees with
+    DuckDB's md5 on arbitrary unicode, so the Spark expression
+    (conv(substr(md5(x),1,15),16,10)) is checkable from pure Python."""
+    import hashlib
+
+    import duckdb
+
+    py = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    duck = duckdb.sql(
+        "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)", params=[s]
+    ).fetchone()[0]
+    assert py == duck
