@@ -23,6 +23,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("examples/schema_registry_mode.py", "v2 field preserved + bad envelope contained = True"),
         ("examples/protobuf_sr.py", "envelope routing parsed: 3 of 4"),
         ("examples/circuit_breaker.py", "CLOSED -> OPEN -> HALF_OPEN -> CLOSED = True"),
+        ("examples/tracing_propagation.py", "preserved trace-id, fresh span-id = True"),
+        ("examples/custom_format.py", "decode + error-path contract = True"),
     ],
 )
 def test_example_runs(script, expect):

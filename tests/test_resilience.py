@@ -206,3 +206,41 @@ def test_harness_validates_geometry(spark, tmp_path):
         h.commit_up_to(3).crash_after(2).restart()  # k >= p
     with pytest.raises(ValueError):
         CrashRestartHarness(spark, SCHEMA, str(tmp_path)).restart()  # no seed
+
+
+def test_health_server_wired_to_live_query(spark, tmp_path):
+    """serve_handle_health + govern() against a real streaming query:
+    200 while RUNNING, 503 after close; governor stays attached."""
+    from kpipe_spark.streaming.health import serve_handle_health
+
+    src = str(tmp_path / "src")
+    write_batch_file(src, rows_batch(0, 5), "a.json")
+    runner = StreamRunner(pipeline=Pipeline(), sink=lambda df, bid: None)
+    h = runner.start(
+        file_source(spark, src, SCHEMA),
+        str(tmp_path / "ckpt"),
+        backpressure=BackpressureGovernor(),
+    )
+    try:
+        h.process_all_available()
+        srv = serve_handle_health(h, host="127.0.0.1")
+        try:
+            host, port = srv.address
+            status, body = _get(f"http://{host}:{port}/health")
+            assert (status, body["status"]) == (200, "OK")
+            assert body["paused"] is False
+            # file sources report no latestOffset -> lag 0, full admission
+            assert h.lag() == 0
+            assert h.govern() == h.governor.max_admission
+        finally:
+            srv.close()
+    finally:
+        h.close()
+    # stopped query -> 503 via a fresh server over the same handle
+    srv2 = serve_handle_health(h, host="127.0.0.1")
+    try:
+        host, port = srv2.address
+        status, body = _get(f"http://{host}:{port}/health")
+        assert (status, body["status"]) == (503, "UNHEALTHY")
+    finally:
+        srv2.close()
