@@ -61,6 +61,8 @@ def quality_score(text: Column | str) -> Column:
     """Composite quality heuristic in [0,1]: rewards reasonable length,
     lexical diversity and stopword presence — the standard cheap filters
     a pretraining pipeline applies before expensive dedup."""
+    from kpipe_spark.util import ieee_round
+
     c = F.col(text) if isinstance(text, str) else text
     n_tok = token_count(c)
     diversity = F.when(
@@ -68,7 +70,9 @@ def quality_score(text: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
     length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     stop = F.least(stopword_ratio(c, "en") * 5.0, F.lit(1.0))
-    return F.round((diversity + length_score + stop) / 3.0, 4)
+    # ieee_round, not round: half-way composites (0.53875) otherwise
+    # round differently in Spark vs the DuckDB oracle at larger sf
+    return ieee_round((diversity + length_score + stop) / 3.0, 4)
 
 
 def lang_id(text: Column | str) -> Column:

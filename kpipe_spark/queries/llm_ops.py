@@ -77,12 +77,12 @@ _EN_STOP_SQL = "('the','a','of','and','to','in','is')"
     "d03_quality_score",
     oracle=f"""
     SELECT doc_id,
-           round((
+           floor((
              (len(list_distinct({_TOKS_SQL})) / len({_TOKS_SQL}))
              + least(len({_TOKS_SQL}) / 100.0, 1.0)
              + least((len(list_filter({_TOKS_SQL}, t -> t IN {_EN_STOP_SQL}))
                       / len({_TOKS_SQL})) * 5.0, 1.0)
-           ) / 3.0, 4) AS quality
+           ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality
     FROM documents
     """,
     description="document quality scoring: lexical diversity + length + "

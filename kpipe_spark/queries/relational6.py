@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from kpipe_spark.catalog import load_tables
 from kpipe_spark.queries import register
+from kpipe_spark.util import ieee_round
 
 
 @register(
@@ -211,7 +212,9 @@ def q73_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_name,
            count(*) AS loyal_customers,
-           CAST(round(avg(c_acctbal), 2) AS DOUBLE) AS avg_acctbal
+           CAST(floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*) * 100.0 + 0.5) / 100.0 AS DOUBLE)
+             AS avg_acctbal
     FROM cq
     JOIN customer ON c_custkey = o_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -246,7 +249,18 @@ def q74_loyal_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("loyal_customers"),
-            F.round(F.avg("c_acctbal"), 2).cast("double").alias("avg_acctbal"),
+            # exact-decimal sum (acctbal is 2-decimal by construction),
+            # then one double division: the pre-round value is
+            # bit-identical across engines AND across runs — a float
+            # avg's summation order varies with task scheduling, and an
+            # exactly-half-way mean (integer cents / count) would flip
+            # sides run-to-run under any rounding rule
+            ieee_round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_acctbal"),
         )
     )
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from kpipe_spark.catalog import load_tables
 from kpipe_spark.queries import register
+from kpipe_spark.util import ieee_round
 
 
 @register(
@@ -96,17 +97,22 @@ def q80_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH asia_value AS (
         SELECT l_partkey,
-               sum(l_extendedprice * (1 - l_discount)) AS value_raw
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - l_discount AS DECIMAL(18,2))) AS value_dec
         FROM lineitem, supplier, nation, region
         WHERE l_suppkey = s_suppkey
           AND s_nationkey = n_nationkey
           AND n_regionkey = r_regionkey
           AND r_name = 'ASIA'
         GROUP BY l_partkey
+    ), tot AS (
+        SELECT sum(value_dec) AS t, count(*) AS n FROM asia_value
     )
-    SELECT l_partkey AS part_key, round(value_raw, 2) AS part_value
-    FROM asia_value
-    WHERE value_raw > 1.5 * (SELECT avg(value_raw) FROM asia_value)
+    SELECT l_partkey AS part_key,
+           floor(CAST(value_dec AS DOUBLE) * 100.0 + 0.5) / 100.0
+             AS part_value
+    FROM asia_value, tot
+    WHERE value_dec * 2 * n > t * 3
     """,
     description="TPC-H Q11 shape (parts whose value exceeds a global "
     "threshold; scalar subquery) adapted to shipped revenue through "
@@ -133,23 +139,34 @@ def q81_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
+    # exact-decimal revenue (price and discount sit on 2-decimal grids,
+    # so the product is 4-decimal-exact): the per-part sums and the
+    # global threshold are bit-identical across engines AND across runs
+    # — float sums vary with task-scheduling order, and a part exactly
+    # at the threshold would flip in/out run-to-run
     per_part = (
         t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "value_raw"
-            )
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount")).cast("decimal(18,2)")
+            ).alias("value_dec")
         )
     )
-    total = per_part.agg(F.avg("value_raw").alias("avg_value"))
+    total = per_part.agg(
+        F.sum("value_dec").alias("t"), F.count(F.lit(1)).alias("n")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value_raw") > 1.5 * F.col("avg_value"))
+        # value > 1.5 * (t/n)  <=>  2*value*n > 3*t, all exact decimal
+        .filter(F.col("value_dec") * 2 * F.col("n") > F.col("t") * 3)
         .select(
             F.col("l_partkey").alias("part_key"),
-            F.round("value_raw", 2).alias("part_value"),
+            # ieee_round on the exact value: half-way .xx5 revenue sums
+            # otherwise round differently per engine at larger sf
+            ieee_round(F.col("value_dec").cast("double"), 2).alias("part_value"),
         )
     )
 

@@ -3,8 +3,25 @@ guards, skew-salted joins, bucketed co-located joins."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def ieee_round(c: Column, scale: int) -> Column:
+    """Cross-engine-exact decimal rounding: floor(x·10^k + 0.5)/10^k.
+
+    Engine-native ``round(double, k)`` differs AT HALF-WAY POINTS:
+    Spark rounds the shortest decimal repr (BigDecimal.valueOf), DuckDB
+    rounds the binary value — 0.53875 stored as 0.53874999… rounds to
+    .5388 in Spark and .5387 in DuckDB. Spelling the rounding out as
+    multiply/add/floor/divide makes every step an IEEE-754 operation
+    both engines (and Python) compute bit-identically. Mirror the SAME
+    expression in the oracle SQL: ``floor(x * 1e{k} + 0.5) / 1e{k}``.
+    Ties round toward +inf (not away from zero) — fine, because both
+    sides agree, which is the only property the oracle contract needs.
+    """
+    p = float(10**scale)
+    return (F.floor(c * p + F.lit(0.5)) / p).cast("double")
 
 
 _BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
