@@ -140,35 +140,52 @@ def d45_sequence_length_histogram(
     description="cross-source content overlap: pairs of documents from "
     "DIFFERENT sources with identical 64-bit simhash — the 'which "
     "sources mirror each other' matrix that catches a crawl ingesting "
-    "the same site twice under two names. Scale: the self-join keys on "
-    "the fingerprint, so candidate work is bounded by duplicate-group "
-    "sizes, not the corpus; the per-(source,source) agg domain is "
+    "the same site twice under two names. Scale: groupBy(fingerprint) "
+    "with within-group pair expansion instead of a fingerprint "
+    "self-join — Spark plans a self-join's two inputs independently "
+    "(the corpus-side simhash would compute TWICE; verified in the "
+    "physical plan), while the group-expand shape computes it once and "
+    "confines the quadratic term to duplicate-group size. Same move as "
+    "minhash_candidates. The per-(source,source) agg domain is "
     "|sources|^2.",
     tags=("llm", "dedup", "profiling", "simhash"),
 )
 def d46_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
     labeled = D.simhash_df(docs).join(docs.select("doc_id", "source"), "doc_id")
-    a = labeled.select(
-        F.col("doc_id").alias("_ida"),
-        F.col("simhash64").alias("_ha"),
-        F.col("source").alias("source_a"),
+    groups = (
+        labeled.groupBy("simhash64")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("source"), F.col("doc_id")))
+            ).alias("_m")
+        )
+        .filter(F.size("_m") > 1)
     )
-    b = labeled.select(
-        F.col("doc_id").alias("_idb"),
-        F.col("simhash64").alias("_hb"),
-        F.col("source").alias("source_b"),
+    n = F.size("_m")
+    pairs = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, n),
+                lambda y: F.struct(
+                    x["source"].alias("source_a"),
+                    x["doc_id"].alias("id_a"),
+                    y["source"].alias("source_b"),
+                ),
+            ),
+        )
     )
     return (
-        a.join(
-            b,
-            (F.col("_ha") == F.col("_hb"))
-            & (F.col("source_a") < F.col("source_b")),
+        groups.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.source_a") < F.col("p.source_b"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
         )
-        .groupBy("source_a", "source_b")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("_ida").alias("n_docs_a"),
+            F.countDistinct("p.id_a").alias("n_docs_a"),
         )
     )
 
