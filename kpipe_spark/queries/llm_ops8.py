@@ -280,40 +280,77 @@ def d47_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs: signature-agreement fraction (eq_slots/64 — the unbiased "
     "Jaccard estimator) next to the exact shingle Jaccard, the table "
     "that tunes bands/rows for a target precision/recall before a "
-    "100 TB run. Scale: both measures run ONLY on candidates; the "
-    "signature join moves (id, 64×8 B) rows, the exact join counts "
-    "shared shingles via an equi-join on the gram.",
+    "100 TB run. Scale: the signature aggregate runs ONCE — signatures "
+    "ride through the band-bucket expansion as struct members and the "
+    "slot-agreement count is computed inside the pair lambda (joining "
+    "the signature frame back per side would re-plan the whole "
+    "aggregate per join input); only the exact-Jaccard verify joins "
+    "back, against a cheap shingle PROJECTION of the scan.",
     tags=("llm", "dedup", "minhash", "profiling"),
 )
 def d48_minhash_estimator_calibration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
-    cands = D.minhash_candidates(docs)
     sig = D.minhash_signature_df(docs)
-    sh = docs.select("doc_id", D.word_shingles("text").alias("_sh"))
 
-    eq = F.size(
-        F.filter(
-            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
-            lambda v: v,
+    rows_per_band = 4
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(16)
+        ]
+    )
+    bucketed = sig.select(
+        "doc_id", "sig", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = (
+        bucketed.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("doc_id").alias("id"), F.col("sig")))
+            ).alias("_m")
+        )
+        .filter(F.size("_m") > 1)
+    )
+    n = F.size("_m")
+    pairs = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, n),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.size(
+                        F.filter(
+                            F.zip_with(x["sig"], y["sig"], lambda p, q: p == q),
+                            lambda v: v,
+                        )
+                    ).alias("eq_slots"),
+                ),
+            ),
         )
     )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.eq_slots")
+        .distinct()
+    )
+
+    sh = docs.select("doc_id", D.word_shingles("text").alias("_sh"))
     jac = D.jaccard(F.col("_ga"), F.col("_gb"))
     return (
-        cands.join(
-            F.broadcast(
-                sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sa"))
-            ),
-            "id_a",
-        )
-        .join(
-            F.broadcast(
-                sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("_sb"))
-            ),
-            "id_b",
-        )
-        .join(
+        cand.join(
             F.broadcast(
                 sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_ga"))
             ),
@@ -328,7 +365,7 @@ def d48_minhash_estimator_calibration(
         .select(
             "id_a",
             "id_b",
-            F.round(eq / 64.0, 4).cast("double").alias("est_jaccard"),
+            F.round(F.col("eq_slots") / 64.0, 4).cast("double").alias("est_jaccard"),
             F.round(jac, 4).cast("double").alias("exact_jaccard"),
         )
     )
