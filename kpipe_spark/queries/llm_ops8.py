@@ -369,3 +369,130 @@ def d48_minhash_estimator_calibration(
             F.round(jac, 4).cast("double").alias("exact_jaccard"),
         )
     )
+
+
+@register(
+    "d49_semantic_decontamination",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), bits AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(64),
+                 j -> v[j + 1] * (((k * 131 + j * 17) % 97 - 48) / 48.0)))
+                 > 0 THEN 1 << k ELSE 0 END) AS INTEGER) AS bucket
+      FROM e, range(8) t(k)
+      GROUP BY vec_id
+    ), b AS (
+      SELECT e.vec_id, e.v, bits.bucket FROM e JOIN bits USING (vec_id)
+    ), hits AS (
+      SELECT t.vec_id AS train_id, q.vec_id AS eval_id,
+             round(list_cosine_similarity(t.v, q.v), 4) AS cosine_sim
+      FROM b t JOIN b q
+        ON t.bucket = q.bucket
+       AND q.vec_id % 50 = 0 AND t.vec_id % 50 <> 0
+      WHERE round(list_cosine_similarity(t.v, q.v), 4) >= 0.35
+    )
+    SELECT train_id,
+           count(*) AS n_eval_matches,
+           min(eval_id) AS first_eval_id,
+           max(cosine_sim) AS max_cosine
+    FROM hits GROUP BY train_id
+    """,
+    description="SEMANTIC decontamination (the embedding-space "
+    "complement of d31's n-gram overlap): train vectors whose cosine "
+    "similarity to any held-out eval vector (vec_id % 50 == 0 models "
+    "the benchmark set) clears the threshold — the SemDeDup-style "
+    "paraphrase-contamination catch that n-grams miss. Scale: both "
+    "sides bucket on 8 exact-rational SRP hyperplanes, so candidate "
+    "scoring is per-bucket work, and the eval side is a ~2%% sliver "
+    "that AQE broadcasts; the train corpus is scanned once and never "
+    "shuffled on vectors. Threshold applied to the ieee-stable rounded "
+    "cosine in BOTH engines; max/count aggregates over exact-rational "
+    "candidates are order-independent.",
+    tags=("llm", "dedup", "similarity", "decontamination"),
+)
+def d49_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions import similarity as S
+
+    emb = load_tables(spark, sf_dir).embeddings
+    b = emb.select(
+        "vec_id", S.as_double_array("embedding").alias("_v")
+    ).withColumn("_bucket", S.hyperplane_bucket(F.col("_v"), S.srp_planes(8, 64)))
+    is_eval = F.col("vec_id") % 50 == 0
+    train = b.filter(~is_eval).select(
+        F.col("vec_id").alias("train_id"), F.col("_v").alias("_tv"), "_bucket"
+    )
+    evals = b.filter(is_eval).select(
+        F.col("vec_id").alias("eval_id"), F.col("_v").alias("_qv"), "_bucket"
+    )
+    sim = F.round(S.cosine(F.col("_tv"), F.col("_qv")), 4)
+    return (
+        train.join(F.broadcast(evals), "_bucket")
+        .select("train_id", "eval_id", sim.alias("_sim"))
+        .filter(F.col("_sim") >= 0.35)
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.min("eval_id").alias("first_eval_id"),
+            F.max("_sim").alias("max_cosine"),
+        )
+    )
+
+
+@register(
+    "d50_quality_weighted_sampling",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             floor((
+               (len(list_distinct({{toks}})) / len({{toks}}))
+               + least(len({{toks}}) / 100.0, 1.0)
+               + least((len(list_filter({{toks}},
+                        t -> t IN ('the','a','of','and','to','in','is')))
+                        / len({{toks}})) * 5.0, 1.0)
+             ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality
+      FROM documents
+    ), m AS (
+      SELECT max(quality * quality) AS max_w FROM q
+    )
+    SELECT doc_id, source, quality,
+           floor(quality * quality / max_w * 1000000.0 + 0.5) / 1000000.0
+             AS keep_prob,
+           CAST(floor(quality * quality / max_w * n_tokens) AS BIGINT)
+             AS expected_tokens
+    FROM q, m
+    """.replace("{toks}", "regexp_split_to_array(trim(text), '\\s+')"),
+    description="quality-weighted sampling plan: per-doc keep "
+    "probability proportional to quality^2 (squaring sharpens the "
+    "gate; multiplication is IEEE-exact where a pow() could differ by "
+    "1 ulp between libm implementations), normalized by the corpus max "
+    "— the per-document acceptance table a weighted-sampling pass "
+    "consumes, with the expected token yield per doc. Scale: one "
+    "projection + a 1-row broadcast max; nothing shuffles but the "
+    "scalar max.",
+    tags=("llm", "sampling", "quality"),
+)
+def d50_quality_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.text import quality_score
+    from kpipe_spark.util import ieee_round
+
+    docs = load_tables(spark, sf_dir).documents
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    w = F.col("quality") * F.col("quality")
+    m = q.agg(F.max(w).alias("max_w"))
+    return q.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        "source",
+        "quality",
+        ieee_round(w / F.col("max_w"), 6).alias("keep_prob"),
+        F.floor(w / F.col("max_w") * F.col("n_tokens"))
+        .cast("long")
+        .alias("expected_tokens"),
+    )
