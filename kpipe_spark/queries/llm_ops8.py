@@ -1,6 +1,7 @@
-"""LLM-pipeline operators, part 8: sampling temperature, sequence-
-length profiling, cross-source contamination, dedup survivor
-accounting, and MinHash estimator calibration.
+"""LLM-pipeline operators, part 8: sampling (temperature, quality-
+weighted), sequence-length/packing profiling, cross-source
+contamination, dedup survivor accounting, MinHash estimator
+calibration, semantic decontamination, and the leakage-safe split.
 
 Reference parity note: kpipe declares analytics out of scope
 (/root/reference/README.md:190-208); these extend the north-star LLM
@@ -495,4 +496,126 @@ def d50_quality_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
         F.floor(w / F.col("max_w") * F.col("n_tokens"))
         .cast("long")
         .alias("expected_tokens"),
+    )
+
+
+@register(
+    "d51_packing_efficiency",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+                  AS BIGINT) AS seq_id
+      FROM t
+    ), bins AS (
+      SELECT source, seq_id, CAST(sum(n_tokens) AS BIGINT) AS fill
+      FROM packed GROUP BY source, seq_id
+    )
+    SELECT source,
+           count(*) AS n_bins,
+           CAST(sum(fill) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN fill >= 512 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full_bins,
+           min(fill) AS min_fill,
+           max(fill) AS max_fill
+    FROM bins GROUP BY source
+    """,
+    description="packing-efficiency audit over d39's 512-token bins: "
+    "per source, how many bins the concat-then-chunk packer produces, "
+    "how many reach the full sequence length, and the fill spread — "
+    "the number that says whether the packer wastes compute on pad "
+    "tokens. Scale: reuses d39's single window shuffle on source; the "
+    "per-bin and per-source aggs ride the same partitioning.",
+    tags=("llm", "tokenize", "profiling"),
+)
+def d51_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    n_tokens = F.size(F.split("text", " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.select(
+        "source", "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0),
+    )
+    bins = packed.groupBy("source", "seq_id").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    return bins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("fill").alias("total_tokens"),
+        F.sum(F.when(F.col("fill") >= 512, 1).otherwise(0)).alias("n_full_bins"),
+        F.min("fill").alias("min_fill"),
+        F.max("fill").alias("max_fill"),
+    )
+
+
+@register(
+    "d52_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b, id_a FROM cand
+    ),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
+    ),
+    comp AS (
+      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             CAST(concat('0x', substr(md5(CAST(coalesce(c.cluster_id,
+                  d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT CASE WHEN h < 80 THEN 'train'
+                WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters
+    FROM assigned GROUP BY 1
+    """,
+    description="leakage-safe train/val/test split: the split hash is "
+    "computed on the near-dup CLUSTER id, not the document id, so every "
+    "member of a duplicate component lands in the SAME split — the "
+    "guard against a near-copy of a test document leaking into train "
+    "(a plain content-hash split, d20, does not give this). 80/10/10 "
+    "by md5(cluster_id) mod 100 — deterministic, rebalance-stable, "
+    "cross-engine exact. Scale: the component table holds only dup-"
+    "graph ids and broadcasts onto the corpus scan; split assignment "
+    "is a projection.",
+    tags=("llm", "sampling", "split", "dedup"),
+)
+def d52_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.dedup import md5_hash60
+
+    docs = load_tables(spark, sf_dir).documents
+    clusters = D.dup_clusters(docs)
+    h = md5_hash60(F.col("cluster_id").cast("string")) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(clusters), "doc_id")
+        .select("doc_id", "cluster_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
     )
