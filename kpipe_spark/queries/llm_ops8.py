@@ -42,8 +42,12 @@ from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
     )
     SELECT source,
            n AS src_tokens,
-           CAST(round(pt / sum(pt) OVER (), 6) AS DOUBLE) AS sample_prob,
-           CAST(round((pt / sum(pt) OVER ()) / (n * 1.0 / t), 6) AS DOUBLE)
+           CAST(floor(pt / sum(pt) OVER (ORDER BY source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sample_prob,
+           CAST(floor((pt / sum(pt) OVER (ORDER BY source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+                / (n * 1.0 / t) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
              AS upsample_factor
     FROM p
     """,
@@ -52,30 +56,37 @@ from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
     "source distribution so low-resource sources are seen more often; "
     "upsample_factor is the repeat rate vs natural frequency. sqrt IS "
     "pow(x, 0.5) and is correctly rounded in IEEE-754, so both engines "
-    "agree exactly. Scale: one map-side-combined groupBy(source); the "
-    "normalization windows run on |sources| rows.",
+    "agree exactly; the pt normalizer sums over an ORDERED frame so "
+    "both engines add in the same sequence (an unordered float window "
+    "sum follows row order — engine- and run-dependent), and rounding "
+    "is the ieee floor form. Scale: one map-side-combined "
+    "groupBy(source); the normalization windows run on |sources| rows.",
     tags=("llm", "sampling", "agg"),
 )
 def d44_temperature_sampling_weights(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from kpipe_spark.util import ieee_round
+
     docs = load_tables(spark, sf_dir).documents
     tok = (
         docs.select("source", F.size(F.split("text", " ")).alias("_n"))
         .groupBy("source")
         .agg(F.sum("_n").alias("src_tokens"))
     )
-    w = Window.partitionBy()
-    t = F.sum("src_tokens").over(w)
+    t = F.sum("src_tokens").over(Window.partitionBy())  # exact (ints)
     pt = F.sqrt(F.col("src_tokens") * 1.0 / t)
-    prob = pt / F.sum(pt).over(w)
+    ordered = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prob = pt / F.sum(pt).over(ordered)
     return tok.select(
         "source",
         "src_tokens",
-        F.round(prob, 6).cast("double").alias("sample_prob"),
-        F.round(prob / (F.col("src_tokens") * 1.0 / t), 6)
-        .cast("double")
-        .alias("upsample_factor"),
+        ieee_round(prob, 6).alias("sample_prob"),
+        ieee_round(prob / (F.col("src_tokens") * 1.0 / t), 6).alias(
+            "upsample_factor"
+        ),
     )
 
 

@@ -156,3 +156,49 @@ def test_md5_hash60_matches_duckdb(s):
         "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)", params=[s]
     ).fetchone()[0]
     assert py == duck
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(deadline=None, max_examples=15)
+def test_connected_components_matches_union_find(spark, pairs):
+    """Spark's iterative min-label propagation agrees with a pure-Python
+    union-find on arbitrary small graphs (cluster id = min node id of
+    the component) — the invariant d24/d47/d52 build on."""
+    from kpipe_spark.functions.dedup import connected_components
+
+    pairs = [(a, b) for a, b in pairs if a != b]
+    if not pairs:
+        return
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(pairs, "id_a int, id_b int")
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert got == expected
