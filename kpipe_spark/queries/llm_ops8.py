@@ -630,3 +630,65 @@ def d52_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("cluster_id").alias("n_clusters"),
         )
     )
+
+
+@register(
+    "m04_resize_plan",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id AS media_id,
+             CAST(320 + (doc_id * 37) % 1600 AS INT) AS width,
+             CAST(240 + (doc_id * 53) % 900 AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    ), resized AS (
+      SELECT media_id, width, height,
+             CASE WHEN greatest(width, height) <= 512 THEN width
+                  WHEN width >= height THEN 512
+                  ELSE greatest(1, (width * 512) // height) END AS new_w,
+             CASE WHEN greatest(width, height) <= 512 THEN height
+                  WHEN width >= height
+                  THEN greatest(1, (height * 512) // width)
+                  ELSE 512 END AS new_h
+      FROM img
+    )
+    SELECT media_id, width, height, new_w, new_h,
+           CAST(((new_w + 13) // 14) * (( new_h + 13) // 14) AS BIGINT)
+             AS n_patches
+    FROM resized
+    """,
+    description="multimodal resize/patch planning (the pre-decode step "
+    "of a vision-language data pipeline): fit each image inside a "
+    "512-px max dimension preserving aspect ratio, then count 14-px "
+    "ViT patches after padding — the token-budget number a multimodal "
+    "packer consumes. ALL integer arithmetic (floor division, no "
+    "float scale factor), so the plan is oracle-exact; the synthetic "
+    "per-media dimensions stand in for the codec-read ones (no image "
+    "libs in this container — the real deployment swaps the dims "
+    "source, not the planning math). Pure projection: zero shuffle.",
+    tags=("llm", "multimodal", "profiling"),
+)
+def m04_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    img = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        (320 + (F.col("doc_id") * 37) % 1600).cast("int").alias("width"),
+        (240 + (F.col("doc_id") * 53) % 900).cast("int").alias("height"),
+    )
+    w, h = F.col("width"), F.col("height")
+    fits = F.greatest(w, h) <= 512
+    landscape = w >= h
+    new_w = (
+        F.when(fits, w)
+        .when(landscape, F.lit(512))
+        .otherwise(F.greatest(F.lit(1), F.floor(w * 512 / h).cast("int")))
+    )
+    new_h = (
+        F.when(fits, h)
+        .when(landscape, F.greatest(F.lit(1), F.floor(h * 512 / w).cast("int")))
+        .otherwise(F.lit(512))
+    )
+    out = img.select("media_id", "width", "height", new_w.alias("new_w"), new_h.alias("new_h"))
+    patches = (
+        F.floor((F.col("new_w") + 13) / 14) * F.floor((F.col("new_h") + 13) / 14)
+    ).cast("long")
+    return out.withColumn("n_patches", patches)
