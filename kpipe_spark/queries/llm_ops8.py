@@ -692,3 +692,95 @@ def m04_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("new_w") + 13) / 14) * F.floor((F.col("new_h") + 13) / 14)
     ).cast("long")
     return out.withColumn("n_patches", patches)
+
+
+@register(
+    "d53_cdc_chunk_dedup",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      FROM documents
+    ), pos_tok AS (
+      SELECT doc_id, t.pos, t.tok FROM toks,
+      LATERAL (SELECT unnest(arr) AS tok,
+                      generate_subscripts(arr, 1) AS pos) t
+    ), marked AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+                       % 32 = 0 THEN 1 ELSE 0 END AS boundary
+      FROM pos_tok
+    ), chunked AS (
+      SELECT doc_id, pos, tok,
+             CAST(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) - boundary AS BIGINT) AS chunk_id
+      FROM marked
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,
+             count(*) AS n_tokens
+      FROM chunked GROUP BY doc_id, chunk_id
+    )
+    SELECT chunk_fp,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences,
+           min(n_tokens) AS chunk_tokens
+    FROM chunks
+    GROUP BY chunk_fp
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+    description="content-defined chunking (CDC) + sub-document dedup: "
+    "chunk boundaries fall where the md5-derived token hash lands in a "
+    "1/32 band (Rabin-style — boundaries are CONTENT-anchored, so an "
+    "insertion shifts at most one chunk, unlike fixed windows), then "
+    "chunks occurring in more than one document are the shared "
+    "boilerplate at sub-document granularity — between d01's whole-doc "
+    "fingerprint and d33's fixed n-grams. Scale: one posexplode + one "
+    "window shuffle on doc_id (same partitioning reused by the chunk "
+    "agg), then a groupBy on the 128-bit chunk fingerprint — "
+    "uniformly distributed, no hot keys.",
+    tags=("llm", "dedup", "text", "chunking"),
+)
+def d53_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.dedup import md5_hash60
+    from kpipe_spark.functions.text import tokens
+    from kpipe_spark.util import ensure_parallelism
+
+    docs = load_tables(spark, sf_dir).documents
+    pos_tok = ensure_parallelism(docs).select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    boundary = F.when(md5_hash60("tok") % 32 == 0, 1).otherwise(0)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = pos_tok.withColumn("_b", boundary).withColumn(
+        "chunk_id", (F.sum("_b").over(w) - F.col("_b")).cast("long")
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_fp"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("n_tokens").alias("chunk_tokens"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
