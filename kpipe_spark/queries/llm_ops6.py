@@ -92,22 +92,63 @@ def d36_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d37_semdedup_clusters",
-    oracle=None,  # KMeans training is iterative — rows-only check
-    description="SemDeDup: KMeans-cluster the embedding space (seeded, "
-    "MLlib), assign each vector to its nearest centroid via the "
-    "map-side max_by argmax, compare pairs only within a cluster, and "
-    "flag the higher-id member of every pair with cosine >= 0.35 as a "
-    "duplicate of its lowest-id partner. Scale: the pair join is keyed "
-    "on cluster id — each cluster's block is independent, so the "
-    "quadratic term is bounded by the largest cluster, not the corpus; "
-    "skewed mega-clusters split via AQE skew-join (or raise k). "
-    "Centroid table is k rows — broadcast to both sides.",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8
+    ), assigned AS (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                          c.centroid_id
+               ) AS crn
+        FROM v, cents c
+      ) WHERE crn = 1
+    ), pairs AS (
+      SELECT a.centroid_id, a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.e, b.e), 4) AS cosine_sim
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.35
+    )
+    SELECT id_b AS vec_id,
+           min(id_a) AS dup_of,
+           max(cosine_sim) AS max_cosine,
+           min(centroid_id) AS cluster_id
+    FROM pairs GROUP BY id_b
+    """,
+    description="SemDeDup: cluster the embedding space coarsely, assign "
+    "each vector to its nearest centroid via the map-side max_by "
+    "argmax, compare pairs only within a cluster, and flag the "
+    "higher-id member of every pair with cosine >= 0.35 as a duplicate "
+    "of its lowest-id partner. Centroids are DETERMINISTIC (the first "
+    "8 vectors — d13's trick) so the op is oracle-checkable end to "
+    "end; swap in ``semdedup_mllib_pairs`` for trained KMeans cells "
+    "(identical plan shape, MLlib-seeded centroids). Scale: the pair "
+    "join is keyed on cluster id — each cluster's block is "
+    "independent, so the quadratic term is bounded by the largest "
+    "cluster, not the corpus; skewed mega-clusters split via AQE "
+    "skew-join (or raise k). Centroid table is k rows — broadcast to "
+    "both sides. cluster_id is single-valued per vec_id (assignment is "
+    "unique), so min() is a deterministic pick.",
     tags=("llm", "dedup", "similarity", "kmeans"),
 )
 def d37_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir).embeddings
     v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
-    cents = S.kmeans_centroids(v, "_e", k=8, seed=42)
+    cents = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("_e").alias("_ce")
+    )
+    return _semdedup_pairs(v, cents)
+
+
+def _semdedup_pairs(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Shared SemDeDup plan: nearest-centroid assignment (max_by argmax
+    — one row per vector ships through the shuffle), within-cluster
+    pair expansion, cosine-threshold flagging of the higher id."""
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "_e",
@@ -143,8 +184,21 @@ def d37_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.min("id_a").alias("dup_of"),
         F.max("cosine_sim").alias("max_cosine"),
-        F.any_value("centroid_id").alias("cluster_id"),
+        F.min("centroid_id").alias("cluster_id"),
     )
+
+
+def semdedup_mllib_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-centroid SemDeDup variant (seeded MLlib KMeans, k=8)
+    — the one a production run uses when cluster quality matters more
+    than cross-engine reproducibility. Not registered: MLlib's training
+    path isn't bit-stable across environments, so it gets semantic
+    pytest coverage (subset-of-brute-force) instead of a DuckDB hash.
+    """
+    emb = load_tables(spark, sf_dir).embeddings
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    cents = S.kmeans_centroids(v, "_e", k=8, seed=42)
+    return _semdedup_pairs(v, cents)
 
 
 @register(

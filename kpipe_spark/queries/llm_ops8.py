@@ -39,28 +39,32 @@ from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
       SELECT CAST(sum(n) AS BIGINT) AS t FROM tok
     ), p AS (
       SELECT source, n, sqrt(n * 1.0 / t) AS pt, t FROM tok, tot
+    ), d AS (
+      SELECT list_reduce(list(pt ORDER BY source),
+                         (acc, v) -> acc + v) AS denom
+      FROM p
     )
     SELECT source,
            n AS src_tokens,
-           CAST(floor(pt / sum(pt) OVER (ORDER BY source
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-                * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS sample_prob,
-           CAST(floor((pt / sum(pt) OVER (ORDER BY source
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+           CAST(floor(pt / denom * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
+             AS sample_prob,
+           CAST(floor((pt / denom)
                 / (n * 1.0 / t) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
              AS upsample_factor
-    FROM p
+    FROM p, d
     """,
     description="temperature-based source sampling (T=0.5, the "
     "multilingual-rebalance move): sample_prob_i ∝ p_i^T flattens the "
     "source distribution so low-resource sources are seen more often; "
     "upsample_factor is the repeat rate vs natural frequency. sqrt IS "
     "pow(x, 0.5) and is correctly rounded in IEEE-754, so both engines "
-    "agree exactly; the pt normalizer sums over an ORDERED frame so "
-    "both engines add in the same sequence (an unordered float window "
-    "sum follows row order — engine- and run-dependent), and rounding "
-    "is the ieee floor form. Scale: one map-side-combined "
-    "groupBy(source); the normalization windows run on |sources| rows.",
+    "agree exactly; the pt normalizer is an explicit SEQUENTIAL fold "
+    "over the source-sorted pt list (Spark F.aggregate / DuckDB "
+    "list_reduce) — an ordered window SUM is not enough, since an "
+    "engine may evaluate framed aggregates pairwise (segment tree) and "
+    "drift 1 ulp from a sequential fold. Rounding is the ieee floor "
+    "form. Scale: one map-side-combined groupBy(source); the fold runs "
+    "on |sources| values in one 1-row aggregate that broadcasts back.",
     tags=("llm", "sampling", "agg"),
 )
 def d44_temperature_sampling_weights(
@@ -75,18 +79,27 @@ def d44_temperature_sampling_weights(
         .agg(F.sum("_n").alias("src_tokens"))
     )
     t = F.sum("src_tokens").over(Window.partitionBy())  # exact (ints)
-    pt = F.sqrt(F.col("src_tokens") * 1.0 / t)
-    ordered = Window.orderBy("source").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    p = tok.withColumn("_t", t).withColumn(
+        "_pt", F.sqrt(F.col("src_tokens") * 1.0 / F.col("_t"))
     )
-    prob = pt / F.sum(pt).over(ordered)
-    return tok.select(
+    # Sequential left fold over (source, pt) sorted by source: the same
+    # addition order as the oracle's list_reduce, bit-for-bit. The 0.0
+    # init is exact (0.0 + x == x for the positive pt values).
+    denom = p.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("source"), F.col("_pt")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["_pt"],
+        ).alias("_denom")
+    )
+    prob = F.col("_pt") / F.col("_denom")
+    return p.crossJoin(F.broadcast(denom)).select(
         "source",
         "src_tokens",
         ieee_round(prob, 6).alias("sample_prob"),
-        ieee_round(prob / (F.col("src_tokens") * 1.0 / t), 6).alias(
-            "upsample_factor"
-        ),
+        ieee_round(
+            prob / (F.col("src_tokens") * 1.0 / F.col("_t")), 6
+        ).alias("upsample_factor"),
     )
 
 
@@ -233,23 +246,27 @@ def d46_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "documents (and bytes) survive MinHash-component dedup "
     "(is_canonical = lowest doc id of the near-dup component keeps; "
     "d24 reports the clusters, this reports what a training mix "
-    "actually retains). Scale: the component table holds only ids from "
-    "the dup graph and broadcasts back onto the corpus scan; the "
+    "actually retains). Scale: only the COMPONENT table (dup-graph ids "
+    "+ labels, never a per-document row set) is broadcast; the corpus "
+    "scan left-joins it, singletons default to their own id, and the "
     "per-source agg reuses one shuffle.",
     tags=("llm", "dedup", "sampling"),
 )
 def d47_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
-    clusters = D.dup_clusters(docs)
+    comp = D.dup_components(docs)
+    is_canonical = (
+        F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")
+    )
     return (
         docs.select("doc_id", "source", "n_chars")
-        .join(F.broadcast(clusters), "doc_id")
+        .join(F.broadcast(comp), "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("is_canonical").cast("int")).alias("n_kept"),
+            F.sum(is_canonical.cast("int")).alias("n_kept"),
             F.sum(
-                F.when(F.col("is_canonical"), F.col("n_chars")).otherwise(0)
+                F.when(is_canonical, F.col("n_chars")).otherwise(0)
             ).alias("kept_chars"),
             F.sum("n_chars").alias("total_chars"),
         )
@@ -359,19 +376,19 @@ def d48_minhash_estimator_calibration(
         .distinct()
     )
 
+    # No broadcast hint on the shingle projections: they are roughly
+    # text-sized (corpus-scale), so a hint would exceed the 8 GB
+    # broadcast limit at the scale this op advertises. AQE broadcasts
+    # the (small) candidate side or falls back to shuffle join.
     sh = docs.select("doc_id", D.word_shingles("text").alias("_sh"))
     jac = D.jaccard(F.col("_ga"), F.col("_gb"))
     return (
         cand.join(
-            F.broadcast(
-                sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_ga"))
-            ),
+            sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_ga")),
             "id_a",
         )
         .join(
-            F.broadcast(
-                sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_gb"))
-            ),
+            sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_gb")),
             "id_b",
         )
         .select(
@@ -606,23 +623,28 @@ def d51_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "guard against a near-copy of a test document leaking into train "
     "(a plain content-hash split, d20, does not give this). 80/10/10 "
     "by md5(cluster_id) mod 100 — deterministic, rebalance-stable, "
-    "cross-engine exact. Scale: the component table holds only dup-"
-    "graph ids and broadcasts onto the corpus scan; split assignment "
-    "is a projection.",
+    "cross-engine exact. Scale: only the COMPONENT table (dup-graph "
+    "ids + labels) is broadcast; the corpus scan left-joins it and "
+    "singletons default to their own id, so split assignment stays a "
+    "projection over the scan.",
     tags=("llm", "sampling", "split", "dedup"),
 )
 def d52_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kpipe_spark.functions.dedup import md5_hash60
 
     docs = load_tables(spark, sf_dir).documents
-    clusters = D.dup_clusters(docs)
+    comp = D.dup_components(docs)
     h = md5_hash60(F.col("cluster_id").cast("string")) % 100
     split = (
         F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
     )
     return (
         docs.select("doc_id")
-        .join(F.broadcast(clusters), "doc_id")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
         .select("doc_id", "cluster_id", split.alias("split"))
         .groupBy("split")
         .agg(

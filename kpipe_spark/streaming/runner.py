@@ -58,6 +58,7 @@ class Metrics:
             "sink.errors": 0,
             "batches.completed": 0,
             "circuitbreaker.trips": 0,
+            "backpressure.pauses": 0,
         }
 
     def add(self, key: str, n: int = 1) -> None:
@@ -296,7 +297,13 @@ class Handle:
         start, so admission changes apply at the next (re)start."""
         if self.governor is None:
             return None
-        return self.governor.observe(self.lag())
+        was_paused = self.governor.paused
+        admission = self.governor.observe(self.lag())
+        if self.governor.paused and not was_paused:
+            # same wiring as circuitbreaker.trips: the counter the OTel
+            # bridge exports as kpipe.consumer.backpressure.pauses
+            self._metrics.add("backpressure.pauses")
+        return admission
 
     def await_shutdown(self, timeout_s: float | None = None) -> bool:
         return self.query.awaitTermination(timeout_s)

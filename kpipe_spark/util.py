@@ -68,7 +68,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         files = []
     if files:
         import os
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
         max_split = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
@@ -77,15 +77,25 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
             spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
         )
         total = 0
-        for f in files:
-            p = urlparse(f)
-            if p.scheme not in ("file", ""):
-                # remote store: listing sizes here would re-do the
-                # catalog's work; assume well-split (big-file layouts)
-                return df
-            total += os.path.getsize(p.path) + open_cost
-        est = max(1, -(-total // max_split))
-        return df.repartition(target) if est < target else df
+        try:
+            for f in files:
+                p = urlparse(f)
+                if p.scheme not in ("file", ""):
+                    # remote store: listing sizes here would re-do the
+                    # catalog's work; assume well-split (big-file layouts)
+                    return df
+                # inputFiles() returns percent-encoded URIs — a path
+                # with a space arrives as %20 and must be unquoted
+                # before stat'ing
+                total += os.path.getsize(unquote(p.path)) + open_cost
+        except OSError:
+            # file vanished between listing and stat, or an exotic
+            # path: fall back to the exact (slower) split count rather
+            # than failing query construction
+            pass
+        else:
+            est = max(1, -(-total // max_split))
+            return df.repartition(target) if est < target else df
 
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -48,20 +48,24 @@ def test_sr_decode_per_record_schema(spark):
 
 
 def test_multimodal_feature_extraction(spark):
+    from kpipe_spark.functions.multimodal import png_bytes, wav_bytes
+
     media = spark.createDataFrame(
         [
-            (1, "image", bytes(range(256)), None, (16, 16, 1, None, "image/fake")),
-            (2, "image", b"", None, (0, 0, 0, None, "image/fake")),  # empty ⇒ error
-            (3, "audio", b"\x00" * 64, None, (None, None, None, 44100, "audio/fake")),
+            (1, "image", png_bytes(16, 16, seed=5), None, (16, 16, 1, None, "image/png")),
+            (2, "image", b"", None, (0, 0, 0, None, "image/png")),  # empty ⇒ error
+            (3, "audio", wav_bytes(64, 44100, seed=0), None, (None, None, None, 44100, "audio/wav")),
+            (4, "audio", b"\x00" * 64, None, (None, None, None, 44100, "audio/wav")),  # not RIFF ⇒ error
         ],
         "media_id bigint, kind string, content binary, media_ref string, "
         "meta struct<width: int, height: int, frames: int, sample_rate: int, mime: string>",
     )
     out = {r["media_id"]: r for r in extract_features(media).collect()}
-    assert len(out[1]["feature"]) == 8
-    assert abs(sum(out[1]["feature"]) - 1.0) < 1e-3  # normalized histogram
-    assert out[2]["feature"] is None and "empty media" in out[2]["decode_error"]
-    assert out[3]["feature"][0] == 1.0  # all zero bytes -> bucket 0
+    assert (out[1]["width"], out[1]["height"], out[1]["n_units"]) == (16, 16, 256)
+    assert out[1]["value_sum"] == sum((i * 7 + 5) % 256 for i in range(256))
+    assert out[2]["value_sum"] is None and "empty media" in out[2]["decode_error"]
+    assert (out[3]["sample_rate"], out[3]["n_units"]) == (44100, 64)
+    assert "RIFF" in out[4]["decode_error"]  # real header validation
     # partitioning helper keeps schema
     assert size_class_partitioned(media).columns == media.columns
 

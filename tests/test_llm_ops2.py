@@ -57,9 +57,11 @@ def test_fingerprint_is_stable_and_order_insensitive(spark):
 @pytest.fixture
 def media(spark):
     rows = [
-        (0, "image", b"\x00\x20\x40\x60\x80\xa0\xc0\xe0", None),
-        (1, "video", b"\xff" * 16, None),
+        (0, "image", M.png_bytes(8, 4, seed=3), None),
+        (1, "video", M.video_bytes(25, 6, 5, seed=9), None),
         (2, "audio", b"", None),  # empty content -> decode error
+        (3, "audio", M.wav_bytes(100, 16000, seed=7), None),
+        (4, "image", b"\x89PNG\r\n\x1a\nnot-really", None),  # corrupt
     ]
     df = spark.createDataFrame(
         rows, "media_id bigint, kind string, content binary, media_ref string"
@@ -76,16 +78,26 @@ def media(spark):
     )
 
 
-def test_extract_features_deterministic_and_error_isolated(media):
+def test_extract_features_decodes_real_bytes_and_isolates_errors(media):
     out = {r["media_id"]: r for r in M.extract_features(media).collect()}
-    # one byte in each of the 8 buckets -> uniform histogram
-    assert out[0]["feature"] == pytest.approx([0.125] * 8)
-    # all 0xff -> everything in the last bucket
-    assert out[1]["feature"][7] == pytest.approx(1.0)
-    # empty content fails THAT ROW only, as data
-    assert out[2]["feature"] is None
-    assert "empty media content" in out[2]["decode_error"]
+    # real PNG parse: geometry + exact pixel sum from the decoded bytes
+    assert (out[0]["width"], out[0]["height"], out[0]["n_units"]) == (8, 4, 32)
+    assert out[0]["value_sum"] == sum((i * 7 + 3) % 256 for i in range(32))
     assert out[0]["decode_error"] is None
+    # video container: 25 decoded frames, per-frame-seeded pixels
+    assert (out[1]["n_frames"], out[1]["n_units"]) == (25, 25 * 30)
+    assert out[1]["value_sum"] == sum(
+        (i * 7 + 9 + f) % 256 for f in range(25) for i in range(30)
+    )
+    # WAV chunk walk: rate + sample count + abs-amplitude sum
+    assert (out[3]["sample_rate"], out[3]["n_units"]) == (16000, 100)
+    assert out[3]["value_sum"] == sum(
+        abs(((i * 13 + 7) % 201) - 100) for i in range(100)
+    )
+    # empty / corrupt content fails THAT ROW only, as data
+    assert out[2]["value_sum"] is None
+    assert "empty media content" in out[2]["decode_error"]
+    assert out[4]["value_sum"] is None and out[4]["decode_error"]
 
 
 def test_sample_frames_fanout(media):
@@ -97,7 +109,7 @@ def test_sample_frames_fanout(media):
 
 def test_size_class_partitioning_preserves_rows(media):
     out = M.size_class_partitioned(media, num_partitions=4)
-    assert out.count() == 3
+    assert out.count() == 5
     assert set(out.columns) == set(media.columns)
 
 
@@ -215,3 +227,21 @@ def test_semdedup_pairs_subset_of_brute_force(spark):
             f"semdedup flagged ({r['dup_of']},{r['vec_id']}) "
             "not present in brute-force pairs"
         )
+
+
+def test_semdedup_mllib_variant_subset_of_brute_force(spark):
+    """The non-registry trained-KMeans SemDeDup variant obeys the same
+    subset property (its clustering differs, its flagged pairs must
+    still all be real >=0.35 cosine pairs)."""
+    from kpipe_spark.queries import all_queries
+    from kpipe_spark.queries.llm_ops6 import semdedup_mllib_pairs
+
+    qs = all_queries()
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in qs["d11_embedding_neardup"].build(spark, SF).collect()
+    }
+    sem = semdedup_mllib_pairs(spark, SF).collect()
+    assert len(sem) > 0
+    for r in sem:
+        assert (r["dup_of"], r["vec_id"]) in brute

@@ -64,6 +64,44 @@ def test_admission_shrinks_under_induced_lag_and_recovers():
     assert g.admission == 1_000
 
 
+def test_govern_counts_pause_transitions_in_metrics():
+    """Handle.govern() increments the backpressure.pauses counter on
+    the un-paused -> paused transition only (the counter the OTel
+    bridge exports as kpipe.consumer.backpressure.pauses), mirroring
+    the circuitbreaker.trips wiring."""
+    from kpipe_spark.streaming.runner import Handle, Metrics
+
+    class _FakeQuery:
+        lastProgress: dict | None = None
+
+    q = _FakeQuery()
+    m = Metrics()
+    g = BackpressureGovernor(high_watermark=10, low_watermark=5)
+    h = Handle(q, m, governor=g)
+
+    def progress_with_lag(lag):
+        return {
+            "sources": [
+                {
+                    "endOffset": {"t": {"0": 0}},
+                    "latestOffset": {"t": {"0": lag}},
+                }
+            ]
+        }
+
+    q.lastProgress = progress_with_lag(50)
+    h.govern()
+    assert m.counters["backpressure.pauses"] == 1
+    q.lastProgress = progress_with_lag(60)  # still paused: no double count
+    h.govern()
+    assert m.counters["backpressure.pauses"] == 1
+    q.lastProgress = progress_with_lag(0)  # resume
+    h.govern()
+    q.lastProgress = progress_with_lag(50)  # second pause
+    h.govern()
+    assert m.counters["backpressure.pauses"] == 2
+
+
 def test_kafka_lag_parses_last_progress_shape():
     """lag = sum(max(0, latestOffset - endOffset)) per topic-partition
     (calculateTotalLag, BackpressureController.java:164-186)."""

@@ -74,6 +74,19 @@ def test_ensure_parallelism_noop_when_wide(spark):
     assert ensure_parallelism(narrow).rdd.getNumPartitions() > 1
 
 
+def test_ensure_parallelism_handles_percent_encoded_paths(spark, tmp_path):
+    """inputFiles() returns percent-encoded URIs; a path with a space
+    must not raise FileNotFoundError during query construction."""
+    d = tmp_path / "dir with space"
+    d.mkdir()
+    spark.range(0, 10).coalesce(1).write.parquet(str(d / "t.parquet"))
+    df = spark.read.parquet(str(d / "t.parquet"))
+    assert any("%20" in f for f in df.inputFiles())  # precondition
+    out = ensure_parallelism(df)  # must not raise
+    assert out.count() == 10
+    assert out.rdd.getNumPartitions() > 1  # under-split -> respread
+
+
 def test_approx_count_distinct_within_tolerance(spark):
     """approx_count_distinct (HLL) is the 100 TB path for distinct
     counting; exact distinct is the oracle-checked variant (q19). The
