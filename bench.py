@@ -146,6 +146,10 @@ def main() -> None:
                 ),
                 "streaming_records_per_sec": streaming_rate,
                 "sf": sf_dir,
+                # 1-minute load average at measurement time: round-over-
+                # round comparisons can normalize for machine noise
+                # (BASELINE.md notes 15-25% inflation under load)
+                "loadavg": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -5,7 +5,8 @@ Four families, each shuffle-partitioned and driver-collect-free:
 - exact:   hash -> groupBy(hash) keep canonical survivor. One shuffle on
            a uniformly-distributed 128-bit key — scales linearly; AQE
            handles stragglers.
-- minhash: shingle -> 64 minhash slots -> band -> bucket join. Candidate
+- minhash: shingle -> affine minhash slots -> band -> bucket join
+           (default family MINHASH_NUM_HASHES/MINHASH_BANDS). Candidate
            generation is a self-equi-join on (band, bucket), i.e. a
            shuffle join on a well-distributed key rather than an O(n^2)
            cross join.
@@ -72,6 +73,18 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
 
 MERSENNE_P31 = 2147483647  # 2^31 - 1: modulus of the affine slot family
 
+# Default MinHash-LSH family: 24 slots in 8 bands of 3 rows. Chosen via
+# d48's estimator calibration + a direct sweep against the (64, 16)
+# family at sf0.1: the d07 exact-Jaccard>=0.8 verified set is IDENTICAL
+# (per-pair candidate recall at j=0.8 is 1-(1-j^3)^8 = 99.7% vs 99.98%),
+# candidate precision is within 10%, and the signature aggregate carries
+# 24 min-buffers instead of 64 while the band explode halves — measured
+# ~1.4x faster end to end. Oracle fragments derive from these constants
+# (_oracle_fragments.minhash_ctes), so Spark and DuckDB can't drift.
+MINHASH_NUM_HASHES = 24
+MINHASH_BANDS = 8
+MINHASH_ROWS_PER_BAND = MINHASH_NUM_HASHES // MINHASH_BANDS
+
 
 def md5_hash60(c: Column, offset: int = 1) -> Column:
     """60 bits of md5(c) as a non-negative bigint (hex digits
@@ -118,7 +131,7 @@ def minhash_signature_df(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 64,
+    num_hashes: int = MINHASH_NUM_HASHES,
     shingle_k: int = 3,
 ) -> DataFrame:
     """num_hashes-slot minhash signature as one array<bigint> column.
@@ -159,8 +172,8 @@ def minhash_signature_df(
 def minhash_bands_df(
     sig: DataFrame,
     id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """LSH banding over an (id, sig array) frame -> (id, band, bucket).
     Two docs sharing any band collide; P(collide) = 1-(1-j^rows)^bands.
@@ -198,8 +211,8 @@ def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash.
@@ -314,8 +327,8 @@ def dup_components(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Component table of the near-dup graph ONLY: (id_col, cluster_id)
@@ -336,8 +349,8 @@ def dup_clusters(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Cluster assignment for every document: near-dup candidates from
@@ -377,8 +390,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """Verified near-dup pairs: MinHash-LSH candidates refined by exact
     shingle Jaccard >= threshold. The expensive exact measure runs only

@@ -77,6 +77,45 @@ def dlq_frame(applied: DataFrame, error_class: str = "ProcessingException") -> D
     return out.select(*keep, "headers", F.col(ERROR_COL).alias("error"))
 
 
+class IdempotentDlqParquet:
+    """Durable DLQ park that REPLAYS idempotently (SURVEY §7 risk
+    register: "dedup on batchId or source offset").
+
+    The delivery contract is at-least-once: a crash after the DLQ park
+    but before the checkpoint commit replays the whole micro-batch, and
+    a plain append sink would park every failed record twice. Keying
+    the write on the micro-batch id closes that hole: each batch's
+    parks land in a ``batch_id=<id>`` partition written with DYNAMIC
+    partition overwrite, and Structured Streaming replays a failed
+    batch under the SAME batch id (the documented foreachBatch
+    idempotency hook — the checkpoint pins the batch's offset range),
+    so the replay REPLACES its own previous parks instead of appending.
+    (batch_id, topic, partition, offset) is thereby unique in the
+    parked table without any read-side dedup.
+
+    The reference never duplicates DLQ parks within one process
+    lifetime (send-then-commit per record, KPipeProducer.java:170-216);
+    this gives the Spark runner the same property across restarts.
+    Partition count = number of batches that parked anything — bounded,
+    and prunable by batch_id on read.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def __call__(self, dlq_df: DataFrame, batch_id: int) -> None:
+        (
+            dlq_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.path)
+        )
+
+    def read(self, spark) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+
 def kafka_producer_frame(
     df: DataFrame,
     topic: str,

@@ -10,9 +10,22 @@ stay in lockstep with ``dedup.slot_coefficients`` / ``dedup.md5_hash60``.
 
 from __future__ import annotations
 
-# (a_i, b_i) closed forms inlined as SQL — keep identical to
-# dedup.slot_coefficients.
-MINHASH_CTES = r"""
+from kpipe_spark.functions.dedup import (
+    MINHASH_NUM_HASHES,
+    MINHASH_ROWS_PER_BAND,
+)
+
+
+def minhash_ctes(
+    num_hashes: int = MINHASH_NUM_HASHES,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+) -> str:
+    """MinHash candidate-pair CTE chain mirroring dedup.minhash_candidates
+    for the given family. (a_i, b_i) closed forms inlined as SQL — keep
+    identical to dedup.slot_coefficients. Defaults derive from the SAME
+    constants the Spark side uses, so family tuning can't desync the
+    oracle."""
+    return rf"""
     toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
       FROM documents
@@ -34,11 +47,11 @@ MINHASH_CTES = r"""
       SELECT doc_id, k,
              min((((k * 2654435761 + 1) % 2147483647) * h
                   + (k * 40503 + 7) % 2147483647) % 2147483647) AS slot
-      FROM hh, range(64) t(k) GROUP BY doc_id, k
+      FROM hh, range({num_hashes}) t(k) GROUP BY doc_id, k
     ), bands AS (
-      SELECT doc_id, k // 4 AS band,
+      SELECT doc_id, k // {rows_per_band} AS band,
              string_agg(slot, '_' ORDER BY k) AS bucket
-      FROM slots GROUP BY doc_id, k // 4
+      FROM slots GROUP BY doc_id, k // {rows_per_band}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
@@ -46,6 +59,9 @@ MINHASH_CTES = r"""
        AND a.doc_id < b.doc_id
     )
 """
+
+
+MINHASH_CTES = minhash_ctes()
 
 SIMHASH_CTES = r"""
     tok AS (

@@ -144,8 +144,10 @@ def d04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b FROM cand
     """,
     description="MinHash-LSH near-duplicate candidate pairs "
-    "(shingle -> md5-affine 64-slot signature -> 16 bands -> bucket "
-    "self-join), oracle-checked bit-for-bit via the md5 + Mersenne-"
+    "(shingle -> md5-affine signature -> band -> bucket self-join; "
+    "family = dedup.MINHASH_NUM_HASHES slots / MINHASH_BANDS bands, "
+    "(24, 8) tuned via d48's calibration with the d07 verified set "
+    "unchanged), oracle-checked bit-for-bit via the md5 + Mersenne-"
     "affine hash family. No global sort — candidate pairs stream out "
     "of the bucket join; the driver's comparator sorts, the engine "
     "never pays a full exchange for display order.",

@@ -296,7 +296,8 @@ def d47_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.id_a, p.id_b
     )
     SELECT ag.id_a, ag.id_b,
-           CAST(round(ag.eq_slots / 64.0, 4) AS DOUBLE) AS est_jaccard,
+           CAST(round(ag.eq_slots / {D.MINHASH_NUM_HASHES}.0, 4) AS DOUBLE)
+             AS est_jaccard,
            CAST(round(coalesce(e.i, 0) * 1.0
                       / (na.n + nb.n - coalesce(e.i, 0)), 4) AS DOUBLE)
              AS exact_jaccard
@@ -306,10 +307,12 @@ def d47_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes nb ON nb.doc_id = ag.id_b
     """,
     description="MinHash estimator calibration over the candidate "
-    "pairs: signature-agreement fraction (eq_slots/64 — the unbiased "
-    "Jaccard estimator) next to the exact shingle Jaccard, the table "
-    "that tunes bands/rows for a target precision/recall before a "
-    "100 TB run. Scale: the signature aggregate runs ONCE — signatures "
+    "pairs: signature-agreement fraction (eq_slots/num_hashes — the "
+    "unbiased Jaccard estimator) next to the exact shingle Jaccard, "
+    "the table that tunes bands/rows for a target precision/recall "
+    "before a 100 TB run — it picked the default (24, 8) family "
+    "(dedup.MINHASH_NUM_HASHES comment has the measured sweep). "
+    "Scale: the signature aggregate runs ONCE — signatures "
     "ride through the band-bucket expansion as struct members and the "
     "slot-agreement count is computed inside the pair lambda (joining "
     "the signature frame back per side would re-plan the whole "
@@ -323,7 +326,7 @@ def d48_minhash_estimator_calibration(
     docs = load_tables(spark, sf_dir).documents
     sig = D.minhash_signature_df(docs)
 
-    rows_per_band = 4
+    rows_per_band = D.MINHASH_ROWS_PER_BAND
     band_structs = F.array(
         *[
             F.struct(
@@ -336,7 +339,7 @@ def d48_minhash_estimator_calibration(
                     ],
                 ).alias("bucket"),
             )
-            for b in range(16)
+            for b in range(D.MINHASH_BANDS)
         ]
     )
     bucketed = sig.select(
@@ -394,7 +397,9 @@ def d48_minhash_estimator_calibration(
         .select(
             "id_a",
             "id_b",
-            F.round(F.col("eq_slots") / 64.0, 4).cast("double").alias("est_jaccard"),
+            F.round(F.col("eq_slots") / float(D.MINHASH_NUM_HASHES), 4)
+            .cast("double")
+            .alias("est_jaccard"),
             F.round(jac, 4).cast("double").alias("exact_jaccard"),
         )
     )

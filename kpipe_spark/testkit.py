@@ -125,9 +125,18 @@ class CrashRestartHarness:
     _seed: list[dict] | None = None
     _commit_up_to: int = -1
     _crash_after: int = -1
+    _dlq_writer: Any = None
 
     def with_pipeline(self, pipeline: Pipeline) -> CrashRestartHarness:
         self._pipeline = pipeline
+        return self
+
+    def with_dlq(self, dlq_writer: Any) -> CrashRestartHarness:
+        """Attach a DLQ writer to BOTH phases — the crash geometry then
+        exercises the replayed-park path (a batch that parked to the
+        DLQ, crashed before commit, and re-parks on restart), which is
+        where a DLQ sink's idempotency is proven or broken."""
+        self._dlq_writer = dlq_writer
         return self
 
     def with_processing_mode(self, mode: ProcessingMode) -> CrashRestartHarness:
@@ -179,6 +188,7 @@ class CrashRestartHarness:
         runner_a = StreamRunner(
             pipeline=self._pipeline,
             sink=_CrashingSink(captured_a, crash_on_batch_index=1),
+            dlq_writer=self._dlq_writer,
             mode=self.mode,
         )
         handle_a = runner_a.start(
@@ -199,7 +209,10 @@ class CrashRestartHarness:
             self._write("src", "part-002-tail.json", self._seed[p:])
         captured_b = CapturingSink()
         runner_b = StreamRunner(
-            pipeline=self._pipeline, sink=captured_b, mode=self.mode
+            pipeline=self._pipeline,
+            sink=captured_b,
+            dlq_writer=self._dlq_writer,
+            mode=self.mode,
         )
         handle_b = runner_b.start(
             self._stream(src), ckpt, query_name="kpipe-crash-phase-b"

@@ -238,6 +238,39 @@ def test_crash_restart_harness_resume_window(spark, tmp_path):
     ) == set(range(30))
 
 
+def test_idempotent_dlq_park_exact_across_replay(spark, tmp_path):
+    """A batch that parks to the DLQ, crashes before commit, and
+    replays must NOT duplicate its parks: IdempotentDlqParquet keys the
+    write on batch_id with dynamic partition overwrite, so the DLQ row
+    count equals the failed-record count exactly (SURVEY §7 risk
+    register closed — plain append would park the crash batch's
+    failures twice)."""
+    from kpipe_spark.pipeline import Pipeline
+    from kpipe_spark.pipeline.sinks import IdempotentDlqParquet
+    from kpipe_spark.testkit import CrashRestartHarness
+
+    bad_ids = {2, 5, 8}  # one failure per micro-batch: committed, crash, tail
+    seed = [
+        {"key": str(i), "raw": ("boom" if i in bad_ids else str(i))}
+        for i in range(10)
+    ]
+    dlq = IdempotentDlqParquet(str(tmp_path / "dlq"))
+    (
+        CrashRestartHarness(spark, "key string, raw string", str(tmp_path))
+        .with_pipeline(Pipeline().safe_cast("n", "raw", "bigint"))
+        .with_dlq(dlq)
+        .seed(seed)
+        .commit_up_to(3)   # batch 0 = [0,3) commits (parks key 2)
+        .crash_after(7)    # batch 1 = [3,7) parks key 5, then crashes
+        .restart()         # batch 1 replays (re-parks 5), batch 2 parks 8
+    )
+    parked = dlq.read(spark).collect()
+    assert sorted(r["key"] for r in parked) == ["2", "5", "8"]  # no dup of 5
+    assert all("CastException" in r["error"] for r in parked)
+    # the replayed park landed in the SAME batch partition it first used
+    assert {r["batch_id"] for r in parked} == {0, 1, 2}
+
+
 def test_harness_validates_geometry(spark, tmp_path):
     h = CrashRestartHarness(spark, SCHEMA, str(tmp_path)).seed(rows_batch(0, 5))
     with pytest.raises(ValueError):
