@@ -7,9 +7,22 @@ Spark fixes source options at query start, so the governor's
 recommendation applies by ROLLING the query: poll ``Handle.govern()``
 (which folds ``lastProgress`` lag into the hysteresis core), and when
 the recommended admission changes materially, stop the query and
-restart it from the same checkpoint with the new per-trigger budget —
-offsets are exactly where the checkpoint says, so the roll loses
-nothing. This example drives the loop with synthetic lag samples (no
+restart it from the same checkpoint with the new per-trigger budget.
+
+THE ROLL HAS A COST — own it: the restart resumes from the last
+COMMITTED batch, so an in-flight (uncommitted) micro-batch at roll
+time is abandoned and REPLAYS in full under the new admission. That is
+ordinary at-least-once redelivery (idempotent sinks / the batch_id-
+keyed DLQ absorb it), but it is paid work: poll ``govern()`` between
+batches and roll at a batch boundary (as ``Handle.close()`` after
+``processAllAvailable`` does here) and the roll loses nothing — this
+example asserts exactly that, no record is processed twice across the
+roll. The reference pays no such cost because pause/resume leaves its
+consumer running (BackpressureController.java:24-37); rolling is the
+price of Spark fixing source options at start, so hysteresis matters
+doubly — the watermark gap is what keeps rolls RARE.
+
+This example drives the loop with synthetic lag samples (no
 Kafka broker in this container; the lag parser is the same one a Kafka
 ``lastProgress`` feeds) and shows a real file-backed query restarting
 under a shrunken budget.
@@ -82,6 +95,13 @@ def main() -> None:
     print(
         "rolled with admission=%d; records processed total=%d"
         % (governor.admission, runner.metrics.counters["records.received"])
+    )
+    # boundary-roll cost assertion: phase 1 (100) + new file (50), no
+    # replay — the roll happened at a batch boundary so the checkpoint
+    # was current; a mid-batch roll would re-run the in-flight batch
+    # (at-least-once), which is why govern() is polled between batches
+    assert runner.metrics.counters["records.received"] == 150, (
+        "boundary roll must not reprocess committed records"
     )
 
     # lag drains: hysteresis resumes full admission

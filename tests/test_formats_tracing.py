@@ -47,6 +47,86 @@ def test_sr_decode_per_record_schema(spark):
     assert any("magic byte" in e for e in errors)
 
 
+def _wire_fixtures():
+    import os
+
+    with open(os.path.join(os.path.dirname(__file__), "fixtures", "confluent_wire.json")) as f:
+        return json.load(f)
+
+
+def test_confluent_zigzag_varint_golden_bytes():
+    """read_zigzag_varint against golden (value, bytes) pairs from the
+    protobuf varint spec — the encoding Confluent's protobuf envelope
+    uses for the message-index list."""
+    from kpipe_spark.pipeline.schema_registry import read_zigzag_varint
+
+    for case in _wire_fixtures()["zigzag_varint_golden"]:
+        value, pos = read_zigzag_varint(bytes.fromhex(case["hex"]), 0)
+        assert value == case["value"], case
+        assert pos == len(case["hex"]) // 2, case
+
+
+def test_confluent_protobuf_wire_golden_fixtures(spark):
+    """decode_protobuf_sr over checked-in Confluent-layout byte strings
+    (mirrors ProtobufConfluentWireCompatTest.java): schema id, message-
+    index path (incl. the 0x00 shorthand and multi-byte varints) and
+    the EXACT body bytes must round out of the envelope; malformed
+    envelopes become error rows, never task failures."""
+    from kpipe_spark.pipeline.schema_registry import decode_protobuf_sr
+
+    fx = _wire_fixtures()
+    rows = [(c["name"], bytes.fromhex(c["hex"])) for c in fx["protobuf"]]
+    rows += [(c["name"], bytes.fromhex(c["hex"])) for c in fx["protobuf_invalid"]]
+    df = spark.createDataFrame(rows, "name string, value binary")
+    out = {r["name"]: r for r in decode_protobuf_sr(df).collect()}
+    for c in fx["protobuf"]:
+        r = out[c["name"]]
+        assert r["payload_error"] is None, (c["name"], r["payload_error"])
+        assert r["payload_schema_id"] == c["schema_id"]
+        assert list(r["payload_message_index"]) == c["indexes"]
+        assert bytes(r["payload"]).hex() == c["body_hex"]
+    for c in fx["protobuf_invalid"]:
+        r = out[c["name"]]
+        assert r["payload_error"] is not None
+        assert r["payload"] is None
+
+
+def test_confluent_avro_wire_golden_fixtures(spark):
+    """decode_avro_sr over checked-in Confluent-layout byte strings:
+    the 5-byte header slice (magic + BE schema id) is pinned exactly.
+    Body decode asserts full values when fastavro is importable; in
+    this sandbox (no fastavro) the JSON-fallback fixture pins the
+    header slicing and the avro-binary fixture must fail as DATA."""
+    from kpipe_spark.pipeline.schema_registry import decode_avro_sr, make_dict_resolver
+
+    fx = _wire_fixtures()
+    cases = {c["name"]: c for c in fx["avro"]}
+    schemas = {
+        c["schema_id"]: json.dumps(c.get("writer_schema", {"type": "record"}))
+        for c in fx["avro"]
+    }
+    rows = [(c["name"], bytes.fromhex(c["hex"])) for c in fx["avro"]]
+    df = spark.createDataFrame(rows, "name string, value binary")
+    out = {
+        r["name"]: r
+        for r in decode_avro_sr(df, lambda: make_dict_resolver(schemas)).collect()
+    }
+    jf = out["json_fallback_body"]
+    assert jf["payload_schema_id"] == cases["json_fallback_body"]["schema_id"]
+    assert json.loads(jf["payload"]) == cases["json_fallback_body"]["json_body"]
+    av, avc = out["avro_binary_user_record"], cases["avro_binary_user_record"]
+    try:
+        import fastavro  # noqa: F401
+
+        assert av["payload_schema_id"] == avc["schema_id"]
+        assert json.loads(av["payload"]) == avc["decoded"]
+    except ImportError:
+        # degradation contract: undecodable body -> error row, not a
+        # task failure (the golden avro-binary bytes stay checked in
+        # for environments that do ship fastavro)
+        assert av["payload_error"] is not None
+
+
 def test_multimodal_feature_extraction(spark):
     from kpipe_spark.functions.multimodal import png_bytes, wav_bytes
 

@@ -1,0 +1,123 @@
+"""Env-gated REAL-broker integration test (SURVEY §5 integration tier).
+
+The reference's integration tier runs against Testcontainers Kafka
+(/root/reference/lib/kpipe-consumer/src/test/.../
+CrashRestartReprocessingIntegrationTest.java, ChaosRebalanceIntegrationTest.java).
+This sandbox has no broker, so the module SKIPS unless
+``KAFKA_BOOTSTRAP`` points at one; when it does, the full
+produce -> kafka_source -> pipeline -> DLQ-park -> checkpoint-restart
+loop runs end to end against real Kafka:
+
+- phase A consumes a seeded topic from earliest, routes poison records
+  to an IdempotentDlqParquet park, delivers the rest, and commits via
+  the checkpoint;
+- phase B restarts on the same checkpoint after more records land and
+  must process ONLY the new ones (offsets held by the checkpoint), with
+  the DLQ count staying exact.
+
+Producing uses Spark's own batch Kafka writer, so no extra client
+library is required — only the spark-sql-kafka connector package, whose
+absence also skips (with instructions), not fails.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP")
+
+pytestmark = pytest.mark.skipif(
+    not BOOTSTRAP,
+    reason="KAFKA_BOOTSTRAP not set — no Kafka broker in this environment",
+)
+
+
+def _produce(spark, topic: str, rows: list[tuple[str, str]]) -> None:
+    df = spark.createDataFrame(rows, "key string, value string")
+    (
+        df.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+        )
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", BOOTSTRAP)
+        .option("topic", topic)
+        .save()
+    )
+
+
+def _records(start: int, n: int, poison_every: int = 10) -> list[tuple[str, str]]:
+    return [
+        (
+            str(i),
+            json.dumps(
+                {"id": i, "amount": "poison" if i % poison_every == 9 else str(i)}
+            ),
+        )
+        for i in range(start, start + n)
+    ]
+
+
+def test_produce_pipeline_dlq_checkpoint_restart(spark, tmp_path):
+    from kpipe_spark.pipeline import Pipeline
+    from kpipe_spark.pipeline.sinks import IdempotentDlqParquet
+    from kpipe_spark.streaming import StreamRunner
+    from kpipe_spark.streaming.sources import kafka_source
+    from kpipe_spark.testkit import CapturingSink
+
+    topic = f"kpipe-it-{uuid.uuid4().hex[:8]}"
+    ckpt = str(tmp_path / "ckpt")
+    dlq = IdempotentDlqParquet(str(tmp_path / "dlq"))
+    pipeline = (
+        Pipeline()
+        .pipe(
+            "amount",
+            F.get_json_object(F.col("value").cast("string"), "$.amount"),
+        )
+        .safe_cast("amount_n", F.col("amount"), "bigint")
+    )
+
+    def run_phase(sink: CapturingSink) -> None:
+        runner = StreamRunner(pipeline=pipeline, sink=sink, dlq_writer=dlq)
+        stream = kafka_source(
+            spark, BOOTSTRAP, topic, starting_offsets="earliest"
+        )
+        handle = runner.start(stream, ckpt, query_name=f"kpipe-it-{topic}")
+        try:
+            handle.process_all_available()
+        finally:
+            handle.close()
+
+    try:
+        # phase A: 50 seeded records, ids ending in 9 are poison (5 of 50)
+        _produce(spark, topic, _records(0, 50))
+        sink_a = CapturingSink()
+        run_phase(sink_a)
+    except Exception as exc:  # noqa: BLE001 — connector absence is a skip
+        if "kafka" in str(exc).lower() and "data source" in str(exc).lower():
+            pytest.skip(
+                "spark-sql-kafka connector not on the classpath — add "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+            )
+        raise
+
+    assert sink_a.count() == 45
+    assert {json.loads(bytes(r["value"]).decode())["id"] % 10 for r in sink_a.captured()} \
+        == {0, 1, 2, 3, 4, 5, 6, 7, 8}
+    assert dlq.read(spark).count() == 5
+
+    # phase B: 20 more records (2 poison) land while "down"; the restart
+    # must resume from the checkpointed offsets — only the new records
+    # flow, and the DLQ stays exact (no re-park of phase A's failures)
+    _produce(spark, topic, _records(50, 20))
+    sink_b = CapturingSink()
+    run_phase(sink_b)
+    assert sink_b.count() == 18
+    ids_b = {json.loads(bytes(r["value"]).decode())["id"] for r in sink_b.captured()}
+    assert ids_b == {i for i in range(50, 70) if i % 10 != 9}
+    assert dlq.read(spark).count() == 7

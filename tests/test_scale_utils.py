@@ -74,6 +74,92 @@ def test_ensure_parallelism_noop_when_wide(spark):
     assert ensure_parallelism(narrow).rdd.getNumPartitions() > 1
 
 
+def test_salted_join_spreads_hot_key_across_reducers(spark):
+    """The straggler mechanics, pinned: a plain shuffle join sends every
+    row of the hot key to ONE reducer; salted_join's shuffle key is
+    (k, _salt), so the hot key's rows spread across `salt` reducers with
+    no one holding more than a modest multiple of the fair share."""
+    n, salt = 50_000, 16
+    # 90% of rows carry hot key 7 — the single-hot-key case AQE's
+    # partition splitting cannot fix when downstream state needs the key
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    other = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+
+    out = salted_join(skewed, other, "k", salt=salt)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # the exchange partitions on (k, _salt)
+
+    # measure the actual spread the salted exchange produces for the
+    # hot key: max per-(k,_salt) bucket stays near the fair 1/salt share
+    buckets = (
+        skewed.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+        .filter(F.col("k") == 7)
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    hot_total = sum(r["count"] for r in buckets)
+    assert len(buckets) == salt
+    assert max(r["count"] for r in buckets) < 2 * hot_total / salt
+
+
+def test_aqe_skew_join_splits_oversized_partitions(spark):
+    """The unsalted path's safety net: with skew-join thresholds scaled
+    to test data, AQE's final plan marks the sort-merge join skew=true
+    — the oversized hot-key partition was split at runtime. (At default
+    256 MB thresholds the same mechanics engage at cluster scale.)"""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # non-foldable pad: a literal pad would be constant-folded OUT
+        # of the shuffle, leaving partitions under the skew threshold
+        pad = F.md5(F.col("id").cast("string"))
+        skewed = spark.range(50_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            pad.alias("pad"),
+        )
+        other = spark.range(100).select(
+            F.col("id").alias("k"), pad.alias("pad2")
+        )
+        out = skewed.join(other, "k")
+        # execute THIS df's plan (count() would build its own QE and
+        # leave out's adaptive plan unfinalized)
+        assert len(out.collect()) == 50_000
+        final_plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "SortMergeJoin(skew=true)" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_ensure_parallelism_handles_percent_encoded_paths(spark, tmp_path):
     """inputFiles() returns percent-encoded URIs; a path with a space
     must not raise FileNotFoundError during query construction."""
