@@ -255,6 +255,53 @@ def minhash_candidates(
     )
 
 
+def incremental_minhash_partners(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = MINHASH_NUM_HASHES,
+    bands: int = MINHASH_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup partners for a NEW batch against an already-indexed
+    corpus — the incremental production shape: (id_new, id_other)
+    distinct pairs where id_other is any band-collision partner of a
+    new document, in the EXISTING corpus or elsewhere in the batch.
+
+    At 100 TB you dedup a corpus once and then dedup each incoming
+    batch against it; recomputing corpus signatures per batch would be
+    a full corpus pass every time. ``corpus_bands`` is the stored
+    banding artifact ((id, band, bucket) — minhash_bands_df output,
+    materialized once): signatures are computed ONLY for the new batch
+    (batch-sized work), and the candidate join is an equi-join into the
+    corpus band table. Materialize that table with
+    ``util.write_bucketed(corpus_bands, ..., keys=["band", "bucket"])``
+    and the join needs no corpus-side shuffle at all — each batch
+    shuffles only itself. After the batch is admitted, append its
+    bands to the artifact (same bucketing) to keep the index current.
+    """
+    new_bands = minhash_bands_df(
+        minhash_signature_df(new_docs, text_col, id_col, num_hashes, shingle_k),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    all_bands = corpus_bands.unionByName(new_bands)
+    return (
+        new_bands.select(
+            F.col(id_col).alias("id_new"), "band", "bucket"
+        )
+        .join(
+            all_bands.select(F.col(id_col).alias("id_other"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_new") != F.col("id_other"))
+        .select("id_new", "id_other")
+        .distinct()
+    )
+
+
 # -- duplicate clustering -------------------------------------------------------
 
 

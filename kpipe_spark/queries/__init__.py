@@ -127,6 +127,7 @@ def all_queries() -> dict[str, Query]:
         llm_ops6,
         llm_ops7,
         llm_ops8,
+        llm_ops9,
         pipeline_queries,
         relational,
         relational2,

@@ -245,3 +245,57 @@ def test_semdedup_mllib_variant_subset_of_brute_force(spark):
     assert len(sem) > 0
     for r in sem:
         assert (r["dup_of"], r["vec_id"]) in brute
+
+
+def test_incremental_dedup_agrees_with_full_recompute(spark):
+    """d54's batch-vs-index candidates must be EXACTLY the subset of a
+    full-corpus recompute's candidate pairs that touch a new doc — the
+    invariant that makes the stored band index a safe substitute for
+    re-scanning the corpus."""
+    from kpipe_spark.functions import dedup as D
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    is_new = F.col("doc_id") % 4 == 0
+    corpus_bands = D.minhash_bands_df(
+        D.minhash_signature_df(docs.filter(~is_new))
+    )
+    partners = {
+        (min(r["id_new"], r["id_other"]), max(r["id_new"], r["id_other"]))
+        for r in D.incremental_minhash_partners(
+            docs.filter(is_new), corpus_bands
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidates(docs).collect()
+        if r["id_a"] % 4 == 0 or r["id_b"] % 4 == 0
+    }
+    assert partners == full
+
+
+def test_audio_frame_energy_sums_to_whole_file_energy(spark):
+    """m05's per-frame energies must re-total to m03's whole-file
+    abs-amplitude sum per media id (frame slicing loses nothing), and
+    every frame but the last must be full."""
+    from kpipe_spark.functions import multimodal as M
+    from kpipe_spark.queries.llm_ops2 import media_frame
+
+    media = media_frame(spark, SF).filter(F.col("kind") == "audio").limit(40)
+    media.persist()
+    try:
+        frames = M.audio_frame_energy(media, frame_size=64).collect()
+        whole = {
+            r["media_id"]: r["value_sum"]
+            for r in M.extract_features(media).collect()
+        }
+    finally:
+        media.unpersist()
+    by_media: dict[int, list] = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(whole)
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r["frame_idx"])
+        assert sum(r["energy"] for r in rows) == whole[mid]
+        assert all(r["n_samples"] == 64 for r in rows[:-1])
+        assert 1 <= rows[-1]["n_samples"] <= 64

@@ -202,3 +202,75 @@ def test_connected_components_matches_union_find(spark, pairs):
         r["id"]: r["cluster_id"] for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+# -- multimodal codec invariants (pure Python, no Spark) ----------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=30),
+    st.integers(min_value=0, max_value=2**40),
+)
+@settings(deadline=None)
+def test_png_encode_decode_roundtrip(w, h, seed):
+    """decode_png(png_bytes(...)) recovers geometry and the exact pixel
+    sum for ARBITRARY dims/seeds, and the byte size matches the closed
+    form the m01 oracle predicts (68 + h*(w+1), stored-mode zlib)."""
+    from kpipe_spark.functions.multimodal import decode_png, png_bytes
+
+    b = png_bytes(w, h, seed)
+    assert len(b) == 68 + h * (w + 1)
+    W, H, n, s = decode_png(b)
+    assert (W, H, n) == (w, h, w * h)
+    assert s == sum((i * 7 + seed) % 256 for i in range(w * h))
+
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(min_value=0, max_value=2**40),
+)
+@settings(deadline=None)
+def test_wav_encode_decode_roundtrip(n, rate, seed):
+    from kpipe_spark.functions.multimodal import decode_wav, wav_bytes
+
+    b = wav_bytes(n, rate, seed)
+    assert len(b) == 44 + 2 * n
+    r, n_out, s = decode_wav(b)
+    assert (r, n_out) == (rate, n)
+    assert s == sum(abs(((i * 13 + seed) % 201) - 100) for i in range(n))
+
+
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**40),
+)
+@settings(deadline=None)
+def test_video_container_roundtrip(frames, w, h, seed):
+    from kpipe_spark.functions.multimodal import decode_video, video_bytes
+
+    b = video_bytes(frames, w, h, seed)
+    assert len(b) == frames * (72 + h * (w + 1))
+    W, H, fr, n, s = decode_video(b)
+    assert (W, H, fr, n) == (w, h, frames, frames * w * h)
+
+
+@given(st.binary(max_size=200))
+def test_decoders_reject_garbage_as_value_errors(raw):
+    """Arbitrary bytes must raise ValueError (the outcome-discipline
+    error class), never IndexError/struct.error/zlib.error leaking out
+    as something the mapInPandas featurizer's contract doesn't name."""
+    import pytest
+
+    from kpipe_spark.functions.multimodal import decode_png, decode_video, decode_wav
+
+    for dec in (decode_png, decode_wav, decode_video):
+        try:
+            dec(raw)
+        except ValueError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            pytest.fail(f"{dec.__name__} leaked {type(exc).__name__}: {exc}")
