@@ -91,19 +91,20 @@ def png_bytes(width: int, height: int, seed: int) -> bytes:
 
     IDAT uses stored-mode zlib (level 0) so the byte size stays the
     closed form 68 + h*(w+1) the oracle predicts; any PNG reader
-    accepts it (stored blocks are valid DEFLATE)."""
-    raw = bytearray()
-    i = 0
-    for _y in range(height):
-        raw.append(0)  # filter type None per scanline
-        for _x in range(width):
-            raw.append((i * 7 + seed) % 256)
-            i += 1
+    accepts it (stored blocks are valid DEFLATE). Pixel generation is
+    vectorized — per-pixel Python loops dominate the mapInPandas stage
+    otherwise."""
+    import numpy as np
+
+    idx = np.arange(width * height, dtype=np.int64)
+    raw = np.zeros((height, width + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = ((idx * 7 + seed) % 256).astype(np.uint8).reshape(height, width)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 0))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -111,10 +112,10 @@ def png_bytes(width: int, height: int, seed: int) -> bytes:
 def wav_bytes(n_samples: int, sample_rate: int, seed: int) -> bytes:
     """Real RIFF/WAVE, PCM16 mono, s[i] = ((i*13 + seed) % 201) - 100.
     44-byte canonical header + 2 bytes per sample."""
-    samples = b"".join(
-        struct.pack("<h", ((i * 13 + seed) % 201) - 100)
-        for i in range(n_samples)
-    )
+    import numpy as np
+
+    idx = np.arange(n_samples, dtype=np.int64)
+    samples = (((idx * 13 + seed) % 201) - 100).astype("<i2").tobytes()
     return (
         b"RIFF"
         + struct.pack("<I", 36 + len(samples))
@@ -223,12 +224,14 @@ def decode_png(b: bytes) -> tuple[int, int, int, int]:
     stride = width + 1
     if len(raw) != height * stride:
         raise ValueError("scanline data size mismatch")
-    total = 0
-    for y in range(height):
-        row = raw[y * stride : (y + 1) * stride]
-        if row[0] != 0:
-            raise ValueError(f"unsupported scanline filter {row[0]}")
-        total += sum(row[1:])
+    import numpy as np
+
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    if (arr[:, 0] != 0).any():
+        raise ValueError(
+            f"unsupported scanline filter {int(arr[arr[:, 0] != 0][0, 0])}"
+        )
+    total = int(arr[:, 1:].sum(dtype=np.int64))
     return width, height, width * height, total
 
 
@@ -256,17 +259,22 @@ def _parse_wav(b: bytes) -> tuple[int, bytes]:
     return rate, data
 
 
-def wav_samples(b: bytes) -> tuple[int, list[int]]:
-    """Parse a RIFF/WAVE -> (sample_rate, decoded int16 samples)."""
+def wav_samples(b: bytes):
+    """Parse a RIFF/WAVE -> (sample_rate, int16 sample ndarray)."""
+    import numpy as np
+
     rate, data = _parse_wav(b)
-    return rate, [s for (s,) in struct.iter_unpack("<h", data[: 2 * (len(data) // 2)])]
+    n = len(data) // 2
+    return rate, np.frombuffer(data[: 2 * n], dtype="<i2")
 
 
 def decode_wav(b: bytes) -> tuple[int, int, int]:
     """Parse a RIFF/WAVE -> (sample_rate, n_samples, abs_amplitude_sum).
     PCM16 mono only — the chunk walk is real (fmt /data discovery)."""
+    import numpy as np
+
     rate, samples = wav_samples(b)
-    return rate, len(samples), sum(abs(s) for s in samples)
+    return rate, len(samples), int(np.abs(samples.astype(np.int64)).sum())
 
 
 def decode_video(b: bytes) -> tuple[int, int, int, int, int]:
@@ -366,6 +374,7 @@ def audio_frame_energy(media: DataFrame, frame_size: int = 64) -> DataFrame:
     stage so the decoder never sees them. Integer energy keeps the
     Python boundary float-free — derive dB/normalized loudness in
     Spark expressions downstream."""
+    import numpy as np
     import pandas as pd
 
     audio = media.filter(F.col("kind") == "audio").select("media_id", "content")
@@ -375,13 +384,14 @@ def audio_frame_energy(media: DataFrame, frame_size: int = 64) -> DataFrame:
             mids, idxs, counts, energies = [], [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 _rate, samples = wav_samples(bytes(content))
+                absd = np.abs(samples.astype(np.int64))
                 n = len(samples)
                 for f in range((n + frame_size - 1) // frame_size):
-                    chunk = samples[f * frame_size : (f + 1) * frame_size]
+                    chunk = absd[f * frame_size : (f + 1) * frame_size]
                     mids.append(int(mid))
                     idxs.append(f)
                     counts.append(len(chunk))
-                    energies.append(sum(abs(s) for s in chunk))
+                    energies.append(int(chunk.sum()))
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(mids, dtype="Int64"),
