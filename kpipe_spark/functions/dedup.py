@@ -138,34 +138,36 @@ def minhash_signature_df(
 
     Slot i = min over shingles of (a_i * h + b_i) mod 2^31-1 with h the
     md5-derived shingle pre-hash (cross-engine exact — see module
-    docstring). Shape: explode pre-hashed shingles -> MIN(affine_i(h))
-    × n as the aggregate expressions themselves -> pack to array.
-    Rehashing INSIDE the aggregate matters: a separate 64-column
-    projection before the groupBy materializes |shingles| × 520 B
-    UnsafeRows (measured ~1.6× slower end-to-end at sf0.1); here the
-    agg input row stays (id, 8 B) and each slot feeds its min-buffer
-    directly. The shuffle carries (id, n×8 B) after map-side partial
-    MIN, never text. ensure_parallelism spreads the work first — an
-    under-split scan would otherwise run every document on one core
-    (measured 8× at sf0.1 on local[32]). A higher-order-function
-    formulation is ~2× slower again (HOF lambdas evaluate interpreted).
+    docstring). Shape: a PURE PROJECTION — the pre-hashed shingle array
+    is computed once per row and each slot is
+    array_min(transform(hashes, affine_i)); no explode, no shuffle, so
+    the signature stage scales with scan parallelism alone. History:
+    round 2 used explode -> groupBy(id) with 64 MIN aggregates because
+    64 interpreted HOF lambdas measured ~2× slower than the codegen'd
+    aggregate; at the round-3 (24, 8) family the balance flips — 24
+    lambdas cost less than shuffling |shingles| rows (measured 0.38s vs
+    0.69s at sf0.1) — and the projection wins at every corpus size
+    since it removes the shuffle entirely, not just shrinks it.
+    ensure_parallelism spreads the hash work first — an under-split
+    scan would otherwise run every document on one core (measured 8×
+    at sf0.1 on local[32]).
     """
-    exploded = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.explode(word_shingle_hashes(text_col, shingle_k)).alias("_sh"),
+    def affine(a: int, b: int):
+        # factory, not a default-arg lambda: pyspark derives the HOF's
+        # arity from the lambda signature, so extra params break it
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P31
+
+    pre = ensure_parallelism(df).select(
+        F.col(id_col), word_shingle_hashes(text_col, shingle_k).alias("_hs")
     )
-    return exploded.groupBy(id_col).agg(
-        *[
-            F.min(
-                (F.lit(a) * F.col("_sh") + F.lit(b)) % MERSENNE_P31
-            ).alias(f"h{i}")
-            for i, (a, b) in (
-                (j, slot_coefficients(j)) for j in range(num_hashes)
-            )
-        ]
-    ).select(
+    return pre.select(
         F.col(id_col),
-        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"),
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("_hs"), affine(a, b)))
+                for a, b in (slot_coefficients(j) for j in range(num_hashes))
+            ]
+        ).alias("sig"),
     )
 
 
