@@ -26,6 +26,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("examples/tracing_propagation.py", "preserved trace-id, fresh span-id = True"),
         ("examples/custom_format.py", "decode + error-path contract = True"),
         ("examples/backpressure_roll.py", "shrink -> roll -> restore = True"),
+        ("examples/incremental_admission.py", "incremental == full recompute = True"),
     ],
 )
 def test_example_runs(script, expect):
