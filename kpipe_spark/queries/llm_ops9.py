@@ -85,6 +85,147 @@ def d54_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "d55_dedup_adjusted_mixture",
+    oracle=f"""
+    WITH RECURSIVE {MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b, id_a FROM cand
+    ),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
+    ),
+    comp AS (
+      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    ),
+    tok AS (
+      SELECT d.source,
+             len(string_split(d.text, ' ')) AS n,
+             CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    s AS (
+      SELECT source,
+             count(*) AS raw_docs,
+             CAST(sum(kept) AS BIGINT) AS kept_docs,
+             CAST(sum(CASE WHEN kept = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+      FROM tok GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS t FROM s),
+    p AS (
+      SELECT s.*, sqrt(kept_tokens * 1.0 / t) AS pt FROM s, tot
+    ),
+    dn AS (
+      SELECT list_reduce(list(pt ORDER BY source),
+                         (acc, v) -> acc + v) AS denom
+      FROM p
+    )
+    SELECT source, raw_docs, kept_docs, kept_tokens,
+           CAST(floor(pt / denom * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
+             AS sample_prob
+    FROM p, dn
+    """,
+    description="dedup-adjusted mixture weights — d44's temperature "
+    "sampling computed over the tokens that SURVIVE keep-one near-dup "
+    "dedup (d47's survivor set), per source: the raw-token weights a "
+    "naive mix uses overweight duplicate-heavy sources, because their "
+    "tokens vanish at dedup time; this is the number you actually "
+    "train on. Scale: the dup-graph component table broadcasts onto "
+    "one corpus scan, the per-source agg map-side-combines, and the "
+    "T=0.5 normalizer is the same |sources|-row ordered sequential "
+    "fold as d44 (cross-engine exact).",
+    tags=("llm", "sampling", "dedup"),
+)
+def d55_dedup_adjusted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kpipe_spark.util import ieee_round
+
+    docs = load_tables(spark, sf_dir).documents
+    comp = D.dup_components(docs)
+    kept = (
+        F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")
+    ).cast("int")
+    tok = (
+        docs.select("doc_id", "source", F.size(F.split("text", " ")).alias("_n"))
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select("source", "_n", kept.alias("_kept"))
+    )
+    s = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("raw_docs"),
+        F.sum("_kept").alias("kept_docs"),
+        F.sum(F.when(F.col("_kept") == 1, F.col("_n")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )
+    t = F.sum("kept_tokens").over(Window.partitionBy())  # exact (ints)
+    p = s.withColumn("_t", t).withColumn(
+        "_pt", F.sqrt(F.col("kept_tokens") * 1.0 / F.col("_t"))
+    )
+    denom = p.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("source"), F.col("_pt")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_pt"],
+        ).alias("_denom")
+    )
+    return p.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "raw_docs",
+        "kept_docs",
+        "kept_tokens",
+        ieee_round(F.col("_pt") / F.col("_denom"), 6).alias("sample_prob"),
+    )
+
+
+@register(
+    "m06_image_patch_stats",
+    oracle="""
+    WITH spec AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 16 AS INT) AS w,
+             CAST(8 + doc_id % 8 AS INT) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), rows_ AS (
+      SELECT doc_id, w, h, unnest(range((h + 13) // 14)) AS pr FROM spec
+    ), grid AS (
+      SELECT doc_id, w, h, pr, unnest(range((w + 13) // 14)) AS pc
+      FROM rows_
+    )
+    SELECT doc_id AS media_id,
+           CAST(pr AS INT) AS patch_row,
+           CAST(pc AS INT) AS patch_col,
+           CAST(least(14, h - 14 * pr) AS INT) AS patch_h,
+           CAST(least(14, w - 14 * pc) AS INT) AS patch_w,
+           CAST(list_sum(list_transform(range(14 * pr, least(14 * (pr + 1), h)),
+                y -> list_sum(list_transform(
+                     range(14 * pc, least(14 * (pc + 1), w)),
+                     x -> ((y * w + x) * 7 + doc_id) % 256))))
+                AS BIGINT) AS pixel_sum
+    FROM grid
+    """,
+    description="real per-ViT-patch pixel statistics: decode each PNG "
+    "(CRC/inflate/defilter) and emit one row per 14-px patch with the "
+    "exact integer pixel sum — the 2D content complement of m04's "
+    "metadata-only patch budgeting. Edge patches clip (patch_h/patch_w "
+    "report covered extent). Oracle recomputes every patch from the "
+    "content spec, so a hash match certifies decode + 2D slicing. "
+    "Scale: mapInPandas 1-in/N-out with numpy block slicing — no "
+    "per-pixel Python; images filtered before the Arrow boundary.",
+    tags=("llm", "multimodal"),
+)
+def m06_image_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.queries.llm_ops2 import media_frame
+
+    return M.image_patch_stats(media_frame(spark, sf_dir), patch=14)
+
+
+@register(
     "m05_audio_frame_energy",
     oracle="""
     WITH spec AS (

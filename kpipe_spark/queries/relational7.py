@@ -21,7 +21,7 @@ bigger single partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kpipe_spark.catalog import load_tables
@@ -344,4 +344,46 @@ def q84_excess_share_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .distinct()
+    )
+
+
+@register(
+    "q85_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_orders
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c
+    ) WHERE rn = 1
+    """,
+    description="deterministic per-group MODE (most frequent value): "
+    "count per (group, value), then rank by (count desc, value asc) — "
+    "NOT the built-in mode() aggregate, whose tie-break is unspecified "
+    "in both engines and therefore un-oracle-able. Scale: the "
+    "two-level agg domain is |groups|x|values|; the window runs over "
+    "that reduced frame, never the fact table.",
+    tags=("agg", "window"),
+)
+def q85_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c = t.orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_orders"),
+        )
     )

@@ -299,3 +299,30 @@ def test_audio_frame_energy_sums_to_whole_file_energy(spark):
         assert sum(r["energy"] for r in rows) == whole[mid]
         assert all(r["n_samples"] == 64 for r in rows[:-1])
         assert 1 <= rows[-1]["n_samples"] <= 64
+
+
+def test_image_patch_stats_retotal_to_whole_image(spark):
+    """m06's per-patch pixel sums must re-total to m03's whole-image
+    value_sum per media id, with clipped edge patches tiling the full
+    raster exactly once."""
+    from kpipe_spark.functions import multimodal as M
+    from kpipe_spark.queries.llm_ops2 import media_frame
+
+    media = media_frame(spark, SF).filter(F.col("kind") == "image").limit(30)
+    media.persist()
+    try:
+        patches = M.image_patch_stats(media, patch=14).collect()
+        whole = {
+            r["media_id"]: (r["width"], r["height"], r["value_sum"])
+            for r in M.extract_features(media).collect()
+        }
+    finally:
+        media.unpersist()
+    by_media: dict[int, list] = {}
+    for r in patches:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(whole)
+    for mid, rows in by_media.items():
+        w, h, total = whole[mid]
+        assert sum(r["pixel_sum"] for r in rows) == total
+        assert sum(r["patch_h"] * r["patch_w"] for r in rows) == w * h
