@@ -258,3 +258,89 @@ def m05_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kpipe_spark.queries.llm_ops2 import media_frame
 
     return M.audio_frame_energy(media_frame(spark, sf_dir), frame_size=64)
+
+
+@register(
+    "d56_contamination_spans",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[i:i+4], ' ') AS g
+      FROM words, unnest(generate_series(1, len(ws)-4)) AS t(i)
+      WHERE len(ws) >= 5
+    ),
+    eval_set AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT gr.doc_id, gr.pos
+      FROM grams gr JOIN eval_set e USING (g)
+      WHERE gr.doc_id % 50 <> 0
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM hits
+    ),
+    runs AS (
+      SELECT doc_id, island, count(*) AS run_len, min(pos) AS run_start
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(sum(run_len) AS BIGINT) AS n_hit_grams,
+           min(run_start) AS first_hit_pos,
+           CAST(max(run_len) AS BIGINT) AS max_run_len
+    FROM runs GROUP BY doc_id
+    """,
+    description="contamination SPANS: d31 reports per-eval-doc overlap "
+    "rates; this flips to the train side and reports WHERE — per "
+    "contaminated train document, how many 5-gram positions carry an "
+    "eval gram, where the first hit sits, and the longest CONTIGUOUS "
+    "run of hit positions (gaps-and-islands: pos - row_number groups "
+    "consecutive hits), which separates a verbatim quoted span from "
+    "scattered common phrases — the signal that decides excise-the-"
+    "span vs drop-the-document. Scale: the eval gram set broadcasts; "
+    "the train scan semi-joins against it so only hit positions (doc, "
+    "int) ever shuffle into the per-doc window — the corpus text "
+    "never moves.",
+    tags=("llm", "decontamination", "ngram", "window"),
+)
+def d56_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = (
+        load_tables(spark, sf_dir)
+        .documents.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= 5)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(ws)-4),"
+                " i -> concat_ws(' ', slice(ws, i, 5)))"
+            )
+        ).alias("_p", "g"),
+    ).select("doc_id", (F.col("_p") + 1).alias("pos"), "g")
+    is_eval = F.col("doc_id") % 50 == 0
+    eval_set = grams.filter(is_eval).select("g").distinct()
+    hits = (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_set), "g", "left_semi")
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hits.withColumn("_island", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "_island")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("pos").alias("run_start"),
+        )
+    )
+    return runs.groupBy("doc_id").agg(
+        F.sum("run_len").alias("n_hit_grams"),
+        F.min("run_start").alias("first_hit_pos"),
+        F.max("run_len").alias("max_run_len"),
+    )
