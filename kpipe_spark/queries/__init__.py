@@ -54,10 +54,12 @@ def register(
 # has never graded — the q41-q84 relational tail and d44-d53/m04 — plus
 # three cross-round sentinels (q01, p01, d05) and the two queries that
 # gained a value oracle this round (d37 deterministic SemDeDup, m03 real
-# media decode), so they get their first hash-grade. Ten simple scalar/
-# window queries (q06, q13, q26, q30, q34, q39, q40, q42, q46, q51)
-# are deferred to the round-4 window; all 139 oracle-backed queries run
-# the identical DuckDB compare in pytest regardless of window position.
+# media decode), so they get their first hash-grade. Deferred to the
+# round-4 window: ten simple scalar/window queries (q06, q13, q26, q30,
+# q34, q39, q40, q42, q46, q51) plus the round-3 additions registered
+# after the window froze (d54-d56, m05, m06, q85); all oracle-backed
+# queries run the identical DuckDB compare in pytest regardless of
+# window position.
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",
