@@ -289,15 +289,21 @@ def incremental_minhash_partners(
         num_hashes,
         bands,
     )
-    all_bands = corpus_bands.unionByName(new_bands)
+    new_side = new_bands.select(F.col(id_col).alias("id_new"), "band", "bucket")
+
+    def other_side(frame: DataFrame) -> DataFrame:
+        return frame.select(F.col(id_col).alias("id_other"), "band", "bucket")
+
+    # Two separate joins, unioned AFTER: a pre-join union of
+    # corpus_bands with new_bands would wrap the bucketed corpus table
+    # in a Union (UnknownPartitioning) and force Spark to re-shuffle
+    # the ENTIRE corpus band table per batch — exactly the corpus-sized
+    # cost the incremental shape exists to avoid. Joining the bucketed
+    # table directly keeps its side exchange-free.
+    vs_corpus = new_side.join(other_side(corpus_bands), ["band", "bucket"])
+    vs_batch = new_side.join(other_side(new_bands), ["band", "bucket"])
     return (
-        new_bands.select(
-            F.col(id_col).alias("id_new"), "band", "bucket"
-        )
-        .join(
-            all_bands.select(F.col(id_col).alias("id_other"), "band", "bucket"),
-            ["band", "bucket"],
-        )
+        vs_corpus.unionByName(vs_batch)
         .filter(F.col("id_new") != F.col("id_other"))
         .select("id_new", "id_other")
         .distinct()

@@ -194,11 +194,29 @@ def decode_png(b: bytes) -> tuple[int, int, int, int]:
     check. Supports what the pipeline produces (8-bit grayscale,
     filter 0) and rejects everything else loudly — a decode error is
     DATA downstream, never a task failure."""
+    w, h, px = png_raster(b)
+    import numpy as np
+
+    return w, h, w * h, int(px.sum(dtype=np.int64))
+
+
+def png_raster(b: bytes):
+    """Full PNG parse -> (width, height, pixel ndarray (h, w) uint8).
+
+    The validating primitive every PNG consumer shares (decode_png,
+    image_patch_stats): one chunk walk with CRC verification, one
+    inflate, one defilter pass. Raises ValueError for EVERY malformed
+    input — truncation included — so the mapInPandas error contract
+    has a single exception class to catch."""
+    import numpy as np
+
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, width, height, idat = 8, None, None, bytearray()
     while pos + 12 <= len(b):
         (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        if pos + 12 + ln > len(b):
+            raise ValueError("truncated chunk (declared length overruns)")
         typ = b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
@@ -224,15 +242,12 @@ def decode_png(b: bytes) -> tuple[int, int, int, int]:
     stride = width + 1
     if len(raw) != height * stride:
         raise ValueError("scanline data size mismatch")
-    import numpy as np
-
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
     if (arr[:, 0] != 0).any():
         raise ValueError(
             f"unsupported scanline filter {int(arr[arr[:, 0] != 0][0, 0])}"
         )
-    total = int(arr[:, 1:].sum(dtype=np.int64))
-    return width, height, width * height, total
+    return width, height, arr[:, 1:]
 
 
 def _parse_wav(b: bytes) -> tuple[int, bytes]:
@@ -361,7 +376,8 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 AUDIO_FRAME_SCHEMA = (
-    "media_id bigint, frame_idx int, n_samples int, energy bigint"
+    "media_id bigint, frame_idx int, n_samples int, energy bigint, "
+    "decode_error string"
 )
 
 
@@ -373,7 +389,8 @@ def audio_frame_energy(media: DataFrame, frame_size: int = 64) -> DataFrame:
     the binary column; non-audio rows are filtered before the Python
     stage so the decoder never sees them. Integer energy keeps the
     Python boundary float-free — derive dB/normalized loudness in
-    Spark expressions downstream."""
+    Spark expressions downstream. An undecodable row emits ONE row of
+    nulls + decode_error — outcome discipline, never a task failure."""
     import numpy as np
     import pandas as pd
 
@@ -381,23 +398,37 @@ def audio_frame_energy(media: DataFrame, frame_size: int = 64) -> DataFrame:
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mids, idxs, counts, energies = [], [], [], []
+            out: dict[str, list] = {k: [] for k in (
+                "media_id", "frame_idx", "n_samples", "energy", "decode_error",
+            )}
+
+            def emit(mid, idx=None, n=None, energy=None, err=None):
+                out["media_id"].append(int(mid))
+                out["frame_idx"].append(idx)
+                out["n_samples"].append(n)
+                out["energy"].append(energy)
+                out["decode_error"].append(err)
+
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                _rate, samples = wav_samples(bytes(content))
+                try:
+                    if content is None or len(content) == 0:
+                        raise ValueError("empty media content")
+                    _rate, samples = wav_samples(bytes(content))
+                except ValueError as exc:
+                    emit(mid, err=f"ValueError: {exc}")
+                    continue
                 absd = np.abs(samples.astype(np.int64))
                 n = len(samples)
                 for f in range((n + frame_size - 1) // frame_size):
                     chunk = absd[f * frame_size : (f + 1) * frame_size]
-                    mids.append(int(mid))
-                    idxs.append(f)
-                    counts.append(len(chunk))
-                    energies.append(int(chunk.sum()))
+                    emit(mid, f, len(chunk), int(chunk.sum()))
             yield pd.DataFrame(
                 {
-                    "media_id": pd.array(mids, dtype="Int64"),
-                    "frame_idx": pd.array(idxs, dtype="Int32"),
-                    "n_samples": pd.array(counts, dtype="Int32"),
-                    "energy": pd.array(energies, dtype="Int64"),
+                    "media_id": pd.array(out["media_id"], dtype="Int64"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                    "n_samples": pd.array(out["n_samples"], dtype="Int32"),
+                    "energy": pd.array(out["energy"], dtype="Int64"),
+                    "decode_error": out["decode_error"],
                 }
             )
 
@@ -406,7 +437,7 @@ def audio_frame_energy(media: DataFrame, frame_size: int = 64) -> DataFrame:
 
 PATCH_STATS_SCHEMA = (
     "media_id bigint, patch_row int, patch_col int, patch_h int, "
-    "patch_w int, pixel_sum bigint"
+    "patch_w int, pixel_sum bigint, decode_error string"
 )
 
 
@@ -416,7 +447,10 @@ def image_patch_stats(media: DataFrame, patch: int = 14) -> DataFrame:
     planning (m04 budgets patches from metadata; this computes real
     per-patch content). Edge patches are clipped, not padded, so
     (patch_h, patch_w) report the actual covered extent. mapInPandas
-    1-in/N-out; numpy block slicing per patch — no per-pixel Python."""
+    1-in/N-out; ONE png_raster parse per image (chunk walk + inflate +
+    defilter once), numpy block slicing per patch — no per-pixel
+    Python. An undecodable row emits ONE row of nulls + decode_error —
+    outcome discipline, never a task failure."""
     import numpy as np
     import pandas as pd
 
@@ -426,24 +460,36 @@ def image_patch_stats(media: DataFrame, patch: int = 14) -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in (
                 "media_id", "patch_row", "patch_col", "patch_h", "patch_w",
-                "pixel_sum",
+                "pixel_sum", "decode_error",
             )}
+
+            def emit(mid, pr=None, pc=None, ph=None, pw=None, s=None, err=None):
+                out["media_id"].append(int(mid))
+                out["patch_row"].append(pr)
+                out["patch_col"].append(pc)
+                out["patch_h"].append(ph)
+                out["patch_w"].append(pw)
+                out["pixel_sum"].append(s)
+                out["decode_error"].append(err)
+
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                b = bytes(content)
-                w, h, _n, _s = decode_png(b)
-                raw = _png_pixels(b, w, h)
+                try:
+                    if content is None or len(content) == 0:
+                        raise ValueError("empty media content")
+                    w, h, raw = png_raster(bytes(content))
+                except ValueError as exc:
+                    emit(mid, err=f"ValueError: {exc}")
+                    continue
                 for pr in range(-(-h // patch)):
                     for pc in range(-(-w // patch)):
                         block = raw[
                             pr * patch : (pr + 1) * patch,
                             pc * patch : (pc + 1) * patch,
                         ]
-                        out["media_id"].append(int(mid))
-                        out["patch_row"].append(pr)
-                        out["patch_col"].append(pc)
-                        out["patch_h"].append(block.shape[0])
-                        out["patch_w"].append(block.shape[1])
-                        out["pixel_sum"].append(int(block.sum(dtype=np.int64)))
+                        emit(
+                            mid, pr, pc, block.shape[0], block.shape[1],
+                            int(block.sum(dtype=np.int64)),
+                        )
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(out["media_id"], dtype="Int64"),
@@ -452,29 +498,11 @@ def image_patch_stats(media: DataFrame, patch: int = 14) -> DataFrame:
                     "patch_h": pd.array(out["patch_h"], dtype="Int32"),
                     "patch_w": pd.array(out["patch_w"], dtype="Int32"),
                     "pixel_sum": pd.array(out["pixel_sum"], dtype="Int64"),
+                    "decode_error": out["decode_error"],
                 }
             )
 
     return images.mapInPandas(patches, PATCH_STATS_SCHEMA)
-
-
-def _png_pixels(b: bytes, width: int, height: int):
-    """Decoded pixel matrix (h, w) uint8 of a pipeline PNG — shares the
-    chunk walk with decode_png, returns the defiltered raster."""
-    import numpy as np
-
-    pos, idat = 8, bytearray()
-    while pos + 12 <= len(b):
-        (ln,) = struct.unpack(">I", b[pos : pos + 4])
-        typ = b[pos + 4 : pos + 8]
-        if typ == b"IDAT":
-            idat += b[pos + 8 : pos + 8 + ln]
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    raw = zlib.decompress(bytes(idat))
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
-    return arr[:, 1:]
 
 
 def size_class_partitioned(media: DataFrame, num_partitions: int = 32) -> DataFrame:

@@ -96,20 +96,26 @@ class IdempotentDlqParquet:
     The reference never duplicates DLQ parks within one process
     lifetime (send-then-commit per record, KPipeProducer.java:170-216);
     this gives the Spark runner the same property across restarts.
-    Partition count = number of batches that parked anything — bounded,
-    and prunable by batch_id on read.
+    Partition count = number of batches — bounded by batch cadence, and
+    prunable by batch_id on read.
+
+    The write targets the partition DIRECTORY (path/batch_id=<id>)
+    with a wholesale overwrite rather than partitionBy + dynamic
+    overwrite: dynamic mode only replaces partitions PRESENT in the
+    written data, so a replay that parks ZERO rows (the failures were
+    transient and succeeded second time) would leave the pre-crash
+    attempt's parks stranded. A directory overwrite replaces the
+    batch's parks unconditionally — which is also why the StreamRunner
+    invokes the DLQ writer on EVERY batch when one is configured, empty
+    or not: the empty write is the tombstone that clears a stale park.
     """
 
     def __init__(self, path: str) -> None:
         self.path = path
 
     def __call__(self, dlq_df: DataFrame, batch_id: int) -> None:
-        (
-            dlq_df.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(self.path)
+        dlq_df.write.mode("overwrite").parquet(
+            f"{self.path}/batch_id={int(batch_id)}"
         )
 
     def read(self, spark) -> DataFrame:

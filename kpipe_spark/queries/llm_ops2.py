@@ -235,17 +235,31 @@ _MEDIA_SPEC_CTE = """
 """
 
 
-def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+_KIND_RESIDUE = {"image": 0, "audio": 1, "video": 2}
+
+
+def media_frame(
+    spark: SparkSession, sf_dir: str, kinds: tuple[str, ...] | None = None
+) -> DataFrame:
     """documents -> multimodal frame: REAL binary content (genuine PNG /
     WAV / length-prefixed PNG-frame container, stdlib-generated on
     executors — multimodal.py module docstring has the content spec) +
     typed metadata struct (MEDIA_SCHEMA). mapInPandas generation: the
     driver never touches a blob; in production this stage is the
-    media_ref fetch."""
+    media_ref fetch.
+
+    ``kinds`` filters BEFORE generation (kind is a pure function of the
+    id) — a consumer that wants only audio must not pay for encoding
+    every video container first; the filter cannot be pushed through
+    the mapInPandas stage by Catalyst, so it is applied to the id
+    projection here."""
     from kpipe_spark.util import ensure_parallelism
 
     docs = load_tables(spark, sf_dir).documents
     ids = ensure_parallelism(docs).select(F.col("doc_id").alias("media_id"))
+    if kinds:
+        residues = [_KIND_RESIDUE[k] for k in kinds]
+        ids = ids.filter((F.col("media_id") % 3).isin(residues))
     return M.generate_media(ids)
 
 

@@ -206,7 +206,8 @@ def d55_dedup_adjusted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 y -> list_sum(list_transform(
                      range(14 * pc, least(14 * (pc + 1), w)),
                      x -> ((y * w + x) * 7 + doc_id) % 256))))
-                AS BIGINT) AS pixel_sum
+                AS BIGINT) AS pixel_sum,
+           CAST(NULL AS VARCHAR) AS decode_error
     FROM grid
     """,
     description="real per-ViT-patch pixel statistics: decode each PNG "
@@ -222,7 +223,10 @@ def d55_dedup_adjusted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m06_image_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kpipe_spark.queries.llm_ops2 import media_frame
 
-    return M.image_patch_stats(media_frame(spark, sf_dir), patch=14)
+    # kinds filter BEFORE generation (see m05)
+    return M.image_patch_stats(
+        media_frame(spark, sf_dir, kinds=("image",)), patch=14
+    )
 
 
 @register(
@@ -239,7 +243,8 @@ def m06_image_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(least(64, ns - 64 * f) AS INT) AS n_samples,
            CAST(list_sum(list_transform(range(64 * f, least(64 * (f + 1), ns)),
                 i -> abs(((i * 13 + doc_id) % 201) - 100))) AS BIGINT)
-             AS energy
+             AS energy,
+           CAST(NULL AS VARCHAR) AS decode_error
     FROM fr
     """,
     description="per-frame audio energy: WAV rows decode (real RIFF "
@@ -257,7 +262,11 @@ def m06_image_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m05_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kpipe_spark.queries.llm_ops2 import media_frame
 
-    return M.audio_frame_energy(media_frame(spark, sf_dir), frame_size=64)
+    # kinds filter BEFORE generation: don't pay to encode every video
+    # container just to discard it after the mapInPandas stage
+    return M.audio_frame_energy(
+        media_frame(spark, sf_dir, kinds=("audio",)), frame_size=64
+    )
 
 
 @register(

@@ -205,16 +205,22 @@ class StreamRunner:
                     except Exception:  # noqa: BLE001
                         log.exception("result observer raised — swallowed")
 
-            # 1. DLQ park FIRST — before anything that could commit
-            if n_failed:
-                if self.dlq_writer is not None:
-                    dlq = dlq_frame(applied)
-                    try:
-                        self.dlq_writer(dlq, batch_id)
+            # 1. DLQ park FIRST — before anything that could commit.
+            # The writer runs on EVERY batch (an empty frame when
+            # nothing failed): an idempotent batch-keyed sink needs the
+            # empty write as a tombstone — a replay whose transient
+            # failures succeeded must CLEAR the pre-crash attempt's
+            # parks, not leave them stranded (IdempotentDlqParquet).
+            if self.dlq_writer is not None:
+                dlq = dlq_frame(applied)
+                try:
+                    self.dlq_writer(dlq, batch_id)
+                    if n_failed:
                         self.metrics.add("dlq.sent", n_failed)
-                    except Exception:
-                        self.metrics.add("dlq.send.failures")
-                        raise  # batch not committed ⇒ replay (offset held)
+                except Exception:
+                    self.metrics.add("dlq.send.failures")
+                    raise  # batch not committed ⇒ replay (offset held)
+            if n_failed:
                 if self.error_handler is not None:
                     # invoked with terminally-failed records, after
                     # retries; a throwing handler is contained

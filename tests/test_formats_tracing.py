@@ -99,6 +99,13 @@ def test_confluent_avro_wire_golden_fixtures(spark):
     header slicing and the avro-binary fixture must fail as DATA."""
     from kpipe_spark.pipeline.schema_registry import decode_avro_sr, make_dict_resolver
 
+    try:
+        import fastavro  # noqa: F401
+
+        has_fastavro = True
+    except ImportError:
+        has_fastavro = False
+
     fx = _wire_fixtures()
     cases = {c["name"]: c for c in fx["avro"]}
     schemas = {
@@ -112,18 +119,19 @@ def test_confluent_avro_wire_golden_fixtures(spark):
         for r in decode_avro_sr(df, lambda: make_dict_resolver(schemas)).collect()
     }
     jf = out["json_fallback_body"]
-    assert jf["payload_schema_id"] == cases["json_fallback_body"]["schema_id"]
-    assert json.loads(jf["payload"]) == cases["json_fallback_body"]["json_body"]
     av, avc = out["avro_binary_user_record"], cases["avro_binary_user_record"]
-    try:
-        import fastavro  # noqa: F401
-
+    if has_fastavro:
+        # the real-avro path: the golden binary body decodes to exact
+        # values; the json fixture's placeholder schema is invalid avro,
+        # so that row degrades to an error row (as data, not a failure)
         assert av["payload_schema_id"] == avc["schema_id"]
         assert json.loads(av["payload"]) == avc["decoded"]
-    except ImportError:
-        # degradation contract: undecodable body -> error row, not a
-        # task failure (the golden avro-binary bytes stay checked in
-        # for environments that do ship fastavro)
+        assert jf["payload_error"] is not None
+    else:
+        # sandbox (no fastavro): the JSON fallback pins the 5-byte
+        # header slice exactly; the avro-binary body must fail AS DATA
+        assert jf["payload_schema_id"] == cases["json_fallback_body"]["schema_id"]
+        assert json.loads(jf["payload"]) == cases["json_fallback_body"]["json_body"]
         assert av["payload_error"] is not None
 
 

@@ -274,3 +274,26 @@ def test_decoders_reject_garbage_as_value_errors(raw):
             pass
         except Exception as exc:  # noqa: BLE001
             pytest.fail(f"{dec.__name__} leaked {type(exc).__name__}: {exc}")
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=120),
+)
+@settings(deadline=None, max_examples=30)
+def test_truncated_png_raises_value_error(w, cut):
+    """Truncating a VALID PNG anywhere must raise ValueError, never
+    struct.error — random garbage almost never carries the signature,
+    so this adversarial case needs its own property."""
+    import pytest
+
+    from kpipe_spark.functions.multimodal import decode_png, png_bytes
+
+    b = png_bytes(w, 4, seed=1)
+    cut = min(cut, len(b) - 1)
+    try:
+        decode_png(b[:cut])
+    except ValueError:
+        pass
+    except Exception as exc:  # noqa: BLE001
+        pytest.fail(f"decode_png leaked {type(exc).__name__}: {exc}")

@@ -271,6 +271,28 @@ def test_idempotent_dlq_park_exact_across_replay(spark, tmp_path):
     assert {r["batch_id"] for r in parked} == {0, 1, 2}
 
 
+def test_idempotent_dlq_clears_stale_parks_on_clean_replay(spark, tmp_path):
+    """The transient-failure case: batch N parks records, crashes before
+    commit, and the REPLAY succeeds for every record (the failure was
+    transient). The replay's empty park must CLEAR batch N's stale
+    parks — with dynamic partition overwrite it would strand them,
+    which is why the sink overwrites the partition directory and the
+    runner invokes the writer on every batch."""
+    from kpipe_spark.pipeline.sinks import IdempotentDlqParquet
+
+    dlq = IdempotentDlqParquet(str(tmp_path / "dlq"))
+    batch7 = spark.createDataFrame([("a", "boom")], "key string, error string")
+    batch8 = spark.createDataFrame([("b", "boom")], "key string, error string")
+    dlq(batch7, 7)
+    dlq(batch8, 8)
+    parked = {(r["key"], r["batch_id"]) for r in dlq.read(spark).collect()}
+    assert parked == {("a", 7), ("b", 8)}
+    # batch 7 replays with zero failures: its stale park must vanish
+    dlq(batch7.limit(0), 7)
+    parked = {(r["key"], r["batch_id"]) for r in dlq.read(spark).collect()}
+    assert parked == {("b", 8)}
+
+
 def test_harness_validates_geometry(spark, tmp_path):
     h = CrashRestartHarness(spark, SCHEMA, str(tmp_path)).seed(rows_batch(0, 5))
     with pytest.raises(ValueError):
