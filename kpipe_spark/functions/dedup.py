@@ -50,6 +50,10 @@ def exact_dedup(
     """
     return (
         df.select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+        # md5(null) is null and groupBy treats null as ONE key: without
+        # this filter every missing-text row would merge into a single
+        # bogus dup group and all but one would be dropped
+        .filter(F.col("_fp").isNotNull())
         .groupBy("_fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
     )
@@ -157,7 +161,16 @@ def minhash_signature_df(
         # arity from the lambda signature, so extra params break it
         return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P31
 
-    pre = ensure_parallelism(df).select(
+    # Degenerate documents (null / empty / whitespace-only text) are
+    # excluded from signing: they all share ONE shingle ('' or null),
+    # hence one bucket per band — at corpus scale that is a single
+    # quadratic mega-bucket of unrelated rows (and the pairs it emits
+    # are bogus: missing text is not identical text). No content, no
+    # near-dup candidacy.
+    content = (
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    pre = ensure_parallelism(df.filter(content)).select(
         F.col(id_col), word_shingle_hashes(text_col, shingle_k).alias("_hs")
     )
     return pre.select(
@@ -288,7 +301,11 @@ def incremental_minhash_partners(
         id_col,
         num_hashes,
         bands,
-    )
+    # materialize once: new_bands feeds three plan inputs (both sides of
+    # vs_batch plus vs_corpus), and Spark plans join inputs
+    # independently — without this the batch's signature pipeline runs
+    # 3x per call (use checkpoint() on a real cluster)
+    ).localCheckpoint(eager=True)
     new_side = new_bands.select(F.col(id_col).alias("id_new"), "band", "bucket")
 
     def other_side(frame: DataFrame) -> DataFrame:
@@ -334,9 +351,15 @@ def connected_components(
     """
     import logging
 
-    edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        # checkpoint the edge list too: `pairs` usually carries the whole
+        # candidate-generation lineage (scan + signatures + bucket join),
+        # and every propagation round joins against edges — without this
+        # each round re-runs that entire upstream pipeline
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -551,7 +574,11 @@ def simhash_neardup_pairs(
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sig = simhash_df(df, text_col, id_col)
+    # fingerprint 0 means "no tokens" (simhash_df's degenerate default):
+    # every such doc would share every chunk bucket — one quadratic
+    # mega-bucket of unrelated empty docs. No content, no candidacy.
+    # (Oracle SQL mirrors the exclusion.)
+    sig = simhash_df(df, text_col, id_col).filter(F.col("simhash64") != 0)
     chunks = F.array(
         *[
             F.struct(

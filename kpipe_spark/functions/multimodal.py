@@ -258,6 +258,10 @@ def _parse_wav(b: bytes) -> tuple[int, bytes]:
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (ln,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if pos + 8 + ln > len(b):
+            # same contract as png_raster: a truncated blob must raise,
+            # not silently decode fewer samples with decode_error=null
+            raise ValueError("truncated chunk (declared length overruns)")
         body = b[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
             if len(body) < 16:
@@ -414,8 +418,8 @@ def audio_frame_energy(media: DataFrame, frame_size: int = 64) -> DataFrame:
                     if content is None or len(content) == 0:
                         raise ValueError("empty media content")
                     _rate, samples = wav_samples(bytes(content))
-                except ValueError as exc:
-                    emit(mid, err=f"ValueError: {exc}")
+                except Exception as exc:  # noqa: BLE001 — error becomes data
+                    emit(mid, err=f"{type(exc).__name__}: {exc}")
                     continue
                 absd = np.abs(samples.astype(np.int64))
                 n = len(samples)
@@ -477,8 +481,8 @@ def image_patch_stats(media: DataFrame, patch: int = 14) -> DataFrame:
                     if content is None or len(content) == 0:
                         raise ValueError("empty media content")
                     w, h, raw = png_raster(bytes(content))
-                except ValueError as exc:
-                    emit(mid, err=f"ValueError: {exc}")
+                except Exception as exc:  # noqa: BLE001 — error becomes data
+                    emit(mid, err=f"{type(exc).__name__}: {exc}")
                     continue
                 for pr in range(-(-h // patch)):
                     for pc in range(-(-w // patch)):

@@ -12,20 +12,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
     """Per-column profile -> (column, n_rows, n_nulls, n_distinct).
 
-    ONE pass over the table: all per-column aggregates run in a single
-    groupBy-less aggregation (partial-aggregated map-side), then the
-    1-row result unpivots to long form via an inline array — the
-    unpivot touches one row, so the profile costs exactly one scan
-    regardless of column count.
+    ONE scan of the table, then a 1-row unpivot to long form. Honest
+    scale caveat on the DISTINCT counts: N exact count_distinct
+    aggregates in one agg make Catalyst plan an Expand — each input
+    row is replicated ~(N+1)x into the shuffle because exact distinct
+    aggregates cannot fully map-side combine. Fine for profiling a
+    dimension or a sample; for a wide 100 TB fact table pass
+    ``exact_distinct=False`` to use approx_count_distinct (HLL
+    sketches, no Expand, genuinely map-side partial) — cardinality
+    profiling rarely needs exactness.
     """
     cols = columns or df.columns
+    distinct = F.count_distinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"_nulls_{c}"))
-        aggs.append(F.count_distinct(c).alias(f"_dist_{c}"))
+        aggs.append(distinct(c).alias(f"_dist_{c}"))
     one = df.agg(*aggs)
     entries = F.array(
         *[

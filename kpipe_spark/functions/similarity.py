@@ -34,7 +34,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (not NaN) for a zero-norm side.
+
+    The guard matters for ranking: 0/0 is NaN, and Spark sorts NaN
+    FIRST under desc(), so an all-zeros embedding (a failed embed run)
+    would become the #1 neighbor of every query in the top-k windows.
+    NULL sorts last under desc() and fails every >= threshold filter —
+    a zero vector is similar to nothing."""
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d)
 
 
 def as_double_array(c: Column | str) -> Column:

@@ -22,9 +22,16 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization (split on runs of whitespace)."""
+    """Whitespace tokenization (split on runs of whitespace).
+
+    Empty strings are filtered: ``split(trim(''), '\\s+')`` is ``['']``,
+    which would give empty documents a phantom token (count 1,
+    "perfect" diversity) and feed a literal ``''`` token into shingles
+    and BPE training. Oracle SQL mirrors plain ``regexp_split_to_array``
+    — identical on any document with real content; degenerate docs are
+    additionally excluded from the hash-dedup paths at the source."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
 
 
 def token_count(text: Column | str) -> Column:
@@ -72,7 +79,11 @@ def quality_score(text: Column | str) -> Column:
     stop = F.least(stopword_ratio(c, "en") * 5.0, F.lit(1.0))
     # ieee_round, not round: half-way composites (0.53875) otherwise
     # round differently in Spark vs the DuckDB oracle at larger sf
-    return ieee_round((diversity + length_score + stop) / 3.0, 4)
+    score = ieee_round((diversity + length_score + stop) / 3.0, 4)
+    # null guard is load-bearing: least() SKIPS null arguments, so a
+    # null text would otherwise get length_score 1.0 — a missing
+    # document outranking real short content in a quality gate
+    return F.when(c.isNull(), F.lit(0.0)).otherwise(score)
 
 
 def lang_id(text: Column | str) -> Column:

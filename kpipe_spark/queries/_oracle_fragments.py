@@ -27,8 +27,10 @@ def minhash_ctes(
     oracle."""
     return rf"""
     toks AS (
+      -- degenerate docs excluded, mirroring minhash_signature_df: a
+      -- null/empty text has no content to near-dup against
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
     ), grams AS (
       SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
              i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g

@@ -438,6 +438,7 @@ def d14_doc_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS hamming
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+      AND a.simhash64 <> 0 AND b.simhash64 <> 0
     """,
     description="SimHash near-dup pairs (hamming <= 3) via the "
     "pigeonhole chunk scheme: 4 x 16-bit chunks bucket the corpus — any "

@@ -154,6 +154,7 @@ def d45_sequence_length_histogram(
     labeled AS (
       SELECT s.doc_id, s.simhash64, d.source
       FROM sim s JOIN documents d USING (doc_id)
+      WHERE s.simhash64 <> 0
     )
     SELECT a.source AS source_a, b.source AS source_b,
            count(*) AS n_pairs,
@@ -177,7 +178,14 @@ def d45_sequence_length_histogram(
 )
 def d46_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
-    labeled = D.simhash_df(docs).join(docs.select("doc_id", "source"), "doc_id")
+    # fingerprint 0 = token-less doc (simhash_df's degenerate default):
+    # excluded, else every empty doc in source A "overlaps" every empty
+    # doc in source B
+    labeled = (
+        D.simhash_df(docs)
+        .filter(F.col("simhash64") != 0)
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
     groups = (
         labeled.groupBy("simhash64")
         .agg(

@@ -326,3 +326,64 @@ def test_image_patch_stats_retotal_to_whole_image(spark):
         w, h, total = whole[mid]
         assert sum(r["pixel_sum"] for r in rows) == total
         assert sum(r["patch_h"] * r["patch_w"] for r in rows) == w * h
+
+
+def test_degenerate_documents_dont_poison_dedup(spark):
+    """Null/empty/whitespace text must not create bogus dup structure:
+    null never merges in exact dedup (md5(null) is null, not a key),
+    degenerate docs never enter minhash/simhash candidacy (they would
+    all share one bucket -> a quadratic mega-bucket of unrelated rows),
+    and quality/token scores treat them as contentless, not perfect."""
+    from kpipe_spark.functions.dedup import (
+        exact_dedup,
+        minhash_candidates,
+        simhash_neardup_pairs,
+    )
+    from kpipe_spark.functions.text import quality_score, token_count
+
+    docs = spark.createDataFrame(
+        [(0, "real content words here"), (1, None), (2, ""), (3, "   "),
+         (4, None), (5, "real content words here")],
+        "doc_id bigint, text string",
+    )
+    ed = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert ed.get(0) == 2          # the two real duplicates merge
+    assert 1 not in ed and 4 not in ed  # null-text rows are NOT a group
+    # empty and whitespace-only ARE identical (empty) content: one group
+    assert ed.get(2) == 2
+
+    cands = minhash_candidates(docs).collect()
+    assert {(r["id_a"], r["id_b"]) for r in cands} == {(0, 5)}
+    sims = simhash_neardup_pairs(docs).collect()
+    assert {(r["id_a"], r["id_b"]) for r in sims} == {(0, 5)}
+
+    scores = {
+        r["doc_id"]: (r["q"], r["n"])
+        for r in docs.select(
+            "doc_id",
+            quality_score("text").alias("q"),
+            token_count("text").alias("n"),
+        ).collect()
+    }
+    assert scores[1] == (0.0, None) or scores[1][0] == 0.0  # null text
+    assert scores[2][1] == 0 and scores[3][1] == 0  # no phantom token
+    assert scores[2][0] < scores[0][0]  # empty never outranks content
+
+
+def test_zero_norm_vector_never_ranks_in_topk(spark):
+    """A zero embedding (failed embed run) must not become anyone's
+    neighbor: cosine returns NULL for zero norms, and NULL sorts last
+    under desc() — where NaN (0/0) would sort FIRST and displace a
+    real neighbor in every top-k window."""
+    from kpipe_spark.functions.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]), (4, [0.5, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id bigint, embedding array<double>"
+    )
+    out = brute_force_topk(corpus, q, k=2, query_id_col="query_id")
+    neighbors = [r["neighbor_id"] for r in sorted(out.collect(), key=lambda r: r["rn"])]
+    assert neighbors == [2, 4]  # the zero vector is ranked by nobody
