@@ -130,6 +130,7 @@ def all_queries() -> dict[str, Query]:
         llm_ops7,
         llm_ops8,
         llm_ops9,
+        llm_ops10,
         pipeline_queries,
         relational,
         relational2,

@@ -1,0 +1,529 @@
+"""LLM-pipeline operators, part 10: corpus assembly — the decisions a
+pipeline makes AFTER filtering and dedup have scored every document.
+
+Reference parity note: kpipe declares analytics out of scope
+(/root/reference/README.md:190-208); these extend the north-star LLM
+surface (SURVEY.md §2.4) over the synthetic documents table.
+
+The unifying scale discipline here is avoiding the global ordered
+cumulative sum. Three of these ops (budget selection, shard planning,
+the funnel) are naturally stated as "walk the corpus in order and
+accumulate" — a formulation whose Spark translation is a
+single-partition window, i.e. one task touching 100 TB. Each op
+instead uses the two-phase shape: a small exact aggregate (a
+10k-bucket histogram, a 5-row stage table, an 8-row shard ledger)
+computed with ordinary partial aggregation, then a broadcast of that
+small table back across the corpus. Only d57's boundary bucket — the
+budget-remainder-sized sliver where the exact greedy order matters —
+ever sees an ordered window, and it is partitioned down to one quality
+bucket before the window runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kpipe_spark.catalog import load_tables
+from kpipe_spark.functions import dedup as D
+from kpipe_spark.functions import text as T
+from kpipe_spark.queries import register
+from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
+
+_SW = ("the", "a", "of", "and", "to", "in", "is")
+
+# the d50 quality expression, verbatim — d57 orders the corpus by it,
+# so the fragment must stay bit-identical to quality_score()
+_QUALITY_SQL = r"""
+             floor((
+               (len(list_distinct({toks})) / len({toks}))
+               + least(len({toks}) / 100.0, 1.0)
+               + least((len(list_filter({toks},
+                        t -> t IN ('the','a','of','and','to','in','is')))
+                        / len({toks})) * 5.0, 1.0)
+             ) / 3.0 * 10000.0 + 0.5) / 10000.0
+""".replace("{toks}", "regexp_split_to_array(trim(text), '\\s+')")
+
+
+@register(
+    "d57_token_budget_selection",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             {_QUALITY_SQL} AS quality
+      FROM documents
+    ), tot AS (
+      SELECT CAST(floor(sum(n_tokens) * 0.25) AS BIGINT) AS budget FROM q
+    ), o AS (
+      SELECT *,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM q
+    ), adm AS (
+      SELECT * FROM o, tot WHERE before < budget
+    ), st AS (
+      SELECT source, count(*) AS n_admitted,
+             CAST(sum(n_tokens) AS BIGINT) AS admitted_tokens
+      FROM adm GROUP BY source
+    ), src AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS source_tokens
+      FROM q GROUP BY source
+    )
+    SELECT s.source, n_admitted, admitted_tokens, source_tokens,
+           CAST(floor((admitted_tokens * 1.0 / source_tokens) * 10000.0
+                      + 0.5) / 10000.0 AS DOUBLE) AS admitted_share
+    FROM st s JOIN src USING (source)
+    """,
+    description="token-budget corpus selection: greedily admit the "
+    "highest-quality documents (quality desc, doc_id asc) until 25% of "
+    "the corpus's tokens are taken — the 'best N tokens' cut every "
+    "budgeted pretraining run makes — reported per source. Scale: the "
+    "naive formulation is ONE ordered cumulative sum over the whole "
+    "corpus (a single-partition window = one task walking 100 TB). "
+    "This runs the exact-quantile two-phase instead: quality is "
+    "already round4-quantized, so a <=10001-row bucket histogram "
+    "(ordinary partial agg) locates the boundary bucket exactly; "
+    "whole buckets above it admit with no ordering at all, and only "
+    "the boundary bucket's docs — a budget-remainder-sized sliver — "
+    "flow through an ordered window (partitioned to that bucket). "
+    "Result is bit-identical to the oracle's global greedy scan.",
+    tags=("llm", "sampling", "quality", "mixing"),
+)
+def d57_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.util import ieee_round
+
+    docs = load_tables(spark, sf_dir).documents
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+    ).withColumn(
+        # quality is ieee_round(x, 4): multiplying back recovers the
+        # integer rank exactly (fp error << 0.5), giving an equi-joinable
+        # bucket key where the double itself could not be trusted
+        "qint",
+        F.floor(F.col("quality") * 10000.0 + F.lit(0.5)).cast("long"),
+    )
+    tot = q.agg(
+        F.floor(F.sum("n_tokens") * 0.25).cast("long").alias("budget")
+    )
+    hist = q.groupBy("qint").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w_desc = Window.orderBy(F.col("qint").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # <=10001 rows: the single-task window runs over the histogram, never
+    # the corpus
+    hist = hist.withColumn(
+        "above", F.coalesce(F.sum("bucket_tokens").over(w_desc), F.lit(0))
+    )
+    qa = q.join(F.broadcast(hist), "qint").crossJoin(F.broadcast(tot))
+    full = qa.filter(
+        F.col("above") + F.col("bucket_tokens") <= F.col("budget")
+    )
+    boundary = qa.filter(
+        (F.col("above") < F.col("budget"))
+        & (F.col("above") + F.col("bucket_tokens") > F.col("budget"))
+    )
+    w_in = Window.partitionBy("qint").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boundary = boundary.withColumn(
+        "_before_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    ).filter(F.col("above") + F.col("_before_in") < F.col("budget"))
+    cols = ["doc_id", "source", "n_tokens"]
+    admitted = full.select(*cols).unionByName(boundary.select(*cols))
+    st = admitted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_admitted"),
+        F.sum("n_tokens").alias("admitted_tokens"),
+    )
+    src = q.groupBy("source").agg(F.sum("n_tokens").alias("source_tokens"))
+    return st.join(src, "source").select(
+        "source",
+        "n_admitted",
+        "admitted_tokens",
+        "source_tokens",
+        ieee_round(
+            F.col("admitted_tokens") / F.col("source_tokens"), 4
+        ).alias("admitted_share"),
+    )
+
+
+@register(
+    "d58_shard_plan",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 8 AS shard
+      FROM documents
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM t
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           max(n_tokens) AS max_doc_tokens,
+           CAST(floor((sum(n_tokens) * 1.0 / corpus_tokens) * 10000.0
+                      + 0.5) / 10000.0 AS DOUBLE) AS token_share
+    FROM t, tot GROUP BY shard, corpus_tokens
+    """,
+    description="output-shard planning: assign every document to one of "
+    "8 training shards by a content-independent hash of its id, and "
+    "audit the balance the plan achieves (docs, tokens, share, and the "
+    "largest single doc per shard — the straggler bound). Scale: the "
+    "tempting alternative — round-robin by global row_number for "
+    "perfect balance — is a total order, i.e. one task. Hash "
+    "assignment is embarrassingly parallel, stable under reruns and "
+    "appends (a doc's shard never changes when others arrive), and "
+    "law-of-large-numbers balanced: the audit this op emits is how a "
+    "pipeline VERIFIES that claim instead of assuming it. md5-derived "
+    "so the assignment is reproducible cross-engine (dedup.md5_hash60 "
+    "contract), not tied to Spark's xxhash64.",
+    tags=("llm", "sharding", "profiling"),
+)
+def d58_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.util import ieee_round
+
+    docs = load_tables(spark, sf_dir).documents
+    t = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (D.md5_hash60(F.col("doc_id").cast("string")) % 8).alias("shard"),
+    )
+    tot = t.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .groupBy("shard", "corpus_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_doc_tokens"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            "max_doc_tokens",
+            ieee_round(
+                F.col("total_tokens") / F.col("corpus_tokens"), 4
+            ).alias("token_share"),
+        )
+    )
+
+
+@register(
+    "d59_priority_source_dedup",
+    oracle=f"""
+    WITH {SIMHASH_CTES},
+    f AS (
+      SELECT d.doc_id, d.source, d.n_chars, s.simhash64,
+             CAST(regexp_extract(d.source, '(\\d+)$', 1) AS INTEGER) AS pri
+      FROM documents d JOIN sim s USING (doc_id)
+      WHERE s.simhash64 <> 0
+    ), r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY simhash64 ORDER BY pri, doc_id) AS rn
+      FROM f
+    ), win AS (
+      SELECT simhash64, source AS winner_source FROM r WHERE rn = 1
+    )
+    SELECT winner_source, r.source AS loser_source,
+           count(*) AS n_docs_lost,
+           CAST(sum(n_chars) AS BIGINT) AS chars_lost
+    FROM r JOIN win USING (simhash64) WHERE rn > 1
+    GROUP BY winner_source, loser_source
+    """,
+    description="priority-source dedup: when the same content appears "
+    "in multiple sources, keep the copy from the most-trusted source "
+    "(lowest source index; doc_id breaks ties) and account for what "
+    "each source loses to whom — the winner/loser matrix that tells a "
+    "curation team which feeds are shadowed by better ones. Content "
+    "identity is an identical 64-bit SimHash (d46's cross-source "
+    "overlap key — same token multiset modulo tiny noise; fingerprint "
+    "0 = token-less doc, excluded). Scale: one shuffle on the 8-byte "
+    "fingerprint; the winner per group is a min_by partial aggregate "
+    "(map-side combine collapses each group before the exchange — the "
+    "d13 max_by pattern), and the winner table joins back "
+    "fingerprint-co-partitioned, so no second exchange shape appears. "
+    "Never shuffles document text.",
+    tags=("llm", "dedup", "mixing"),
+)
+def d59_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    f = (
+        D.simhash_df(docs)
+        .filter(F.col("simhash64") != 0)
+        .join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+        .withColumn(
+            "pri",
+            F.regexp_extract("source", r"(\d+)$", 1).cast("int"),
+        )
+    )
+    key = F.struct("pri", "doc_id")
+    winners = f.groupBy("simhash64").agg(
+        F.min_by("source", key).alias("winner_source"),
+        F.min(key).alias("_wkey"),
+        F.count(F.lit(1)).alias("_n"),
+    ).filter(F.col("_n") > 1)
+    return (
+        f.join(winners, "simhash64")
+        .filter(key != F.col("_wkey"))
+        .groupBy("winner_source", F.col("source").alias("loser_source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_lost"),
+            F.sum("n_chars").alias("chars_lost"),
+        )
+    )
+
+
+@register(
+    "d60_curation_funnel",
+    oracle=f"""
+    WITH {MINHASH_CTES},
+    base AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             (lang = 'en') AS f1,
+             (lang = 'en'
+              AND len(string_split(text, ' ')) >= 30
+              AND ((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                   / len(string_split(text, ' '))) BETWEEN 3 AND 6
+              AND (len(list_filter(string_split(text, ' '),
+                       x -> x IN {_SW!r})) * 1.0
+                   / len(string_split(text, ' '))) >= 0.01
+              AND (len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' '))) >= 0.35) AS f2,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), keeper AS (
+      SELECT fp, min(doc_id) AS keep_id FROM base WHERE f2 GROUP BY fp
+    ), s3 AS (
+      SELECT b.*, (b.f2 AND b.doc_id = k.keep_id) AS f3
+      FROM base b LEFT JOIN keeper k ON b.fp = k.fp
+    ), drop4 AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c JOIN s3 a ON a.doc_id = c.id_a AND a.f3
+    ), s4 AS (
+      SELECT s3.*, (f3 AND d.doc_id IS NULL) AS f4
+      FROM s3 LEFT JOIN drop4 d ON s3.doc_id = d.doc_id
+    ), stagecnt AS (
+      SELECT (CASE WHEN f4 THEN 4 WHEN f3 THEN 3 WHEN f2 THEN 2
+                   WHEN f1 THEN 1 ELSE 0 END) AS max_stage,
+             count(*) AS cnt, CAST(sum(n_tokens) AS BIGINT) AS tok
+      FROM s4 GROUP BY 1
+    ), stages AS (SELECT unnest(range(5)) AS stage)
+    SELECT s.stage,
+           CASE s.stage WHEN 0 THEN 'raw' WHEN 1 THEN 'lang_en'
+                WHEN 2 THEN 'gopher_gate' WHEN 3 THEN 'exact_dedup'
+                ELSE 'near_dedup' END AS stage_name,
+           CAST(coalesce((SELECT sum(cnt) FROM stagecnt
+                          WHERE max_stage >= s.stage), 0) AS BIGINT)
+             AS n_docs,
+           CAST(coalesce((SELECT sum(tok) FROM stagecnt
+                          WHERE max_stage >= s.stage), 0) AS BIGINT)
+             AS n_tokens
+    FROM stages s
+    """,
+    description="end-to-end curation funnel: per-stage survivor counts "
+    "and token yields through raw -> English -> Gopher quality gate -> "
+    "exact dedup (min-id per content fingerprint among gate survivors) "
+    "-> near-dedup (drop docs with a lower-id MinHash band partner "
+    "that itself survived exact dedup) — the attrition ledger every "
+    "dataset card publishes. The near-dedup stage is the PAIRWISE "
+    "rule, deliberately: it needs no transitive closure (d24 computes "
+    "that when cluster identity matters) and over-drops only when a "
+    "chain's middle link was itself removed. Scale: each stage is a "
+    "flag column; the whole funnel reduces to one corpus scan plus the "
+    "dedup shuffles the stages already own (md5 fingerprint, "
+    "(band,bucket)); the final cumulative walk runs over a 5-row "
+    "stage histogram, not the corpus.",
+    tags=("llm", "dedup", "quality", "profiling"),
+)
+def d60_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    ts = F.split("text", " ")
+    n = F.size(ts)
+    mwl = (F.length("text") - (n - 1)) / n
+    swf = F.size(F.filter(ts, lambda x: x.isin(*_SW))) / n
+    dr = F.size(F.array_distinct(ts)) / n
+    f1 = F.col("lang") == "en"
+    f2 = f1 & (n >= 30) & mwl.between(3, 6) & (swf >= 0.01) & (dr >= 0.35)
+    base = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        T.fingerprint("text").alias("fp"),
+    )
+    keeper = base.filter("f2").groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    s3 = base.join(keeper, "fp", "left").withColumn(
+        "f3", F.col("f2") & (F.col("doc_id") == F.col("keep_id"))
+    )
+    surv = s3.filter("f3").select(F.col("doc_id").alias("id_a"))
+    drop4 = (
+        D.minhash_candidates(docs)
+        .join(surv, "id_a")
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    s4 = s3.join(drop4, "doc_id", "left").withColumn(
+        "f4", F.col("f3") & F.col("_dropped").isNull()
+    )
+    max_stage = (
+        F.when(F.col("f4"), 4)
+        .when(F.col("f3"), 3)
+        .when(F.col("f2"), 2)
+        .when(F.col("f1"), 1)
+        .otherwise(0)
+    )
+    g = s4.groupBy(max_stage.alias("max_stage")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("n_tokens").alias("tok")
+    )
+    stages = spark.range(5).select(F.col("id").alias("stage"))
+    names = F.array(
+        *[
+            F.lit(s)
+            for s in ("raw", "lang_en", "gopher_gate", "exact_dedup",
+                      "near_dedup")
+        ]
+    )
+    joined = stages.join(
+        F.broadcast(g), stages.stage == g.max_stage, "left"
+    ).select(
+        "stage",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.coalesce("tok", F.lit(0)).alias("tok"),
+    )
+    # 5-row frame: the single-task window is over the stage histogram
+    w = Window.orderBy(F.col("stage").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "stage",
+        F.element_at(names, F.col("stage").cast("int") + 1).alias(
+            "stage_name"
+        ),
+        F.sum("cnt").over(w).cast("long").alias("n_docs"),
+        F.sum("tok").over(w).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "m07_multimodal_packing",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             CAST(320 + (doc_id * 37) % 1600 AS INT) AS width,
+             CAST(240 + (doc_id * 53) % 900 AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    ), resized AS (
+      SELECT doc_id,
+             CASE WHEN greatest(width, height) <= 512 THEN width
+                  WHEN width >= height THEN 512
+                  ELSE greatest(1, (width * 512) // height) END AS new_w,
+             CASE WHEN greatest(width, height) <= 512 THEN height
+                  WHEN width >= height
+                  THEN greatest(1, (height * 512) // width)
+                  ELSE 512 END AS new_h
+      FROM img
+    ), patch AS (
+      SELECT doc_id,
+             CAST(((new_w + 13) // 14) * ((new_h + 13) // 14) AS BIGINT)
+               AS n_patches
+      FROM resized
+    ), samp AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS text_toks,
+             CAST(coalesce(p.n_patches, 0) AS BIGINT) AS image_toks
+      FROM documents d LEFT JOIN patch p USING (doc_id)
+    ), packed AS (
+      SELECT source, text_toks, image_toks,
+             text_toks + image_toks AS sample_toks,
+             CAST((sum(text_toks + image_toks) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING)
+                   - (text_toks + image_toks)) // 2048 AS BIGINT) AS seq_id
+      FROM samp
+    )
+    SELECT source, seq_id,
+           count(*) AS n_samples,
+           CAST(sum(text_toks) AS BIGINT) AS text_tokens,
+           CAST(sum(image_toks) AS BIGINT) AS image_tokens,
+           CAST(sum(sample_toks) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY source, seq_id
+    """,
+    description="multimodal sequence packing: each sample's token cost "
+    "is its text tokens PLUS its image's post-resize ViT patch count "
+    "(m04's integer plan; docs without an image cost text only), "
+    "packed per source into 2048-token training sequences with d39's "
+    "concat-then-chunk rule — the packing a vision-language trainer "
+    "runs, where images are the token budget's dominant and lumpiest "
+    "consumer. Emits per-sequence sample counts and the text/image "
+    "token split (the modality-balance number batch composition "
+    "monitoring watches). Scale: the resize plan is a pure projection; "
+    "packing windows are partitioned per source exactly as d39 — no "
+    "global order anywhere.",
+    tags=("llm", "multimodal", "packing"),
+)
+def m07_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    w_, h_ = F.col("width"), F.col("height")
+    img = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        (320 + (F.col("doc_id") * 37) % 1600).cast("int").alias("width"),
+        (240 + (F.col("doc_id") * 53) % 900).cast("int").alias("height"),
+    )
+    fits = F.greatest(w_, h_) <= 512
+    landscape = w_ >= h_
+    new_w = (
+        F.when(fits, w_)
+        .when(landscape, F.lit(512))
+        .otherwise(F.greatest(F.lit(1), F.floor(w_ * 512 / h_).cast("int")))
+    )
+    new_h = (
+        F.when(fits, h_)
+        .when(landscape, F.greatest(F.lit(1), F.floor(h_ * 512 / w_).cast("int")))
+        .otherwise(F.lit(512))
+    )
+    patch = img.select(
+        "doc_id",
+        (
+            F.floor((new_w + 13) / 14) * F.floor((new_h + 13) / 14)
+        ).cast("long").alias("n_patches"),
+    )
+    samp = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("text_toks"),
+        )
+        .join(patch, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "text_toks",
+            F.coalesce("n_patches", F.lit(0)).alias("image_toks"),
+        )
+    )
+    st = F.col("text_toks") + F.col("image_toks")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = samp.withColumn(
+        "seq_id", F.floor((F.sum(st).over(w) - st) / 2048.0).cast("long")
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("text_toks").alias("text_tokens"),
+        F.sum("image_toks").alias("image_tokens"),
+        F.sum(st).alias("total_tokens"),
+    )
