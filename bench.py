@@ -117,11 +117,13 @@ def main() -> None:
     for name in HEADLINE:
         q = queries[name]
         best = float("inf")
-        # best-of-2: first run includes codegen compilation; the repeat
-        # measures steady-state (GC noise at 32 threads is ±30% on the
-        # heavy queries otherwise). The noop write forces execution of
-        # every output column — count() would column-prune projections.
-        for _ in range(2):
+        # best-of-3: the first run includes codegen compilation, and at
+        # local[32] any single run can eat a GC pause worth ±30% on the
+        # heavy queries (measured: the same d05 plan ranged 1.0-4.3 s
+        # across sessions at load; min-of-3 keeps the steady-state
+        # number). The noop write forces execution of every output
+        # column — count() would column-prune projections.
+        for _ in range(3):
             t0 = time.perf_counter()
             q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

@@ -1,0 +1,88 @@
+"""Semantic invariants for the corpus-assembly ops (llm_ops10) beyond
+the DuckDB oracle equality the shared oracle suite already checks:
+budget admission bounds, shard completeness, funnel monotonicity,
+priority ordering, and modality-split accounting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kpipe_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_d57_budget_admission_bounds(spark):
+    """Greedy admission must reach the budget and overshoot by at most
+    one document (the last admitted one)."""
+    res = (
+        all_queries()["d57_token_budget_selection"]
+        .build(spark, SF)
+        .agg(F.sum("admitted_tokens").alias("adm"))
+        .collect()[0]
+    )
+    toks = _docs(spark).select(
+        F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    row = toks.agg(
+        F.sum("n").alias("total"), F.max("n").alias("max_doc")
+    ).collect()[0]
+    budget = int(row["total"] * 0.25)
+    assert budget <= res["adm"] <= budget + row["max_doc"]
+
+
+def test_d58_shards_partition_the_corpus(spark):
+    """Every document lands in exactly one of the 8 shards; totals
+    reconcile with the corpus."""
+    rows = all_queries()["d58_shard_plan"].build(spark, SF).collect()
+    assert sorted(r["shard"] for r in rows) == list(range(8))
+    n_docs = _docs(spark).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # shares sum to ~1 (round4 per shard)
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_d59_winner_always_higher_priority(spark):
+    """The surviving copy must come from a source with a lower-or-equal
+    index than every copy it shadows (lower index = more trusted)."""
+    rows = (
+        all_queries()["d59_priority_source_dedup"].build(spark, SF).collect()
+    )
+    assert rows, "fixture must contain cross-source duplicate content"
+    for r in rows:
+        w = int(r["winner_source"].removeprefix("src"))
+        l = int(r["loser_source"].removeprefix("src"))
+        assert w <= l
+
+
+def test_d60_funnel_is_monotone(spark):
+    """Each stage can only remove documents/tokens, and stage 0 is the
+    whole corpus."""
+    rows = sorted(
+        all_queries()["d60_curation_funnel"].build(spark, SF).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage_name"] for r in rows] == [
+        "raw", "lang_en", "gopher_gate", "exact_dedup", "near_dedup",
+    ]
+    assert rows[0]["n_docs"] == _docs(spark).count()
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] <= a["n_docs"]
+        assert b["n_tokens"] <= a["n_tokens"]
+
+
+def test_m07_packing_accounts_every_doc_and_token(spark):
+    """Sequences partition the corpus: sample counts sum to the doc
+    count, token sums split exactly into text + image."""
+    df = all_queries()["m07_multimodal_packing"].build(spark, SF)
+    rows = df.collect()
+    assert sum(r["n_samples"] for r in rows) == _docs(spark).count()
+    for r in rows:
+        assert r["total_tokens"] == r["text_tokens"] + r["image_tokens"]
+    # only every-third doc carries an image, so text must dominate
+    # somewhere and image tokens must be present overall
+    assert sum(r["image_tokens"] for r in rows) > 0
