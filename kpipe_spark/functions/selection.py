@@ -1,0 +1,82 @@
+"""Budget-constrained greedy selection without a global ordered scan.
+
+The problem: admit rows in (order_key desc, id asc) order, accumulating
+``weight``, until the running total reaches ``budget`` (the classic
+"best N tokens" corpus cut — a row is admitted iff the total weight of
+all strictly-preceding rows is < budget). The direct translation is a
+cumulative sum over a TOTAL order — in Spark a window with no
+partitionBy, i.e. a single task walking the whole dataset.
+
+``budget_select`` computes the identical admission set with the
+exact-quantile two-phase shape instead:
+
+1. quantize ``order_key`` to an integer bucket (callers pass a key that
+   is already discrete, e.g. a round4-scaled score — the quantization
+   must be order-preserving and collision-free for DISTINCT key
+   values, so equal buckets ⟺ equal keys);
+2. aggregate a per-bucket weight histogram (ordinary partial agg; the
+   histogram is |distinct keys| rows — thousands, not billions) and
+   prefix-sum it with a window over the HISTOGRAM;
+3. buckets whose prefix fits entirely under budget admit orderlessly;
+   only the single boundary bucket — the bucket the budget boundary
+   falls inside — flows through an ordered window, partitioned to
+   that bucket.
+
+Equivalence to the global greedy: higher bucket ⟹ strictly greater
+order_key, and within a bucket every row has the SAME order_key, so the
+global order (key desc, id asc) is exactly (bucket desc, id asc) — the
+boundary-bucket window ordered by id reproduces the scan's order for
+the only rows whose order matters. tests/test_properties.py checks the
+equivalence against a plain-Python reference on randomized inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def budget_select(
+    df: DataFrame,
+    bucket: Column,
+    weight: Column,
+    budget: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of ``df`` admitted by the greedy (bucket desc, id asc) scan
+    under ``budget`` (a 1-row aggregate DataFrame is NOT taken — pass a
+    scalar Column usable in a literal/broadcast context via
+    ``F.lit(...)`` or join the budget in beforehand).
+
+    ``bucket`` must be an integer-valued, order-preserving quantization
+    of the ranking key (ties in the real key ⟺ same bucket). Returns
+    the admitted rows with their original columns.
+    """
+    src_cols = df.columns
+    q = df.withColumn("_bucket", bucket).withColumn("_w", weight)
+    hist = q.groupBy("_bucket").agg(F.sum("_w").alias("_bucket_w"))
+    w_desc = Window.orderBy(F.col("_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # the single-task window runs over the histogram, never the data
+    hist = hist.withColumn(
+        "_above", F.coalesce(F.sum("_bucket_w").over(w_desc), F.lit(0))
+    )
+    qa = q.join(F.broadcast(hist), "_bucket").withColumn("_budget", budget)
+    # strict <: a zero-weight row sitting EXACTLY at the boundary has
+    # before == budget and must be rejected (before < budget is the
+    # admission rule) — with <=, whole-bucket admission would take it.
+    # Buckets ending exactly at the budget go through the boundary
+    # window instead, which applies the rule row-by-row.
+    full = qa.filter(F.col("_above") + F.col("_bucket_w") < F.col("_budget"))
+    boundary = qa.filter(
+        (F.col("_above") < F.col("_budget"))
+        & (F.col("_above") + F.col("_bucket_w") >= F.col("_budget"))
+    )
+    w_in = Window.partitionBy("_bucket").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boundary = boundary.withColumn(
+        "_before", F.coalesce(F.sum("_w").over(w_in), F.lit(0))
+    ).filter(F.col("_above") + F.col("_before") < F.col("_budget"))
+    return full.select(*src_cols).unionByName(boundary.select(*src_cols))

@@ -108,34 +108,17 @@ def d57_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qint",
         F.floor(F.col("quality") * 10000.0 + F.lit(0.5)).cast("long"),
     )
+    from kpipe_spark.functions.selection import budget_select
+
     tot = q.agg(
         F.floor(F.sum("n_tokens") * 0.25).cast("long").alias("budget")
     )
-    hist = q.groupBy("qint").agg(F.sum("n_tokens").alias("bucket_tokens"))
-    w_desc = Window.orderBy(F.col("qint").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    admitted = budget_select(
+        q.crossJoin(F.broadcast(tot)),
+        bucket=F.col("qint"),
+        weight=F.col("n_tokens"),
+        budget=F.col("budget"),
     )
-    # <=10001 rows: the single-task window runs over the histogram, never
-    # the corpus
-    hist = hist.withColumn(
-        "above", F.coalesce(F.sum("bucket_tokens").over(w_desc), F.lit(0))
-    )
-    qa = q.join(F.broadcast(hist), "qint").crossJoin(F.broadcast(tot))
-    full = qa.filter(
-        F.col("above") + F.col("bucket_tokens") <= F.col("budget")
-    )
-    boundary = qa.filter(
-        (F.col("above") < F.col("budget"))
-        & (F.col("above") + F.col("bucket_tokens") > F.col("budget"))
-    )
-    w_in = Window.partitionBy("qint").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    boundary = boundary.withColumn(
-        "_before_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
-    ).filter(F.col("above") + F.col("_before_in") < F.col("budget"))
-    cols = ["doc_id", "source", "n_tokens"]
-    admitted = full.select(*cols).unionByName(boundary.select(*cols))
     st = admitted.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_admitted"),
         F.sum("n_tokens").alias("admitted_tokens"),

@@ -86,3 +86,55 @@ def test_m07_packing_accounts_every_doc_and_token(spark):
     # only every-third doc carries an image, so text must dominate
     # somewhere and image tokens must be present overall
     assert sum(r["image_tokens"] for r in rows) > 0
+
+
+# ---- two-phase budget_select equivalence (randomized) ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from kpipe_spark.functions.selection import budget_select  # noqa: E402
+
+
+def _greedy_reference(rows, budget):
+    """Plain-Python global greedy scan: admit in (bucket desc, id asc)
+    order while the weight admitted BEFORE the row is < budget."""
+    admitted, acc = set(), 0
+    for rid, bucket, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if acc < budget:
+            admitted.add(rid)
+        acc += w
+    return admitted
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # bucket: forces ties
+            st.integers(min_value=0, max_value=50),  # weight (0 = empty doc)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    budget_frac=st.floats(min_value=0.0, max_value=1.2),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_budget_select_matches_global_greedy(spark, rows, budget_frac):
+    """The two-phase histogram shape must reproduce the global ordered
+    scan exactly — including all-tied buckets, zero weights, budget 0
+    and budget > total."""
+    data = [(i, b, w) for i, (b, w) in enumerate(rows)]
+    total = sum(w for _, _, w in data)
+    budget = int(total * budget_frac)
+    df = spark.createDataFrame(data, "doc_id long, bucket long, w long")
+    got = {
+        r["doc_id"]
+        for r in budget_select(
+            df, F.col("bucket"), F.col("w"), F.lit(budget)
+        ).collect()
+    }
+    assert got == _greedy_reference(data, budget)
