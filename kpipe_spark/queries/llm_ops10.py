@@ -510,3 +510,131 @@ def m07_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("image_toks").alias("image_tokens"),
         F.sum(st).alias("total_tokens"),
     )
+
+
+@register(
+    "d61_dup_substring_spans",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(concat('0x', substr(md5(array_to_string(ws[i:i+4], ' ')),
+                  1, 15)) AS BIGINT) AS h
+      FROM words, unnest(generate_series(1, len(ws)-4)) AS t(i)
+      WHERE len(ws) >= 5
+    ),
+    dup AS (
+      SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+    fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos) > 5
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl
+    ),
+    spans AS (
+      SELECT doc_id, island, count(*) AS n_grams,
+             max(pos) - min(pos) + 5 AS span_len
+      FROM isl GROUP BY doc_id, island
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(n_grams) AS BIGINT) AS n_dup_grams,
+             count(*) AS n_spans,
+             CAST(max(span_len) AS BIGINT) AS longest_span_tokens,
+             CAST(sum(span_len) AS BIGINT) AS covered
+      FROM spans GROUP BY doc_id
+    )
+    SELECT a.doc_id, n_dup_grams, n_spans, longest_span_tokens,
+           CAST(floor(covered * 1.0 / len(w.ws) * 10000.0 + 0.5)
+                / 10000.0 AS DOUBLE) AS dup_token_frac
+    FROM agg a JOIN words w USING (doc_id)
+    """,
+    description="cross-document duplicated SUBSTRING spans: positions "
+    "whose 5-gram also appears in another document, merged into "
+    "maximal spans (two dup-gram starts within 5 positions overlap or "
+    "touch as token ranges), reporting per doc the span count, the "
+    "longest span and the fraction of tokens covered — the "
+    "sub-document exact-duplication signal (the substring-dedup "
+    "family: whole-doc dedup misses a page whose middle third is a "
+    "syndicated boilerplate block). d53 chunks content-defined and "
+    "dedups chunks; this is position-exact and gap-merged, the "
+    "excise-these-byte-ranges ledger. Scale: grams travel as 60-bit "
+    "md5 keys (8 B), never text; the dup set comes from one "
+    "partial-agg countDistinct and is JOINED (not broadcast — it is "
+    "corpus-sized) back on the hash, so both shuffles key on "
+    "well-spread 8-byte hashes; span merging windows per doc. Hash "
+    "collisions affect both engines identically, so the oracle "
+    "equality is exact by construction.",
+    tags=("llm", "dedup", "ngram", "window"),
+)
+def d61_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.util import ieee_round
+
+    docs = load_tables(spark, sf_dir).documents.select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    grams = (
+        docs.filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(ws)-4),"
+                    " i -> concat_ws(' ', slice(ws, i, 5)))"
+                )
+            ).alias("_p", "g"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_p") + 1).alias("pos"),
+            D.md5_hash60(F.col("g")).alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    # NOT broadcast: the dup-gram set is corpus-sized; both sides
+    # shuffle on the 8-byte hash
+    hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > 5, F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = hits.withColumn(
+        "island",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        (F.max("pos") - F.min("pos") + 5).alias("span_len"),
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.sum("n_grams").alias("n_dup_grams"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_len").alias("longest_span_tokens"),
+        F.sum("span_len").alias("_covered"),
+    )
+    return agg.join(docs, "doc_id").select(
+        "doc_id",
+        "n_dup_grams",
+        "n_spans",
+        "longest_span_tokens",
+        ieee_round(F.col("_covered") / F.size("ws"), 4).alias(
+            "dup_token_frac"
+        ),
+    )
