@@ -167,9 +167,12 @@ def minhash_signature_df(
     # quadratic mega-bucket of unrelated rows (and the pairs it emits
     # are bogus: missing text is not identical text). No content, no
     # near-dup candidacy.
-    content = (
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    )
+    # rlike '\S', not trim() != '': trim strips only spaces, so a
+    # tab/newline-only document would slip past a trim check, tokenize
+    # to [] and fall into word_shingles' whole-text fallback — every
+    # such doc sharing one signature (the mega-bucket this guard
+    # exists to prevent). Mirrored in _oracle_fragments.minhash_ctes.
+    content = F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
     pre = ensure_parallelism(df.filter(content)).select(
         F.col(id_col), word_shingle_hashes(text_col, shingle_k).alias("_hs")
     )

@@ -27,10 +27,16 @@ def minhash_ctes(
     oracle."""
     return rf"""
     toks AS (
-      -- degenerate docs excluded, mirroring minhash_signature_df: a
-      -- null/empty text has no content to near-dup against
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+      -- degenerate docs excluded, mirroring minhash_signature_df's
+      -- content guard (rlike '\S'): a null/whitespace-only text has no
+      -- content to near-dup against. Empty-string tokens are filtered
+      -- exactly as text.tokens() does, so tab-padded documents
+      -- tokenize identically in both engines.
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+      WHERE text IS NOT NULL AND regexp_matches(text, '\S')
     ), grams AS (
       SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
              i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
@@ -67,9 +73,11 @@ MINHASH_CTES = minhash_ctes()
 
 SIMHASH_CTES = r"""
     tok AS (
+      -- '' filtered to mirror text.tokens(): a whitespace-only doc
+      -- must vote on NO lanes (fingerprint 0), not on md5('')
       SELECT DISTINCT doc_id, t FROM (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
-        FROM documents)
+        FROM documents) WHERE t <> ''
     ), lanes AS (
       SELECT doc_id,
              CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h1,

@@ -22,7 +22,11 @@ from kpipe_spark.queries import register
 from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
 
 _FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
-_TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+# mirrors text.tokens(): split on whitespace runs, '' filtered — so a
+# tab-padded or whitespace-only document tokenizes identically in both
+# engines (plain regexp_split of a trimmed string keeps '' entries for
+# leading tabs, and [''] for empty text)
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
 
 @register(
@@ -77,12 +81,17 @@ _EN_STOP_SQL = "('the','a','of','and','to','in','is')"
     "d03_quality_score",
     oracle=f"""
     SELECT doc_id,
+           -- null/whitespace-only text scores 0.0, mirroring
+           -- quality_score's explicit guards (otherwise a token-less
+           -- doc divides by zero here while Spark returns 0.0)
+           CASE WHEN text IS NULL OR NOT regexp_matches(text, '\\S')
+                THEN 0.0 ELSE
            floor((
              (len(list_distinct({_TOKS_SQL})) / len({_TOKS_SQL}))
              + least(len({_TOKS_SQL}) / 100.0, 1.0)
              + least((len(list_filter({_TOKS_SQL}, t -> t IN {_EN_STOP_SQL}))
                       / len({_TOKS_SQL})) * 5.0, 1.0)
-           ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality
+           ) / 3.0 * 10000.0 + 0.5) / 10000.0 END AS quality
     FROM documents
     """,
     description="document quality scoring: lexical diversity + length + "
@@ -100,9 +109,9 @@ def _lang_score_sql(lang: str) -> str:
 
 
 _LANG_CASE_SQL = f"""
-    CASE WHEN greatest({_lang_score_sql('en')}, {_lang_score_sql('es')},
+    CASE WHEN coalesce(greatest({_lang_score_sql('en')}, {_lang_score_sql('es')},
                        {_lang_score_sql('fr')}, {_lang_score_sql('de')},
-                       {_lang_score_sql('zh')}) = 0 THEN 'unknown'
+                       {_lang_score_sql('zh')}), 0) = 0 THEN 'unknown'
          WHEN {_lang_score_sql('en')} = greatest({_lang_score_sql('en')}, {_lang_score_sql('es')}, {_lang_score_sql('fr')}, {_lang_score_sql('de')}, {_lang_score_sql('zh')}) THEN 'en'
          WHEN {_lang_score_sql('es')} = greatest({_lang_score_sql('en')}, {_lang_score_sql('es')}, {_lang_score_sql('fr')}, {_lang_score_sql('de')}, {_lang_score_sql('zh')}) THEN 'es'
          WHEN {_lang_score_sql('fr')} = greatest({_lang_score_sql('en')}, {_lang_score_sql('es')}, {_lang_score_sql('fr')}, {_lang_score_sql('de')}, {_lang_score_sql('zh')}) THEN 'fr'

@@ -33,16 +33,22 @@ from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
 _SW = ("the", "a", "of", "and", "to", "in", "is")
 
 # the d50 quality expression, verbatim — d57 orders the corpus by it,
-# so the fragment must stay bit-identical to quality_score()
+# so the fragment must stay bit-identical to quality_score(): tokens
+# are ''-filtered like text.tokens(), and null/whitespace-only text
+# scores 0.0 (quality_score's explicit guards)
 _QUALITY_SQL = r"""
+             CASE WHEN text IS NULL OR NOT regexp_matches(text, '\S')
+                  THEN 0.0 ELSE
              floor((
                (len(list_distinct({toks})) / len({toks}))
                + least(len({toks}) / 100.0, 1.0)
                + least((len(list_filter({toks},
                         t -> t IN ('the','a','of','and','to','in','is')))
                         / len({toks})) * 5.0, 1.0)
-             ) / 3.0 * 10000.0 + 0.5) / 10000.0
-""".replace("{toks}", "regexp_split_to_array(trim(text), '\\s+')")
+             ) / 3.0 * 10000.0 + 0.5) / 10000.0 END
+""".replace(
+    "{toks}", "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+)
 
 
 @register(

@@ -70,7 +70,10 @@ def d11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d12_doc_fingerprint",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      -- '' filtered to mirror text.tokens() (word_shingles input)
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS t
       FROM documents
     ), sh AS (
       SELECT doc_id,
@@ -80,11 +83,15 @@ def d11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE [array_to_string(t, ' ')] END AS shingles
       FROM toks
     )
-    SELECT doc_id,
+    SELECT s.doc_id,
+           -- contentless docs carry NO fingerprint (NULL), not
+           -- md5('') — an empty sketch must never collide docs
+           CASE WHEN d.text IS NULL OR NOT regexp_matches(d.text, '\S')
+                THEN NULL ELSE
            array_to_string(
-             list_sort(list_transform(shingles, s -> md5(s)))[1:4],
-             ',') AS fp
-    FROM sh
+             list_sort(list_transform(shingles, x -> md5(x)))[1:4],
+             ',') END AS fp
+    FROM sh s JOIN documents d USING (doc_id)
     """,
     description="document fingerprint: bottom-4 sketch of md5(3-word "
     "shingle) — a winnowing-style rolling-hash signature. Pure "
@@ -96,9 +103,15 @@ def d11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d12_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
     hashes = F.transform(word_shingles("text", 3), lambda s: F.md5(s))
+    content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
     return ensure_parallelism(docs).select(
         "doc_id",
-        F.array_join(F.slice(F.array_sort(hashes), 1, 4), ",").alias("fp"),
+        # contentless -> NULL: the fallback shingle of a token-less doc
+        # is '' and md5('') would make every such doc "identical"
+        F.when(
+            content,
+            F.array_join(F.slice(F.array_sort(hashes), 1, 4), ","),
+        ).alias("fp"),
     )
 
 
@@ -314,7 +327,12 @@ def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal"),
 )
 def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.sample_frames(media_frame(spark, sf_dir), every_n=10)
+    # kinds filter BEFORE generation (same reason as m05/m06): Catalyst
+    # can't push the kind filter through the mapInPandas encode stage,
+    # so without it every image/audio blob is encoded then discarded
+    return M.sample_frames(
+        media_frame(spark, sf_dir, kinds=("video",)), every_n=10
+    )
 
 
 @register(
@@ -492,8 +510,10 @@ def d16_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d17_unigram_logprob",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
-      FROM documents
+      -- '' filtered to mirror text.tokens()
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents) WHERE t <> ''
     ), cnt AS (
       SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
     ), freq AS (
@@ -685,7 +705,10 @@ def d21_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d22_repetition_score",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      -- '' filtered to mirror text.tokens()
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id,

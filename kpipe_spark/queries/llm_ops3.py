@@ -14,7 +14,8 @@ from kpipe_spark.catalog import load_tables
 from kpipe_spark.functions.text import tokens
 from kpipe_spark.queries import register
 
-_TOKS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+# mirrors text.tokens() ('' filtered) — see llm_ops._TOKS_SQL
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
 
 @register(

@@ -21,15 +21,17 @@ from kpipe_spark.catalog import load_tables
 from kpipe_spark.functions import similarity as S
 from kpipe_spark.functions.text import tokens
 from kpipe_spark.queries import register
-from kpipe_spark.util import ensure_parallelism
+from kpipe_spark.util import ensure_parallelism, ieee_round
 
 
 @register(
     "d36_lm_quality_buckets",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
-      FROM documents
+      -- '' filtered to mirror text.tokens()
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        FROM documents) WHERE t <> ''
     ), freq AS (
       SELECT t, count(*) / (SELECT count(*) FROM tok) AS p
       FROM tok GROUP BY t
@@ -108,11 +110,15 @@ def d36_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v, cents c
       ) WHERE crn = 1
     ), pairs AS (
+      -- floor(x*1e4+0.5)/1e4, not round(x,4): engine-native round
+      -- diverges at half-way points (util.ieee_round contract)
       SELECT a.centroid_id, a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_cosine_similarity(a.e, b.e), 4) AS cosine_sim
+             floor(list_cosine_similarity(a.e, b.e) * 10000.0 + 0.5)
+               / 10000.0 AS cosine_sim
       FROM assigned a JOIN assigned b
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-      WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.35
+      WHERE floor(list_cosine_similarity(a.e, b.e) * 10000.0 + 0.5)
+              / 10000.0 >= 0.35
     )
     SELECT id_b AS vec_id,
            min(id_a) AS dup_of,
@@ -177,7 +183,9 @@ def _semdedup_pairs(v: DataFrame, cents: DataFrame) -> DataFrame:
             "centroid_id",
             "id_a",
             "id_b",
-            F.round(S.cosine(F.col("_ea"), F.col("_eb")), 4).alias("cosine_sim"),
+            ieee_round(S.cosine(F.col("_ea"), F.col("_eb")), 4).alias(
+                "cosine_sim"
+            ),
         )
         .filter(F.col("cosine_sim") >= 0.35)
     )

@@ -25,25 +25,18 @@ from pyspark.sql import functions as F
 from kpipe_spark.catalog import load_tables
 from kpipe_spark.functions import dedup as D
 from kpipe_spark.queries import register
+from kpipe_spark.functions.mixing import temperature_norm_sql
 from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
 
 
 @register(
     "d44_temperature_sampling_weights",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT source,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
       FROM documents GROUP BY source
-    ), tot AS (
-      SELECT CAST(sum(n) AS BIGINT) AS t FROM tok
-    ), p AS (
-      SELECT source, n, sqrt(n * 1.0 / t) AS pt, t FROM tok, tot
-    ), d AS (
-      SELECT list_reduce(list(pt ORDER BY source),
-                         (acc, v) -> acc + v) AS denom
-      FROM p
-    )
+    ), {temperature_norm_sql('tok', 'n')}
     SELECT source,
            n AS src_tokens,
            CAST(floor(pt / denom * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
@@ -51,7 +44,7 @@ from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
            CAST(floor((pt / denom)
                 / (n * 1.0 / t) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
              AS upsample_factor
-    FROM p, d
+    FROM p, dn
     """,
     description="temperature-based source sampling (T=0.5, the "
     "multilingual-rebalance move): sample_prob_i ∝ p_i^T flattens the "
@@ -70,6 +63,7 @@ from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
 def d44_temperature_sampling_weights(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from kpipe_spark.functions.mixing import temperature_normalize
     from kpipe_spark.util import ieee_round
 
     docs = load_tables(spark, sf_dir).documents
@@ -78,22 +72,9 @@ def d44_temperature_sampling_weights(
         .groupBy("source")
         .agg(F.sum("_n").alias("src_tokens"))
     )
-    t = F.sum("src_tokens").over(Window.partitionBy())  # exact (ints)
-    p = tok.withColumn("_t", t).withColumn(
-        "_pt", F.sqrt(F.col("src_tokens") * 1.0 / F.col("_t"))
-    )
-    # Sequential left fold over (source, pt) sorted by source: the same
-    # addition order as the oracle's list_reduce, bit-for-bit. The 0.0
-    # init is exact (0.0 + x == x for the positive pt values).
-    denom = p.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct(F.col("source"), F.col("_pt")))),
-            F.lit(0.0),
-            lambda acc, s: acc + s["_pt"],
-        ).alias("_denom")
-    )
+    p = temperature_normalize(tok, "src_tokens")
     prob = F.col("_pt") / F.col("_denom")
-    return p.crossJoin(F.broadcast(denom)).select(
+    return p.select(
         "source",
         "src_tokens",
         ieee_round(prob, 6).alias("sample_prob"),
@@ -488,13 +469,17 @@ def d49_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT doc_id, source,
              len(string_split(text, ' ')) AS n_tokens,
+             -- null/whitespace-only text scores 0.0 and toks are
+             -- ''-filtered, mirroring quality_score()/text.tokens()
+             CASE WHEN text IS NULL OR NOT regexp_matches(text, '\\S')
+                  THEN 0.0 ELSE
              floor((
                (len(list_distinct({{toks}})) / len({{toks}}))
                + least(len({{toks}}) / 100.0, 1.0)
                + least((len(list_filter({{toks}},
                         t -> t IN ('the','a','of','and','to','in','is')))
                         / len({{toks}})) * 5.0, 1.0)
-             ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality
+             ) / 3.0 * 10000.0 + 0.5) / 10000.0 END AS quality
       FROM documents
     ), m AS (
       SELECT max(quality * quality) AS max_w FROM q
@@ -505,7 +490,10 @@ def d49_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(quality * quality / max_w * n_tokens) AS BIGINT)
              AS expected_tokens
     FROM q, m
-    """.replace("{toks}", "regexp_split_to_array(trim(text), '\\s+')"),
+    """.replace(
+        "{toks}",
+        "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')",
+    ),
     description="quality-weighted sampling plan: per-doc keep "
     "probability proportional to quality^2 (squaring sharpens the "
     "gate; multiplication is IEEE-exact where a pow() could differ by "
@@ -733,7 +721,11 @@ def m04_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d53_cdc_chunk_dedup",
     oracle=r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      -- '' filtered to mirror text.tokens() (positions are ordinal
+      -- only, so the 1-based/0-based offset vs posexplode is harmless)
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS arr
       FROM documents
     ), pos_tok AS (
       SELECT doc_id, t.pos, t.tok FROM toks,

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from kpipe_spark.catalog import load_tables
 from kpipe_spark.functions import dedup as D
 from kpipe_spark.functions import multimodal as M
+from kpipe_spark.functions.mixing import temperature_norm_sql, temperature_normalize
 from kpipe_spark.queries import register
 from kpipe_spark.queries._oracle_fragments import MINHASH_CTES
 
@@ -116,15 +117,7 @@ def d54_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS kept_tokens
       FROM tok GROUP BY source
     ),
-    tot AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS t FROM s),
-    p AS (
-      SELECT s.*, sqrt(kept_tokens * 1.0 / t) AS pt FROM s, tot
-    ),
-    dn AS (
-      SELECT list_reduce(list(pt ORDER BY source),
-                         (acc, v) -> acc + v) AS denom
-      FROM p
-    )
+    {temperature_norm_sql('s', 'kept_tokens')}
     SELECT source, raw_docs, kept_docs, kept_tokens,
            CAST(floor(pt / denom * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)
              AS sample_prob
@@ -142,8 +135,6 @@ def d54_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "sampling", "dedup"),
 )
 def d55_dedup_adjusted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from kpipe_spark.util import ieee_round
 
     docs = load_tables(spark, sf_dir).documents
@@ -163,18 +154,8 @@ def d55_dedup_adjusted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens"
         ),
     )
-    t = F.sum("kept_tokens").over(Window.partitionBy())  # exact (ints)
-    p = s.withColumn("_t", t).withColumn(
-        "_pt", F.sqrt(F.col("kept_tokens") * 1.0 / F.col("_t"))
-    )
-    denom = p.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct(F.col("source"), F.col("_pt")))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["_pt"],
-        ).alias("_denom")
-    )
-    return p.crossJoin(F.broadcast(denom)).select(
+    p = temperature_normalize(s, "kept_tokens")
+    return p.select(
         "source",
         "raw_docs",
         "kept_docs",

@@ -337,3 +337,21 @@ def test_health_server_wired_to_live_query(spark, tmp_path):
         assert (status, body["status"]) == (503, "UNHEALTHY")
     finally:
         srv2.close()
+
+
+def test_dlq_read_of_clean_stream_is_empty_not_error(spark, tmp_path):
+    """A healthy stream writes only empty tombstones (the runner
+    invokes the DLQ writer on every batch); reading that DLQ must
+    return an empty frame with the park schema, not fail schema
+    inference — Spark writes a schema-bearing part file even for a
+    0-row overwrite, which this pins (a regression here would make
+    every DLQ check of a clean pipeline throw)."""
+    from kpipe_spark.pipeline.sinks import IdempotentDlqParquet
+
+    dlq = IdempotentDlqParquet(str(tmp_path / "dlq"))
+    empty = spark.createDataFrame([], "key string, error string")
+    dlq(empty, 0)
+    dlq(empty, 1)
+    out = dlq.read(spark)
+    assert out.count() == 0
+    assert {"key", "error", "batch_id"} <= set(out.columns)
