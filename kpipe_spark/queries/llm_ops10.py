@@ -644,3 +644,88 @@ def d61_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_token_frac"
         ),
     )
+
+
+@register(
+    "d62_ivf_cell_profile",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16
+    ), assigned AS (
+      SELECT vec_id, centroid_id, sim FROM (
+        SELECT v.vec_id, c.centroid_id,
+               list_cosine_similarity(v.e, c.ce) AS sim,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.e, c.ce) DESC,
+                          c.centroid_id
+               ) AS crn
+        FROM v, cents c
+      ) WHERE crn = 1
+    ), tot AS (SELECT count(*) AS n FROM assigned)
+    SELECT centroid_id,
+           count(*) AS n_vectors,
+           CAST(floor(count(*) * 1.0 / n * 10000.0 + 0.5) / 10000.0
+                AS DOUBLE) AS cell_share,
+           CAST(floor(min(sim) * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+             AS min_sim,
+           CAST(floor(max(sim) * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+             AS max_sim
+    FROM assigned, tot GROUP BY centroid_id, n
+    """,
+    description="IVF index-health profile: per coarse cell (d13's "
+    "deterministic first-16 centroids), how many vectors it holds, its "
+    "corpus share, and the min/max cosine to its centroid — the audit "
+    "that decides re-clustering: a cell owning 30% of the corpus is "
+    "the query-time straggler (probing it scans 30% of 100 TB), and a "
+    "low min_sim says the cell's tail is closer to some other "
+    "centroid's territory. Statistics are deliberately order-safe "
+    "(count/min/max — no float SUM whose partial-agg order Spark "
+    "schedules nondeterministically), so the op hash-checks without a "
+    "sequential-fold workaround. Scale: same one-pass max_by "
+    "assignment as d13 (k candidate rows collapse map-side, one row "
+    "per vector shuffles); the profile is a k-row aggregate.",
+    tags=("llm", "similarity", "ivf", "profiling"),
+)
+def d62_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions import similarity as S
+    from kpipe_spark.util import ieee_round
+
+    emb = load_tables(spark, sf_dir).embeddings
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    cents = v.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("_e").alias("_ce")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        S.cosine(F.col("_e"), F.col("_ce")).alias("_csim"),
+    )
+    key = F.struct(
+        F.col("_csim").alias("_csim"), (-F.col("centroid_id")).alias("_nc")
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by("centroid_id", key).alias("centroid_id"),
+        F.max(key).getField("_csim").alias("_sim"),
+    )
+    tot = assigned.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        assigned.crossJoin(F.broadcast(tot))
+        .groupBy("centroid_id", "_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("_sim").alias("_min"),
+            F.max("_sim").alias("_max"),
+        )
+        .select(
+            "centroid_id",
+            "n_vectors",
+            ieee_round(F.col("n_vectors") / F.col("_n"), 4).alias(
+                "cell_share"
+            ),
+            ieee_round(F.col("_min"), 4).alias("min_sim"),
+            ieee_round(F.col("_max"), 4).alias("max_sim"),
+        )
+    )
