@@ -57,6 +57,11 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     ``spark.kpipe.ensureParallelism=false`` to make this a no-op on
     clusters where inputs are known well-split.
     """
+    # a pre-foreachBatch streaming frame has no split count to inspect
+    # (df.rdd would raise); its micro-batches are repartitioned by the
+    # runner (process_batch) instead
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     if spark.conf.get("spark.kpipe.ensureParallelism", "true") == "false":
         return df

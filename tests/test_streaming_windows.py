@@ -430,3 +430,50 @@ def test_transform_with_state_running_count(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_incremental_neardup_admission(spark, tmp_path):
+    """d54's production shape as an ACTUAL stream: the corpus MinHash
+    band index is a static frame; arriving documents compute their own
+    signatures in-stream (stateless narrow ops) and stream-static join
+    into the index — a batch admission never re-scans the corpus. A
+    near-dup of an indexed doc must collide; fresh content must not."""
+    from kpipe_spark.functions import dedup as D
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    corpus = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "totally different corpus content sits right here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    index = D.minhash_bands_df(D.minhash_signature_df(corpus)).withColumnRenamed(
+        "doc_id", "corpus_id"
+    )
+    write_batch_file(
+        src,
+        [
+            ev(1, "alpha beta gamma delta epsilon zeta eta theta",
+               "2024-01-01 00:00:00"),
+            ev(2, "nothing here resembles anything indexed so far at all",
+               "2024-01-01 00:00:01"),
+        ],
+        "b1.json",
+    )
+    sig = D.minhash_signature_df(stream(spark, src), text_col="key",
+                                 id_col="event_id")
+    hits = (
+        D.minhash_bands_df(sig, id_col="event_id")
+        .join(index, ["band", "bucket"])
+        .select("event_id", "corpus_id")
+    )
+    q = run_to_memory(hits, "incremadmit", ckpt)
+    try:
+        pairs = {
+            (r["event_id"], r["corpus_id"])
+            for r in spark.sql("SELECT * FROM incremadmit").collect()
+        }
+        assert pairs == {(1, 100)}
+    finally:
+        q.stop()
