@@ -27,6 +27,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("examples/custom_format.py", "decode + error-path contract = True"),
         ("examples/backpressure_roll.py", "shrink -> roll -> restore = True"),
         ("examples/incremental_admission.py", "incremental == full recompute = True"),
+        ("examples/corpus_assembly.py", "budget + mixture + shard audit consistent = True"),
     ],
 )
 def test_example_runs(script, expect):
