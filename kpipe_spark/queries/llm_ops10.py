@@ -729,3 +729,53 @@ def d62_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ieee_round(F.col("_max"), 4).alias("max_sim"),
         )
     )
+
+
+@register(
+    "d63_tokenizer_fertility",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+                  AS BIGINT) AS n_subwords
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+           CAST(floor(sum(n_subwords) * 1.0 / sum(n_words) * 10000.0
+                      + 0.5) / 10000.0 AS DOUBLE) AS fertility
+    FROM t GROUP BY source
+    """,
+    description="tokenizer fertility per source: subword tokens (the "
+    "BPE-ish pre-tok of d18/d28) emitted per whitespace word — THE "
+    "standard metric for how well a tokenizer fits a corpus slice "
+    "(fertility near 1 = vocabulary covers the text; high fertility = "
+    "the source pays more context budget per word, which skews every "
+    "token-denominated decision upstream: mixing weights, packing, "
+    "budget admission). Both token counts are integer sums (exact, "
+    "order-independent); only the final ratio is floating, rounded "
+    "with the ieee floor form. Scale: one projection + one map-side-"
+    "combined groupBy(source) — nothing else moves.",
+    tags=("llm", "tokenize", "profiling"),
+)
+def d63_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.util import ieee_round
+
+    docs = load_tables(spark, sf_dir).documents
+    t = docs.select(
+        "source",
+        F.size(T.tokens("text")).cast("long").alias("n_words"),
+        F.size(T.bpe_ish_tokens("text")).cast("long").alias("n_subwords"),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_subwords").alias("total_subwords"),
+        ieee_round(
+            F.sum("n_subwords") / F.sum("n_words"), 4
+        ).alias("fertility"),
+    )
