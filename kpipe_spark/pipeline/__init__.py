@@ -21,5 +21,6 @@ from kpipe_spark.pipeline.result import (  # noqa: F401
     ensure_outcome,
     outcome_counts,
 )
+from kpipe_spark.pipeline.files import read_jsonl  # noqa: F401
 from kpipe_spark.pipeline.pipeline import Pipeline  # noqa: F401
 from kpipe_spark.pipeline.registry import PipelineRegistry  # noqa: F401

@@ -1,0 +1,71 @@
+"""read_jsonl: the file front door must honor the same delivery
+contract as the Kafka decode path — a corrupt line is a failed RECORD
+(raw line preserved, DLQ-routable), never a failed job, and every
+input line is accounted for exactly once."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kpipe_spark.pipeline import read_jsonl
+from kpipe_spark.pipeline.result import ERROR_COL, STATUS_COL
+
+LINES = [
+    '{"doc_id": 1, "text": "alpha beta"}',
+    '{"doc_id": 2, "text": "gamma delta"}',
+    'this is not json at all',
+    '{"doc_id": 3, "text": "epsilon"}',
+    '',
+    '{"doc_id": 4, "text": "unterminated',
+]
+
+SCHEMA = "doc_id bigint, text string"
+
+
+def _write(src: str, name: str = "part1.jsonl") -> None:
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        f.write("\n".join(LINES) + "\n")
+
+
+def test_jsonl_batch_outcome_accounting(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write(src)
+    df = read_jsonl(spark, src, SCHEMA)
+    rows = df.collect()
+    assert len(rows) == len(LINES)  # every line accounted, none dropped
+    passed = [r for r in rows if r[STATUS_COL] == "passed"]
+    failed = [r for r in rows if r[STATUS_COL] == "failed"]
+    assert {r["payload"]["doc_id"] for r in passed} == {1, 2, 3}
+    assert len(failed) == 3  # garbage, blank, unterminated
+    for r in failed:
+        assert r[ERROR_COL].startswith("DeserializationException")
+    # the raw line survives for DLQ forensics
+    assert any("not json at all" in r["raw"] for r in failed)
+
+
+def test_jsonl_streaming_routes_corrupt_to_dlq(spark, tmp_path):
+    """New files arriving = micro-batches; corrupt lines park in the
+    DLQ while parsed lines reach the sink — the crawl-shard ingestion
+    loop end to end."""
+    from kpipe_spark.pipeline import Pipeline
+    from kpipe_spark.streaming import StreamRunner
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _write(src)
+    stream = read_jsonl(spark, src, SCHEMA, streaming=True)
+    delivered, parked = [], []
+    runner = StreamRunner(
+        pipeline=Pipeline().pipe("n_tokens", F.size(F.split("payload.text", " "))),
+        sink=lambda df, bid: delivered.extend(df.collect()),
+        dlq_writer=lambda df, bid: parked.extend(df.collect()),
+    )
+    handle = runner.start(stream, ckpt, "jsonl-ingest")
+    try:
+        handle.process_all_available()
+    finally:
+        handle.close()
+    assert {r["payload"]["doc_id"] for r in delivered} == {1, 2, 3}
+    assert len(parked) == 3
