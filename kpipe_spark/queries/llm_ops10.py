@@ -779,3 +779,64 @@ def d63_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_subwords") / F.sum("n_words"), 4
         ).alias("fertility"),
     )
+
+
+_BLOCKLIST = ("merge", "crash", "drop")  # stand-in unsafe-term list
+
+
+@register(
+    "d64_blocklist_gate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN {_BLOCKLIST!r}))
+                  AS BIGINT) AS n_blocked
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_blocked,
+           CAST(CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE floor(n_blocked * 1.0 / n_tokens * 10000.0 + 0.5)
+                     / 10000.0 END AS DOUBLE) AS blocked_frac,
+           CAST(n_tokens > 0 AND n_blocked * 50 <= n_tokens AS INTEGER)
+             AS keep
+    FROM s
+    """,
+    description="safety blocklist gate: per-doc fraction of lowercased "
+    "tokens in a deny list, keep iff <= 2% (the threshold written as "
+    "integer algebra — n_blocked*50 <= n_tokens — so the gate never "
+    "sits on a float comparison two engines could round differently). "
+    "The 3-term list stands in for a real lexicon (swap the literal "
+    "for a broadcast table at production vocabulary sizes); the "
+    "surviving plumbing — token normalization, membership count, "
+    "ratio gate, contentless docs auto-rejected — is the real "
+    "contract. Scale: pure projection, zero shuffle; a large lexicon "
+    "becomes a broadcast hash lookup instead of an IN literal.",
+    tags=("llm", "quality", "safety"),
+)
+def d64_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.util import ieee_round
+
+    docs = load_tables(spark, sf_dir).documents
+    toks = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    n = F.size(toks).cast("long")
+    blocked = F.size(
+        F.filter(toks, lambda x: x.isin(*_BLOCKLIST))
+    ).cast("long")
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        blocked.alias("n_blocked"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(ieee_round(blocked / n, 4))
+        .cast("double")
+        .alias("blocked_frac"),
+        ((n > 0) & (blocked * 50 <= n)).cast("int").alias("keep"),
+    )

@@ -46,6 +46,8 @@ DIRTY_SENSITIVE = [
     "d59_priority_source_dedup",
     "d60_curation_funnel",
     "d61_dup_substring_spans",
+    "d63_tokenizer_fertility",
+    "d64_blocklist_gate",
 ]
 
 _ROWS = [
