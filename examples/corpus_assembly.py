@@ -32,7 +32,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from kpipe_spark.functions.dedup import md5_hash60  # noqa: E402
 from kpipe_spark.functions.mixing import temperature_normalize  # noqa: E402
 from kpipe_spark.functions.selection import budget_select  # noqa: E402
-from kpipe_spark.functions.text import quality_score  # noqa: E402
+from kpipe_spark.functions.text import quality_score, token_count  # noqa: E402
 from kpipe_spark.session import get_spark  # noqa: E402
 
 
@@ -46,30 +46,32 @@ def main() -> None:
     # 1. score and quantize: budget_select needs an integer bucket that
     #    orders exactly like the real key — quality is round4, so its
     #    scaled integer IS that bucket
+    # token_count, not a raw split: the budget must be denominated in
+    # the same (''-filtered) token definition the quality key uses
     q = docs.select(
         "doc_id",
         "source",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        token_count("text").cast("long").alias("n_tokens"),
         quality_score("text").alias("quality"),
     ).withColumn(
         "qint", F.floor(F.col("quality") * 10000.0 + F.lit(0.5)).cast("long")
     )
 
-    # 2. admit the best 25% of corpus tokens
-    tot = q.agg(
+    # 2. admit the best 25% of corpus tokens (collect the 1-row limits
+    #    once — a second tot.collect() would rescan the corpus)
+    lim = q.agg(
         F.floor(F.sum("n_tokens") * 0.25).cast("long").alias("budget"),
         F.max("n_tokens").alias("max_doc"),
-    )
+    ).collect()[0]
     admitted = budget_select(
-        q.crossJoin(F.broadcast(tot)),
+        q,
         bucket=F.col("qint"),
         weight=F.col("n_tokens"),
-        budget=F.col("budget"),
+        budget=F.lit(lim["budget"]),
     )
     adm = admitted.agg(
         F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
-    lim = tot.collect()[0]
     # greedy contract: reach the budget, overshoot by at most one doc
     budget_ok = lim["budget"] <= adm["t"] <= lim["budget"] + lim["max_doc"]
 
@@ -80,7 +82,8 @@ def main() -> None:
     mix = temperature_normalize(per_src, "adm_tokens").select(
         "source", "adm_tokens", (F.col("_pt") / F.col("_denom")).alias("p")
     )
-    p_sum = mix.agg(F.sum("p").alias("s")).collect()[0]["s"]
+    probs = [r["p"] for r in mix.collect()]  # one action, reused below
+    p_sum = sum(probs)
 
     # 4. lay the admitted docs out in 8 hash shards and audit balance
     shards = (
@@ -99,7 +102,7 @@ def main() -> None:
         f"admitted {adm['n']} docs / {adm['t']} tokens "
         f"(budget {lim['budget']})"
     )
-    print(f"mixture probabilities sum to {p_sum:.6f} over {mix.count()} sources")
+    print(f"mixture probabilities sum to {p_sum:.6f} over {len(probs)} sources")
     print(
         "assembly: budget + mixture + shard audit consistent =",
         bool(budget_ok and abs(p_sum - 1.0) < 1e-9 and shards_ok),

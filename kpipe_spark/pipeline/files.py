@@ -59,11 +59,13 @@ def read_jsonl(
     decoded = decode_json(raw, schema, value_col="raw", out_col=payload_col)
     # from_json flags malformed lines via the corrupt column; a blank
     # line parses to a NULL struct with no corrupt record — both are
-    # deserialize failures, not silently-empty payloads
-    bad = (
-        F.col(f"{payload_col}_error").isNotNull()
-        | F.col(payload_col).isNull()
-    )
+    # deserialize failures, not silently-empty payloads. Schema-less
+    # map mode has no corrupt column (decode_json docstring): a
+    # malformed line is simply a NULL map there.
+    err_col = f"{payload_col}_error"
+    bad = F.col(payload_col).isNull()
+    if err_col in decoded.columns:
+        bad = F.col(err_col).isNotNull() | bad
     out = ensure_outcome(decoded)
     return (
         out.withColumn(

@@ -650,7 +650,13 @@ def d61_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d62_ivf_cell_profile",
     oracle="""
     WITH v AS (
+      -- zero-norm vectors (failed embed runs) are not indexable:
+      -- S.cosine returns NULL for them while DuckDB's
+      -- list_cosine_similarity returns -1.0, so they are excluded on
+      -- BOTH sides rather than profiled divergently
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> x * x)) > 0
     ), cents AS (
       SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16
     ), assigned AS (
@@ -694,7 +700,9 @@ def d62_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kpipe_spark.util import ieee_round
 
     emb = load_tables(spark, sf_dir).embeddings
-    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    v = emb.select(
+        "vec_id", S.as_double_array("embedding").alias("_e")
+    ).filter(S.norm(F.col("_e")) > 0)
     cents = v.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("centroid_id"), F.col("_e").alias("_ce")
     )
@@ -746,8 +754,11 @@ def d62_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            CAST(sum(n_words) AS BIGINT) AS total_words,
            CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
-           CAST(floor(sum(n_subwords) * 1.0 / sum(n_words) * 10000.0
-                      + 0.5) / 10000.0 AS DOUBLE) AS fertility
+           -- explicit NULL for an all-contentless source: ANSI Spark
+           -- would otherwise throw DIVIDE_BY_ZERO where DuckDB nulls
+           CAST(CASE WHEN sum(n_words) = 0 THEN NULL
+                ELSE floor(sum(n_subwords) * 1.0 / sum(n_words) * 10000.0
+                           + 0.5) / 10000.0 END AS DOUBLE) AS fertility
     FROM t GROUP BY source
     """,
     description="tokenizer fertility per source: subword tokens (the "
@@ -775,8 +786,10 @@ def d63_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("total_words"),
         F.sum("n_subwords").alias("total_subwords"),
-        ieee_round(
-            F.sum("n_subwords") / F.sum("n_words"), 4
+        F.when(
+            F.sum("n_words") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            ieee_round(F.sum("n_subwords") / F.sum("n_words"), 4)
         ).alias("fertility"),
     )
 

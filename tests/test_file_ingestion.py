@@ -69,3 +69,17 @@ def test_jsonl_streaming_routes_corrupt_to_dlq(spark, tmp_path):
         handle.close()
     assert {r["payload"]["doc_id"] for r in delivered} == {1, 2, 3}
     assert len(parked) == 3
+
+
+def test_jsonl_schemaless_map_mode(spark, tmp_path):
+    """decode_json's schema-less map mode has no corrupt-record column;
+    read_jsonl must still classify a malformed line as failed (NULL
+    map) instead of crashing on the missing error column."""
+    src = str(tmp_path / "src")
+    _write(src)
+    df = read_jsonl(spark, src, "map<string,string>")
+    rows = df.collect()
+    assert len(rows) == len(LINES)
+    statuses = [r[STATUS_COL] for r in rows]
+    assert statuses.count("passed") == 3
+    assert statuses.count("failed") == 3

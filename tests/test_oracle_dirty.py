@@ -66,6 +66,11 @@ _ROWS = [
     (11, "der schnelle braune fuchs springt und der hund schlaeft", "de", "src2"),
     (12, "two tokens", "en", "src2"),
     (13, "the the the the the the the the the the the the the the", "en", "src0"),
+    # a source whose EVERY document is contentless: per-source ratios
+    # (d63 fertility) must go NULL on both engines, not DIVIDE_BY_ZERO
+    # under Spark's ANSI mode
+    (14, "", "en", "srcvoid"),
+    (15, "\t \t", "en", "srcvoid"),
 ]
 
 
