@@ -57,7 +57,7 @@ def register(
 # media decode), so they get their first hash-grade. Deferred to the
 # round-4 window: ten simple scalar/window queries (q06, q13, q26, q30,
 # q34, q39, q40, q42, q46, q51) plus the round-3 additions registered
-# after the window froze (d54-d64, m05-m07, q85); all oracle-backed
+# after the window froze (d54-d66, m05-m07, q85); all oracle-backed
 # queries run the identical DuckDB compare in pytest regardless of
 # window position.
 FLAGSHIP_50: tuple[str, ...] = (

@@ -101,3 +101,25 @@ SIMHASH_CTES = r"""
       FROM documents d LEFT JOIN fp USING (doc_id)
     )
 """
+
+
+# Connected components of the MinHash candidate graph (requires the
+# `cand` CTE from MINHASH_CTES and a WITH RECURSIVE header): min-label
+# reachability fixpoint -> comp(id, cluster_id), covering ONLY docs
+# that appear in at least one candidate pair — mirrors
+# dedup.dup_components. Used by d24/d47/d52/d55/d65.
+COMPONENTS_CTES = """
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION ALL
+      SELECT id_b, id_a FROM cand
+    ),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
+    ),
+    comp AS (
+      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    )
+"""

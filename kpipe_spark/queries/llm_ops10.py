@@ -28,7 +28,11 @@ from kpipe_spark.catalog import load_tables
 from kpipe_spark.functions import dedup as D
 from kpipe_spark.functions import text as T
 from kpipe_spark.queries import register
-from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
+from kpipe_spark.queries._oracle_fragments import (
+    COMPONENTS_CTES,
+    MINHASH_CTES,
+    SIMHASH_CTES,
+)
 
 _SW = ("the", "a", "of", "and", "to", "in", "is")
 
@@ -852,4 +856,127 @@ def d64_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("blocked_frac"),
         ((n > 0) & (blocked * 50 <= n)).cast("int").alias("keep"),
+    )
+
+
+@register(
+    "d65_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {{MINHASH}},
+    {{COMPONENTS}},
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM comp
+      GROUP BY cluster_id
+    ),
+    hist AS (
+      SELECT cluster_size, count(*) AS n_clusters FROM sizes
+      GROUP BY cluster_size
+    ),
+    singles AS (
+      SELECT 1 AS cluster_size,
+             (SELECT count(*) FROM documents)
+             - (SELECT count(*) FROM comp) AS n_clusters
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+    FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+    """.replace("{MINHASH}", MINHASH_CTES).replace(
+        "{COMPONENTS}", COMPONENTS_CTES
+    ),
+    description="duplicate-cluster size histogram: how many near-dup "
+    "clusters exist at each size, plus the singleton row (documents in "
+    "no candidate pair — including contentless docs, which never "
+    "enter candidacy). The shape a dedup report leads with: a corpus "
+    "of many size-2 clusters dedups very differently from one with a "
+    "thousand-doc boilerplate cluster (which also predicts the "
+    "within-bucket expansion cost). Scale: components via the bounded "
+    "min-label propagation (dedup.connected_components); the "
+    "histogram is two tiny aggregates over cluster-count-sized "
+    "frames; the singleton count is two scalar aggregates.",
+    tags=("llm", "dedup", "profiling", "minhash"),
+)
+def d65_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    comp = D.dup_components(docs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    singles = (
+        docs.agg(F.count(F.lit(1)).alias("_total"))
+        .crossJoin(F.broadcast(comp.agg(F.count(F.lit(1)).alias("_dup"))))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("_total") - F.col("_dup")).alias("n_clusters"),
+        )
+    )
+    return (
+        hist.select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+        )
+        .unionByName(singles)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "d66_shared_prefix_templates",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+    ), pre AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(array_to_string(toks[1:5], ' ')),
+                  1, 15)) AS BIGINT) AS prefix_hash
+      FROM t
+    )
+    SELECT prefix_hash,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           min(doc_id) AS min_doc_id
+    FROM pre GROUP BY prefix_hash HAVING count(*) >= 3
+    """,
+    description="shared-prefix template detection: documents opening "
+    "with the SAME first-5-token prefix (>= 3 of them) are template "
+    "instances — the position-anchored complement of d33's anywhere-"
+    "boilerplate and d61's anywhere-spans; real corpora grow these "
+    "from scraped page headers and generated-report preambles, and "
+    "the per-prefix source spread says whether the template is one "
+    "site's or ecosystem-wide. Scale: pure projection to an 8-byte "
+    "prefix hash + one map-side-combined groupBy; the HAVING filter "
+    "keeps the output template-count-sized.",
+    tags=("llm", "dedup", "ngram", "profiling"),
+)
+def d66_shared_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
+    prefix = F.concat_ws(" ", F.slice(T.tokens("text"), 1, 5))
+    return (
+        docs.filter(content)
+        .select(
+            "doc_id",
+            "source",
+            D.md5_hash60(prefix).alias("prefix_hash"),
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 3)
     )

@@ -21,7 +21,11 @@ from kpipe_spark.functions import multimodal as M
 from kpipe_spark.functions import similarity as S
 from kpipe_spark.functions.dedup import word_shingles
 from kpipe_spark.queries import register
-from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
+from kpipe_spark.queries._oracle_fragments import (
+    COMPONENTS_CTES,
+    MINHASH_CTES,
+    SIMHASH_CTES,
+)
 from kpipe_spark.util import ensure_parallelism
 
 # ---------------------------------------------------------------------------
@@ -795,19 +799,7 @@ def d23_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d24_dup_clusters",
     oracle=f"""
     WITH RECURSIVE {MINHASH_CTES},
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION ALL
-      SELECT id_b, id_a FROM cand
-    ),
-    reach(id, label) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
-    ),
-    comp AS (
-      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
-    )
+    {COMPONENTS_CTES}
     SELECT cluster_id,
            count(*) AS cluster_size,
            CAST(sum(CASE WHEN id = cluster_id THEN 1 ELSE 0 END)

@@ -26,7 +26,11 @@ from kpipe_spark.catalog import load_tables
 from kpipe_spark.functions import dedup as D
 from kpipe_spark.queries import register
 from kpipe_spark.functions.mixing import temperature_norm_sql
-from kpipe_spark.queries._oracle_fragments import MINHASH_CTES, SIMHASH_CTES
+from kpipe_spark.queries._oracle_fragments import (
+    COMPONENTS_CTES,
+    MINHASH_CTES,
+    SIMHASH_CTES,
+)
 
 
 @register(
@@ -208,19 +212,7 @@ def d46_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d47_dedup_survivors",
     oracle=f"""
     WITH RECURSIVE {MINHASH_CTES},
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION ALL
-      SELECT id_b, id_a FROM cand
-    ),
-    reach(id, label) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
-    ),
-    comp AS (
-      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
-    )
+    {COMPONENTS_CTES}
     SELECT d.source,
            count(*) AS n_docs,
            CAST(sum(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
@@ -592,19 +584,7 @@ def d51_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d52_leakage_safe_split",
     oracle=f"""
     WITH RECURSIVE {MINHASH_CTES},
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION ALL
-      SELECT id_b, id_a FROM cand
-    ),
-    reach(id, label) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
-    ),
-    comp AS (
-      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
-    ),
+    {COMPONENTS_CTES},
     assigned AS (
       SELECT d.doc_id,
              coalesce(c.cluster_id, d.doc_id) AS cluster_id,

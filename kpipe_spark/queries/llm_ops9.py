@@ -24,7 +24,7 @@ from kpipe_spark.functions import dedup as D
 from kpipe_spark.functions import multimodal as M
 from kpipe_spark.functions.mixing import temperature_norm_sql, temperature_normalize
 from kpipe_spark.queries import register
-from kpipe_spark.queries._oracle_fragments import MINHASH_CTES
+from kpipe_spark.queries._oracle_fragments import COMPONENTS_CTES, MINHASH_CTES
 
 
 @register(
@@ -89,19 +89,7 @@ def d54_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d55_dedup_adjusted_mixture",
     oracle=f"""
     WITH RECURSIVE {MINHASH_CTES},
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION ALL
-      SELECT id_b, id_a FROM cand
-    ),
-    reach(id, label) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
-    ),
-    comp AS (
-      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
-    ),
+    {COMPONENTS_CTES},
     tok AS (
       SELECT d.source,
              len(string_split(d.text, ' ')) AS n,
