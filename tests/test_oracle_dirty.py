@@ -48,6 +48,8 @@ DIRTY_SENSITIVE = [
     "d61_dup_substring_spans",
     "d63_tokenizer_fertility",
     "d64_blocklist_gate",
+    "d65_cluster_size_histogram",
+    "d66_shared_prefix_templates",
 ]
 
 _ROWS = [
