@@ -237,12 +237,14 @@ def d58_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation team which feeds are shadowed by better ones. Content "
     "identity is an identical 64-bit SimHash (d46's cross-source "
     "overlap key — same token multiset modulo tiny noise; fingerprint "
-    "0 = token-less doc, excluded). Scale: one shuffle on the 8-byte "
-    "fingerprint; the winner per group is a min_by partial aggregate "
-    "(map-side combine collapses each group before the exchange — the "
-    "d13 max_by pattern), and the winner table joins back "
-    "fingerprint-co-partitioned, so no second exchange shape appears. "
-    "Never shuffles document text.",
+    "0 = token-less doc, excluded). Scale: group-expand, not "
+    "winner-join — ONE groupBy on the 8-byte fingerprint collects "
+    "each duplicate group's (pri, id, source, chars) tuples sorted, "
+    "head = winner, tail explodes to losers. A winners-then-join-back "
+    "formulation plans the simhash pipeline TWICE (Spark plans "
+    "self-join inputs independently — the d46 trap; verified: 9 "
+    "exchanges vs this shape's 3 shuffles + 2 broadcasts). Group "
+    "payloads are dup-group-sized scalar tuples; text never shuffles.",
     tags=("llm", "dedup", "mixing"),
 )
 def d59_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,20 +258,26 @@ def d59_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("source", r"(\d+)$", 1).cast("int"),
         )
     )
-    key = F.struct("pri", "doc_id")
-    winners = f.groupBy("simhash64").agg(
-        F.min_by("source", key).alias("winner_source"),
-        F.min(key).alias("_wkey"),
-        F.count(F.lit(1)).alias("_n"),
-    ).filter(F.col("_n") > 1)
-    return (
-        f.join(winners, "simhash64")
-        .filter(key != F.col("_wkey"))
-        .groupBy("winner_source", F.col("source").alias("loser_source"))
+    groups = (
+        f.groupBy("simhash64")
         .agg(
-            F.count(F.lit(1)).alias("n_docs_lost"),
-            F.sum("n_chars").alias("chars_lost"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct("pri", "doc_id", "source", "n_chars")
+                )
+            ).alias("_m")
         )
+        .filter(F.size("_m") > 1)
+    )
+    losers = groups.select(
+        F.element_at("_m", 1)["source"].alias("winner_source"),
+        F.explode(F.slice("_m", 2, F.size("_m") - 1)).alias("_l"),
+    )
+    return losers.groupBy(
+        "winner_source", F.col("_l.source").alias("loser_source")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs_lost"),
+        F.sum("_l.n_chars").alias("chars_lost"),
     )
 
 
