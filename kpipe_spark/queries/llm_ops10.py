@@ -618,15 +618,23 @@ def d61_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             D.md5_hash60(F.col("g")).alias("h"),
         )
     )
-    dup = (
+    # ONE pass over the grams: grouping by hash and carrying each
+    # gram's (doc, pos) occurrence list computes the explode+md5 stage
+    # once, where a dup-set semi-join would plan it twice (self-join
+    # inputs plan independently — the d46/d59 trap) for the SAME
+    # shuffle volume (the probe side ships every gram row on h anyway).
+    # Occurrence lists are per-unique-gram sized; a mega-boilerplate
+    # gram's list is the same hot key the join's hot bucket would be.
+    hits = (
         grams.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .agg(
+            F.countDistinct("doc_id").alias("_nd"),
+            F.collect_list(F.struct("doc_id", "pos")).alias("_occ"),
+        )
         .filter(F.col("_nd") >= 2)
-        .select("h")
+        .select(F.explode("_occ").alias("_o"))
+        .select(F.col("_o.doc_id").alias("doc_id"), F.col("_o.pos").alias("pos"))
     )
-    # NOT broadcast: the dup-gram set is corpus-sized; both sides
-    # shuffle on the 8-byte hash
-    hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) > 5, F.lit(1)
