@@ -83,3 +83,76 @@ def test_jsonl_schemaless_map_mode(spark, tmp_path):
     statuses = [r[STATUS_COL] for r in rows]
     assert statuses.count("passed") == 3
     assert statuses.count("failed") == 3
+
+
+def test_streaming_curation_end_to_end(spark, tmp_path):
+    """The whole ingestion story composed: a JSONL stream decodes under
+    the outcome contract, a Pipeline quality gate filters short docs,
+    arriving docs near-dup-check against a static corpus band index
+    (stream-static join — no corpus re-scan), and the terminal split
+    delivers clean docs while corrupt lines park in the DLQ. Every
+    input line is accounted for across the three outcomes."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kpipe_spark.functions import dedup as D
+    from kpipe_spark.pipeline import Pipeline
+    from kpipe_spark.streaming import StreamRunner
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    index = D.minhash_bands_df(D.minhash_signature_df(corpus))
+    lines = [
+        # passes gate, novel -> delivered
+        {"doc_id": 1, "text": "completely novel content with enough words here"},
+        # near-dup of the indexed corpus doc -> delivered but flagged
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        # too short -> filtered by the gate
+        {"doc_id": 3, "text": "tiny"},
+    ]
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        for r in lines:
+            f.write(json.dumps(r) + "\n")
+        f.write("{broken json\n")  # -> DLQ
+
+    stream = read_jsonl(spark, src, "doc_id bigint, text string",
+                        streaming=True)
+    delivered, parked = [], []
+
+    def admit_sink(df, batch_id):
+        new = df.select(F.col("payload.doc_id").alias("doc_id"),
+                        F.col("payload.text").alias("text"))
+        hits = (
+            D.minhash_bands_df(D.minhash_signature_df(new))
+            .join(index.withColumnRenamed("doc_id", "corpus_id"),
+                  ["band", "bucket"])
+            .select("doc_id").distinct()
+            .withColumn("is_dup", F.lit(True))
+        )
+        delivered.extend(
+            new.join(hits.select("doc_id", "is_dup"), "doc_id", "left")
+            .select("doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+            .collect()
+        )
+
+    runner = StreamRunner(
+        pipeline=Pipeline().filter(
+            F.size(F.split(F.col("payload.text"), " ")) >= 5
+        ),
+        sink=admit_sink,
+        dlq_writer=lambda df, bid: parked.extend(df.collect()),
+    )
+    handle = runner.start(stream, ckpt, "curation-e2e")
+    try:
+        handle.process_all_available()
+    finally:
+        handle.close()
+    got = {r["doc_id"]: r["is_dup"] for r in delivered}
+    assert got == {1: False, 2: True}  # doc 3 filtered, line 4 parked
+    assert len(parked) == 1
