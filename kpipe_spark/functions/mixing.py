@@ -45,17 +45,20 @@ def temperature_normalize(
     return p.crossJoin(F.broadcast(denom))
 
 
-def temperature_norm_sql(src: str, tokens: str) -> str:
+def temperature_norm_sql(src: str, tokens: str, key: str = "source") -> str:
     """DuckDB CTEs (tot, p, dn) mirroring temperature_normalize over a
     prior CTE ``src`` holding one row per source with integer token
-    column ``tokens``. Splice after ``src`` inside a WITH chain."""
+    column ``tokens``. Splice after ``src`` inside a WITH chain.
+    ``key`` must name the same column as temperature_normalize's
+    ``key_col`` — the fold order (ORDER BY key) is part of the
+    bit-exactness contract, so the two parameters must move together."""
     return f"""
     tot AS (SELECT CAST(sum({tokens}) AS BIGINT) AS t FROM {src}),
     p AS (
       SELECT {src}.*, t, sqrt({tokens} * 1.0 / t) AS pt FROM {src}, tot
     ),
     dn AS (
-      SELECT list_reduce(list(pt ORDER BY source),
+      SELECT list_reduce(list(pt ORDER BY {key}),
                          (acc, v) -> acc + v) AS denom
       FROM p
     )

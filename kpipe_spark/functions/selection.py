@@ -26,8 +26,10 @@ Equivalence to the global greedy: higher bucket ⟹ strictly greater
 order_key, and within a bucket every row has the SAME order_key, so the
 global order (key desc, id asc) is exactly (bucket desc, id asc) — the
 boundary-bucket window ordered by id reproduces the scan's order for
-the only rows whose order matters. tests/test_properties.py checks the
-equivalence against a plain-Python reference on randomized inputs.
+the only rows whose order matters.
+tests/test_llm_ops10.py::test_budget_select_matches_global_greedy
+checks the equivalence against a plain-Python reference on randomized
+inputs (including None weights).
 """
 
 from __future__ import annotations
@@ -53,7 +55,13 @@ def budget_select(
     the admitted rows with their original columns.
     """
     src_cols = df.columns
-    q = df.withColumn("_bucket", bucket).withColumn("_w", weight)
+    # NULL weight = zero weight (a null-text doc costs nothing): without
+    # the coalesce, one all-NULL bucket makes _bucket_w NULL and BOTH
+    # admission filters evaluate to NULL, silently dropping the bucket —
+    # the greedy contract (before < budget) admits zero-weight rows.
+    q = df.withColumn("_bucket", bucket).withColumn(
+        "_w", F.coalesce(weight, F.lit(0))
+    )
     hist = q.groupBy("_bucket").agg(F.sum("_w").alias("_bucket_w"))
     w_desc = Window.orderBy(F.col("_bucket").desc()).rowsBetween(
         Window.unboundedPreceding, -1

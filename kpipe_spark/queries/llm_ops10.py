@@ -60,7 +60,8 @@ _QUALITY_SQL = r"""
     oracle=f"""
     WITH q AS (
       SELECT doc_id, source,
-             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS n_tokens,
              {_QUALITY_SQL} AS quality
       FROM documents
     ), tot AS (
@@ -106,10 +107,15 @@ def d57_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kpipe_spark.util import ieee_round
 
     docs = load_tables(spark, sf_dir).documents
+    # n_tokens uses the same ''-filtered tokens() definition as the
+    # quality ranking key (and as examples/corpus_assembly.py): raw
+    # split(' ') would bill phantom '' tokens against the budget while
+    # ranking on the filtered count — internally consistent but a wrong
+    # denomination, flagged by round-3 ADVICE.
     q = docs.select(
         "doc_id",
         "source",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        T.token_count("text").cast("long").alias("n_tokens"),
         T.quality_score("text").alias("quality"),
     ).withColumn(
         # quality is ieee_round(x, 4): multiplying back recovers the
@@ -214,7 +220,8 @@ def d58_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {SIMHASH_CTES},
     f AS (
       SELECT d.doc_id, d.source, d.n_chars, s.simhash64,
-             CAST(regexp_extract(d.source, '(\\d+)$', 1) AS INTEGER) AS pri
+             coalesce(TRY_CAST(regexp_extract(d.source, '(\\d+)$', 1)
+                               AS INTEGER), 2147483647) AS pri
       FROM documents d JOIN sim s USING (doc_id)
       WHERE s.simhash64 <> 0
     ), r AS (
@@ -254,8 +261,16 @@ def d59_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("simhash64") != 0)
         .join(docs.select("doc_id", "source", "n_chars"), "doc_id")
         .withColumn(
+            # unnumbered sources (no trailing digits) must be the LEAST
+            # trusted, not the most: regexp_extract gives '' there, and a
+            # NULL pri would sort FIRST inside sort_array's struct order
+            # while the oracle's plain CAST('') would throw. try_cast +
+            # INT_MAX sentinel gives nulls-LAST semantics on both engines.
             "pri",
-            F.regexp_extract("source", r"(\d+)$", 1).cast("int"),
+            F.coalesce(
+                F.regexp_extract("source", r"(\d+)$", 1).try_cast("int"),
+                F.lit(2147483647),
+            ),
         )
     )
     groups = (

@@ -103,7 +103,7 @@ def _greedy_reference(rows, budget):
     for rid, bucket, w in sorted(rows, key=lambda r: (-r[1], r[0])):
         if acc < budget:
             admitted.add(rid)
-        acc += w
+        acc += w or 0  # NULL weight = zero weight (budget_select contract)
     return admitted
 
 
@@ -111,7 +111,9 @@ def _greedy_reference(rows, budget):
     rows=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=4),  # bucket: forces ties
-            st.integers(min_value=0, max_value=50),  # weight (0 = empty doc)
+            # weight: 0 = empty doc; None = null weight (must behave as 0,
+            # not silently drop the whole bucket — round-3 ADVICE)
+            st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
         ),
         min_size=1,
         max_size=40,
@@ -128,7 +130,7 @@ def test_budget_select_matches_global_greedy(spark, rows, budget_frac):
     scan exactly — including all-tied buckets, zero weights, budget 0
     and budget > total."""
     data = [(i, b, w) for i, (b, w) in enumerate(rows)]
-    total = sum(w for _, _, w in data)
+    total = sum(w or 0 for _, _, w in data)
     budget = int(total * budget_frac)
     df = spark.createDataFrame(data, "doc_id long, bucket long, w long")
     got = {

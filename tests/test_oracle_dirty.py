@@ -73,6 +73,13 @@ _ROWS = [
     # under Spark's ANSI mode
     (14, "", "en", "srcvoid"),
     (15, "\t \t", "en", "srcvoid"),
+    # a CONTENT-BEARING digit-less source: d59's priority cast must give
+    # it nulls-LAST (least trusted) semantics on both engines — it
+    # duplicates row 0's text, so it lands in a simhash dup group and
+    # must LOSE to the numbered sources, and DuckDB's CAST('' AS INT)
+    # would throw without TRY_CAST (round-3 ADVICE, medium)
+    (16, "the quick brown fox jumps over the lazy dog again and again", "en", "srcplain"),
+    (17, "an unnumbered feed with plenty of ordinary filler words here", "en", "srcplain"),
 ]
 
 
