@@ -484,8 +484,9 @@ def d60_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "consumer. Emits per-sequence sample counts and the text/image "
     "token split (the modality-balance number batch composition "
     "monitoring watches). Scale: the resize plan is a pure projection; "
-    "packing windows are partitioned per source exactly as d39 — no "
-    "global order anywhere.",
+    "bin assignment uses prefix.ranged_prefix_sum's two-phase shape "
+    "(see d39) — parallelism is sources × doc-id ranges, so a single "
+    "dominant source no longer serializes into one task.",
     tags=("llm", "multimodal", "packing"),
 )
 def m07_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,20 +529,24 @@ def m07_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_patches", F.lit(0)).alias("image_toks"),
         )
     )
+    from kpipe_spark.functions.prefix import ranged_prefix_sum
+
     st = F.col("text_toks") + F.col("image_toks")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = samp.withColumn(
-        "seq_id", F.floor((F.sum(st).over(w) - st) / 2048.0).cast("long")
+    packed = ranged_prefix_sum(
+        samp.withColumn("sample_toks", st), ["source"], "doc_id",
+        F.col("sample_toks"),
+    ).withColumn(
+        "seq_id",
+        F.when(
+            F.col("sample_toks").isNotNull(),
+            F.floor(F.col("_before") / 2048.0),
+        ).cast("long"),
     )
     return packed.groupBy("source", "seq_id").agg(
         F.count(F.lit(1)).alias("n_samples"),
         F.sum("text_toks").alias("text_tokens"),
         F.sum("image_toks").alias("image_tokens"),
-        F.sum(st).alias("total_tokens"),
+        F.sum("sample_toks").alias("total_tokens"),
     )
 
 

@@ -275,26 +275,34 @@ def d38_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="training-sequence packing (concat-then-chunk): docs "
     "concatenated per source in doc_id order, assigned to 512-token "
     "bins by the cumulative token count BEFORE each doc — the standard "
-    "GPT-style pretraining packer. Scale: one window shuffle on "
-    "source with an in-order running sum (no second sort — the frame "
-    "is ROWS UNBOUNDED PRECEDING over the partition sort); per-source "
-    "partitions bound memory; the bin agg reuses the source "
-    "partitioning.",
+    "GPT-style pretraining packer. Scale: the naive per-source "
+    "cumulative window serializes each source into ONE task (a real "
+    "corpus is dominated by one web-crawl source), so the running sum "
+    "is computed with prefix.ranged_prefix_sum's two-phase shape — "
+    "per-(source, doc-id-range) totals via ordinary partial agg, an "
+    "exclusive prefix over that range LEDGER, and a within-range "
+    "window whose parallelism is sources × ranges with ≤ range_width "
+    "rows per task. Value-identical to the one-window formulation "
+    "(the oracle keeps the naive statement).",
     tags=("llm", "tokenize", "window"),
 )
 def d39_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.prefix import ranged_prefix_sum
+
     docs = load_tables(spark, sf_dir).documents
     n_tokens = F.size(F.split("text", " "))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = docs.select(
-        "source", "doc_id", n_tokens.alias("n_tokens")
+    t = docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
+    packed = ranged_prefix_sum(
+        t, ["source"], "doc_id", F.col("n_tokens")
     ).withColumn(
+        # NULL n_tokens (null text) must give a NULL seq_id exactly as
+        # the oracle's (cum - n_tokens) does — the prefix itself is
+        # non-NULL (SUM-skip), so gate on the weight
         "seq_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0),
+        F.when(
+            F.col("n_tokens").isNotNull(),
+            F.floor(F.col("_before") / 512.0),
+        ),
     )
     return packed.groupBy("source", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

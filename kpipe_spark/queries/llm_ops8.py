@@ -550,23 +550,26 @@ def d50_quality_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
     "per source, how many bins the concat-then-chunk packer produces, "
     "how many reach the full sequence length, and the fill spread — "
     "the number that says whether the packer wastes compute on pad "
-    "tokens. Scale: reuses d39's single window shuffle on source; the "
-    "per-bin and per-source aggs ride the same partitioning.",
+    "tokens. Scale: bin assignment via prefix.ranged_prefix_sum's "
+    "two-phase shape (see d39) — no per-source single-task window; "
+    "the per-bin and per-source aggs ride the (source, range) "
+    "partitioning.",
     tags=("llm", "tokenize", "profiling"),
 )
 def d51_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.prefix import ranged_prefix_sum
+
     docs = load_tables(spark, sf_dir).documents
     n_tokens = F.size(F.split("text", " "))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = docs.select(
-        "source", "doc_id", n_tokens.alias("n_tokens")
+    t = docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
+    packed = ranged_prefix_sum(
+        t, ["source"], "doc_id", F.col("n_tokens")
     ).withColumn(
         "seq_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0),
+        F.when(
+            F.col("n_tokens").isNotNull(),
+            F.floor(F.col("_before") / 512.0),
+        ),
     )
     bins = packed.groupBy("source", "seq_id").agg(
         F.sum("n_tokens").alias("fill")

@@ -278,10 +278,12 @@ def m05_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "run of hit positions (gaps-and-islands: pos - row_number groups "
     "consecutive hits), which separates a verbatim quoted span from "
     "scattered common phrases — the signal that decides excise-the-"
-    "span vs drop-the-document. Scale: the eval gram set broadcasts; "
-    "the train scan semi-joins against it so only hit positions (doc, "
-    "int) ever shuffle into the per-doc window — the corpus text "
-    "never moves.",
+    "span vs drop-the-document. Scale: the train scan semi-joins "
+    "against the eval gram set (benchmark-sized in production — AQE "
+    "broadcasts it from runtime stats; no hard hint, since this "
+    "fixture derives it from a corpus slice) so only hit positions "
+    "(doc, int) ever shuffle into the per-doc window — the corpus "
+    "text never moves.",
     tags=("llm", "decontamination", "ngram", "window"),
 )
 def d56_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,9 +305,15 @@ def d56_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("_p") + 1).alias("pos"), "g")
     is_eval = F.col("doc_id") % 50 == 0
     eval_set = grams.filter(is_eval).select("g").distinct()
+    # no broadcast hint: a real eval suite is benchmark-sized and AQE
+    # will broadcast it from runtime stats, but THIS fixture derives the
+    # eval side from a corpus slice, so a hard hint would be the same
+    # grows-with-the-corpus class the d48 hint fix removed (a >8 GB
+    # operand at advertised scale). Hint-honesty is asserted registry-
+    # wide by tests/test_plan_shapes.py's broadcast audit.
     hits = (
         grams.filter(~is_eval)
-        .join(F.broadcast(eval_set), "g", "left_semi")
+        .join(eval_set, "g", "left_semi")
         .select("doc_id", "pos")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")

@@ -87,3 +87,63 @@ def test_fact_join_falls_back_to_sort_merge_at_scale(spark):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_broadcast_hints_are_reviewed_and_bounded(spark):
+    """Broadcast-hint honesty audit (round-3 ADVICE class): every
+    `F.broadcast(x)` call site in the library must name an operand from
+    the reviewed allowlist below — operands bounded by construction
+    (1-row aggregates, histograms, centroid/probe sets, dup-graph
+    components, TPC-H dimensions, benchmark-sized eval sets), never a
+    frame that scales with the corpus. Adding a new hint fails this
+    test until the operand is reviewed and listed with its bound."""
+    import os
+    import re
+
+    allowed = {
+        # --- 1-row / few-row aggregates (scalar stats, totals) ---
+        "tot", "total", "stats", "denom", "m", "n", "top", "g",
+        # --- bounded-by-construction model artifacts ---
+        "cents", "centroids", "probes",  # k centroids / n_probe cells
+        "hist",        # selection.py: <=10001-row quality histogram
+        "freq",        # vocab-sized token document-frequency table
+        "df",          # llm_ops3 tf-idf: vocab-sized doc-frequency
+        "comp",        # dup-GRAPH-sized components (dedup.py docstring)
+        "comp.agg",    # 1-row count over comp
+        "cal",         # calendar grid (days in range)
+        "b",           # d11 bounded probe batch (pair generator)
+        "q",           # similarity.py probe/query set
+        "hits",        # llm_ops4: subset of eval grams
+        "eval_grams",  # decontamination eval suite (benchmark-sized)
+        "evals",       # same, bucketed
+        # --- TPC-H dimension tables / dimension-derived filters ---
+        "t.nation", "t.region", "t.supplier", "t.customer", "t.part",
+        "part", "supp", "n1", "n2", "supp_nation", "cust_region",
+        "euro_nations", "asia_supp", "lparts", "brand_parts",
+        "econ_parts", "bad_supp", "building", "brand_avg",
+        "thresholds",  # per-(brand,container) part thresholds
+        "big",         # Q18-shape: orders over quantity threshold
+    }
+    root = os.path.join(os.path.dirname(__file__), "..", "kpipe_spark")
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][\w.]*)")
+    offenders = []
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as fh:
+                src = fh.read()
+            for mm in pat.finditer(src):
+                op = mm.group(1)
+                # normalize method chains: t.nation.select -> t.nation,
+                # eval_grams.select -> eval_grams, comp.agg -> comp.agg
+                segs = op.split(".")
+                candidates = {op, segs[0], ".".join(segs[:2])}
+                if candidates.isdisjoint(allowed):
+                    line = src[: mm.start()].count("\n") + 1
+                    offenders.append(f"{fn}:{line} F.broadcast({op}...)")
+    assert not offenders, (
+        "unreviewed broadcast hints (add to allowlist with a bound):\n"
+        + "\n".join(offenders)
+    )

@@ -230,3 +230,72 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     n_big = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
     assert n_big == n_out <= 6
     assert spark.read.parquet(compacted).count() == 10000
+
+
+def test_ranged_prefix_sum_matches_single_window(spark):
+    """The two-phase per-partition prefix sum (d39/d51/m07's packing
+    shape) must equal the naive one-window formulation exactly —
+    including NULL weights (SUM-skip on both shapes) and partitions
+    that span many / exactly-one doc-id range."""
+    import random
+
+    from pyspark.sql import Window
+
+    from kpipe_spark.functions.prefix import ranged_prefix_sum
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            f"src{rng.randrange(3)}",
+            None if rng.random() < 0.1 else rng.randrange(0, 50),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    naive_w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = {
+        (r["doc_id"], r["nb"])
+        for r in df.withColumn(
+            "nb", F.coalesce(F.sum("w").over(naive_w), F.lit(0))
+        ).collect()
+    }
+    # range_width=64 forces ~8 ranges; the boundary reconciliation runs
+    got = {
+        (r["doc_id"], r["_before"])
+        for r in ranged_prefix_sum(
+            df, ["source"], "doc_id", F.col("w"), range_width=64
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_ranged_prefix_sum_window_partitions_by_range(spark):
+    """The scale property itself, pinned in the plan: the data-sized
+    window must partition by (source, _rng) — NOT source alone — so one
+    dominant source cannot serialize into a single task; the only
+    source-partitioned window runs over the range ledger."""
+    from kpipe_spark.functions.prefix import ranged_prefix_sum
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the_one_giant_crawl").alias("source"),
+        (F.col("id") % 37).alias("w"),
+    )
+    out = ranged_prefix_sum(df, ["source"], "doc_id", F.col("w"), range_width=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    windows = re.findall(r"Window \[.*?\]", plan)
+    assert any("_rng" in w for w in windows), plan[:3000]
+    # and the result is still the exact prefix sum
+    rows = {r["doc_id"]: r["_before"] for r in out.collect()}
+    acc, expect = 0, {}
+    for i in range(2000):
+        expect[i] = acc
+        acc += i % 37
+    assert rows == expect
