@@ -46,6 +46,13 @@ HEADLINE = [
     "d13_ivf_topk",
     "d17_unigram_logprob",
     "m03_media_features",
+    # round 4: the two flagship compositions join the headline — the
+    # incremental-admission shape (the single most scale-important op)
+    # and the end-to-end curation ledger. The headline TOTAL therefore
+    # grows by their cost vs rounds <=3; per-query timings stay
+    # comparable.
+    "d54_incremental_dedup",
+    "p04_curation_composition",
 ]
 
 
@@ -97,6 +104,68 @@ def _streaming_pipeline_rate(spark, sf_dir: str, n_batches: int = 5) -> int:
     return int(n_rows / elapsed)
 
 
+def _d05_signature_ab(spark, sf_dir: str) -> dict:
+    """A/B guard for the minhash signature shape (ARCHITECTURE.md
+    'projection vs aggregate' crossover note): time the SHIPPED pure-
+    projection signature against the explode -> groupBy aggregate
+    reference at the current slot family. The winner flipped once
+    already (aggregate won at 64 slots, projection at 24), so every
+    bench run re-measures on this machine — a family retune that
+    silently regresses d05 shows up as shipped_is_faster=false in
+    BENCH_r{N}.json instead of hiding inside the headline total."""
+    from kpipe_spark.catalog import load_tables
+    from kpipe_spark.functions import dedup as D
+    from kpipe_spark.functions.dedup import (
+        MERSENNE_P31,
+        MINHASH_NUM_HASHES,
+        slot_coefficients,
+        word_shingle_hashes,
+    )
+    from kpipe_spark.util import ensure_parallelism
+
+    docs = load_tables(spark, sf_dir).documents
+
+    def best_of(build, n=2) -> float:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def aggregate_shape():
+        content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
+        pre = ensure_parallelism(docs.filter(content)).select(
+            "doc_id", F.explode(word_shingle_hashes("text", 3)).alias("h")
+        )
+        g = pre.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P31
+                ).alias(f"s{j}")
+                for j, (a, b) in (
+                    (j, slot_coefficients(j))
+                    for j in range(MINHASH_NUM_HASHES)
+                )
+            ]
+        )
+        return g.select(
+            "doc_id",
+            F.array(
+                *[F.col(f"s{j}") for j in range(MINHASH_NUM_HASHES)]
+            ).alias("sig"),
+        )
+
+    proj = best_of(lambda: D.minhash_signature_df(docs))
+    agg = best_of(aggregate_shape)
+    return {
+        "projection_sec": round(proj, 3),
+        "aggregate_sec": round(agg, 3),
+        "shipped": "projection",
+        "shipped_is_faster": proj <= agg,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="kpipe-spark-bench")
@@ -130,6 +199,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     streaming_rate = _streaming_pipeline_rate(spark, sf_dir)
+    signature_ab = _d05_signature_ab(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     # the reference's yardstick is consumer rec/s (BASELINE.md): p01 runs
     # the full outcome pipeline (JSON extract + 4 operators + accounting)
@@ -147,6 +217,7 @@ def main() -> None:
                     n_events / timings["p01_outcome_accounting"]
                 ),
                 "streaming_records_per_sec": streaming_rate,
+                "d05_signature_ab": signature_ab,
                 "sf": sf_dir,
                 # 1-minute load average at measurement time: round-over-
                 # round comparisons can normalize for machine noise

@@ -49,72 +49,71 @@ def register(
 
 
 # The external driver grades the FIRST 50 registry entries against the
-# DuckDB oracle. Rounds 1+2 graded 89 distinct queries (all green in
-# round 2); this round the window rotates to the ~55 queries the driver
-# has never graded — the q41-q84 relational tail and d44-d53/m04 — plus
-# three cross-round sentinels (q01, p01, d05) and the two queries that
-# gained a value oracle this round (d37 deterministic SemDeDup, m03 real
-# media decode), so they get their first hash-grade. Deferred to the
-# round-4 window: ten simple scalar/window queries (q06, q13, q26, q30,
-# q34, q39, q40, q42, q46, q51) plus the round-3 additions registered
-# after the window froze (d54-d66, m05-m07, q85); all oracle-backed
-# queries run the identical DuckDB compare in pytest regardless of
-# window position.
+# DuckDB oracle. Rounds 1-3 graded 134 distinct queries (every one
+# green at its latest grade); this round the window rotates to the 28
+# entries the driver has never graded — the round-3 corpus-assembly
+# layer (d54-d66, m05-m07), the deferred simple relational queries
+# (q06, q13, q26, q30, q34, q39, q40, q42, q46, q51), q85, and the new
+# p04 curation composition — closing the loop: after this round every
+# registry query has driver-side correctness evidence. The three
+# cross-round sentinels (q01, p01, d05) stay, and the remaining 19
+# slots re-grade round-1-era queries (stalest evidence, LLM-ops
+# families first). All oracle-backed queries run the identical DuckDB
+# compare in pytest regardless of window position.
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",
     "p01_outcome_accounting",
     "d05_minhash_neardup",
-    # first-ever hash grade: oracle-ized this round
-    "d37_semdedup_clusters",
-    "m03_media_features",
-    # never-driver-graded relational tail
-    "q41_sliding_window",
-    "q43_distribution_ranks",
-    "q47_time_bucket_window",
-    "q48_null_handling_and_editdist",
-    "q50_histogram_buckets",
-    "q52_posexplode_lateral",
-    "q53_large_volume_orders",
-    "q54_nation_volume_shipping",
-    "q55_inactive_rich_customers",
-    "q57_filtered_aggregates",
-    "q58_customer_order_distribution",
-    "q59_promo_revenue",
-    "q60_small_quantity_revenue",
-    "q61_disjunctive_part_revenue",
-    "q62_waiting_supplier",
-    "q63_market_share",
-    "q64_returned_item_revenue",
-    "q65_top_supplier",
-    "q66_stat_aggregates",
-    "q67_activity_streaks",
-    "q69_lateral_topk",
-    "q72_retention_cohorts",
-    "q73_event_transitions",
-    "q74_loyal_customers_by_nation",
-    "q75_boolean_aggregates",
-    "q76_error_rate_anomaly",
-    "q77_monthly_revenue_growth",
-    "q78_revenue_pareto",
-    "q79_gap_fill_locf",
-    "q80_nation_profit",
-    "q81_important_parts",
-    "q82_part_supplier_counts",
-    "q83_best_supplier_per_part",
-    "q84_excess_share_shippers",
-    # never-driver-graded LLM-ops tail
-    "d44_temperature_sampling_weights",
-    "d45_sequence_length_histogram",
-    "d46_cross_source_overlap",
-    "d47_dedup_survivors",
-    "d48_minhash_estimator_calibration",
-    "d49_semantic_decontamination",
-    "d50_quality_weighted_sampling",
-    "d51_packing_efficiency",
-    "d52_leakage_safe_split",
-    "d53_cdc_chunk_dedup",
-    "m04_resize_plan",
+    # never-driver-graded: round-3/4 additions + deferred relational
+    "p04_curation_composition",
+    "d54_incremental_dedup",
+    "d55_dedup_adjusted_mixture",
+    "d56_contamination_spans",
+    "d57_token_budget_selection",
+    "d58_shard_plan",
+    "d59_priority_source_dedup",
+    "d60_curation_funnel",
+    "d61_dup_substring_spans",
+    "d62_ivf_cell_profile",
+    "d63_tokenizer_fertility",
+    "d64_blocklist_gate",
+    "d65_cluster_size_histogram",
+    "d66_shared_prefix_templates",
+    "m05_audio_frame_energy",
+    "m06_image_patch_stats",
+    "m07_multimodal_packing",
+    "q85_mode_per_group",
+    "q06_revenue_forecast",
+    "q13_window_rank",
+    "q26_having_filter",
+    "q30_events_top_users",
+    "q34_explode_token_freq",
+    "q39_first_last_per_group",
+    "q40_regexp_extract",
+    "q42_distinct_projection",
+    "q46_union_by_name",
+    "q51_date_arithmetic",
+    # round-1-era re-grades (stalest driver evidence)
+    "d01_dedup_exact",
+    "d06_simhash",
+    "d07_ngram_jaccard_pairs",
+    "d08_similarity_topk",
+    "d11_embedding_neardup",
+    "d13_ivf_topk",
+    "d15_simhash_neardup",
+    "d16_pii_scrub",
+    "d17_unigram_logprob",
+    "d19_stratified_sample",
+    "d20_dataset_split",
+    "d24_dup_clusters",
+    "d25_vocab_build",
+    "d26_tfidf_keywords",
+    "d34_gopher_quality_rules",
+    "d41_word_entropy",
+    "d43_srp_near_dup",
+    "m01_media_metadata",
+    "m02_frame_sample",
 )
 
 

@@ -106,3 +106,157 @@ def p03_field_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     passed, _, _ = pipe.split(e)
     return passed.select("eid", "event_type", "value_adj", "stage")
+
+
+# stopword list shared with the Gopher gate ops (llm_ops5._STOPWORDS)
+_SW = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _p04_oracle() -> str:
+    from kpipe_spark.queries._oracle_fragments import MINHASH_CTES
+
+    return f"""
+    WITH {MINHASH_CTES},
+    flags AS (
+      SELECT doc_id,
+             (doc_id % 4 = 0) AS is_new,
+             (lang = 'en'
+              AND len(string_split(text, ' ')) >= 30
+              AND ((len(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                   / len(string_split(text, ' '))) BETWEEN 3 AND 6
+              AND (len(list_filter(string_split(text, ' '),
+                       x -> x IN {_SW!r})) * 1.0
+                   / len(string_split(text, ' '))) >= 0.01
+              AND (len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' '))) >= 0.35) AS gate,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    hits AS (
+      SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_other
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id <> b.doc_id
+      JOIN flags fa ON fa.doc_id = a.doc_id
+      JOIN flags fb ON fb.doc_id = b.doc_id
+      WHERE fa.is_new AND fa.gate AND (NOT fb.is_new OR fb.gate)
+    ),
+    rej AS (
+      SELECT id_new,
+             bool_or(id_other % 4 <> 0 OR id_other < id_new) AS is_dup
+      FROM hits GROUP BY id_new
+    ),
+    outc AS (
+      SELECT f.doc_id, f.n_tokens,
+             CASE WHEN f.gate IS NOT TRUE THEN 'gate_filtered'
+                  WHEN coalesce(r.is_dup, false) THEN 'dup_rejected'
+                  WHEN CAST(concat('0x', substr(md5(CAST(f.doc_id AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(f.doc_id AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS outcome
+      FROM flags f LEFT JOIN rej r ON r.id_new = f.doc_id
+      WHERE f.is_new
+    )
+    SELECT outcome, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM outc GROUP BY outcome
+    """
+
+
+@register(
+    "p04_curation_composition",
+    oracle=_p04_oracle(),
+    description="the flagship curation loop as ONE batch composition: "
+    "an arriving batch (doc_id % 4 == 0) is serialized to JSON lines, "
+    "decoded back through the real ingestion front door (decode_json "
+    "under the outcome contract — a decode failure would surface as a "
+    "'decode_failed' outcome row and hash-mismatch), Gopher-gated via "
+    "Pipeline.filter, near-dup-checked against the already-indexed "
+    "corpus band table (d54's incremental shape: batch-sized signature "
+    "work, no corpus re-scan) with keep-one inside the batch, and the "
+    "admitted docs split train/val/test by d52's md5 hash — emitted as "
+    "a per-outcome doc/token ledger in which every batch doc appears "
+    "exactly once. Scale: the corpus side is its STORED band artifact "
+    "(bucketed on (band, bucket)); everything else is batch-sized; "
+    "gate and encode/decode are scan-local projections.",
+    tags=("pipeline", "llm", "dedup", "composition"),
+)
+def p04_curation_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions import dedup as D
+    from kpipe_spark.functions import text as T
+    from kpipe_spark.pipeline.formats import decode_json
+
+    docs = load_tables(spark, sf_dir).documents
+    is_new = F.col("doc_id") % 4 == 0
+
+    # 1. ingestion front door: encode the batch to JSONL, decode it back
+    lines = docs.filter(is_new).select(
+        F.to_json(F.struct("doc_id", "text", "lang", "source")).alias("value")
+    )
+    dec = decode_json(
+        lines, "doc_id bigint, text string, lang string, source string"
+    )
+    flat = dec.select("payload_error", F.col("payload.*"))
+
+    # 2. Gopher gate through the Pipeline outcome contract
+    ts = F.split("text", " ")
+    n = F.size(ts)
+    mwl = (F.length("text") - (n - 1)) / n
+    swf = F.size(F.filter(ts, lambda x: x.isin(*_SW))) / n
+    dr = F.size(F.array_distinct(ts)) / n
+    gate = (
+        (F.col("lang") == "en")
+        & (n >= 30)
+        & mwl.between(3, 6)
+        & (swf >= 0.01)
+        & (dr >= 0.35)
+    )
+    pipe = (
+        Pipeline()
+        .fail_when(
+            F.col("payload_error").isNotNull() | F.col("doc_id").isNull(),
+            "DeserializationException",
+        )
+        .filter(gate)
+    )
+    applied = pipe.apply(flat)
+
+    # 3. incremental admission against the stored corpus band index
+    surv = applied.filter(F.col(STATUS_COL) == "passed").select(
+        "doc_id", "text"
+    )
+    corpus_bands = D.minhash_bands_df(
+        D.minhash_signature_df(docs.filter(~is_new))
+    )
+    partners = D.incremental_minhash_partners(surv, corpus_bands)
+    rej = partners.groupBy("id_new").agg(
+        F.max(
+            (F.col("id_other") % 4 != 0)
+            | (F.col("id_other") < F.col("id_new"))
+        ).alias("is_dup")
+    )
+
+    # 4. leakage-safe split of the admitted docs, per-outcome ledger
+    h = D.md5_hash60(F.col("doc_id").cast("string")) % 100
+    outcome = (
+        F.when(F.col(STATUS_COL) == "failed", F.lit("decode_failed"))
+        .when(F.col(STATUS_COL) == "filtered", F.lit("gate_filtered"))
+        .when(F.coalesce(F.col("is_dup"), F.lit(False)), F.lit("dup_rejected"))
+        .when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        applied.join(rej, applied["doc_id"] == rej["id_new"], "left")
+        .select(
+            outcome.alias("outcome"),
+            T.token_count("text").cast("long").alias("n_tokens"),
+        )
+        .groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )

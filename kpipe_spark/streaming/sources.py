@@ -22,11 +22,12 @@ KAFKA_SCHEMA = (
 def kafka_source(
     spark: SparkSession,
     brokers: str,
-    topics: str | list[str],
+    topics: str | list[str] | None = None,
     starting_offsets: str = "latest",
     max_offsets_per_trigger: int | None = None,
     min_partitions: int | None = None,
     extra_options: dict[str, str] | None = None,
+    subscribe_pattern: str | None = None,
 ) -> DataFrame:
     """Kafka stream with kpipe's admission knobs mapped to Spark:
 
@@ -34,16 +35,25 @@ def kafka_source(
       -> maxOffsetsPerTrigger (bounds rows per micro-batch)
     - fetch parallelism (docs/GUARANTEES.md:90-99) -> minPartitions
       (splits Kafka partitions into more Spark tasks)
+    - regex subscription (KPipeConsumer's Pattern subscribe) ->
+      subscribePattern: topics matching later are picked up at the
+      next micro-batch — the assignment-set growth the reference's
+      rebalance tier exercises (pass INSTEAD of ``topics``)
     """
+    if (topics is None) == (subscribe_pattern is None):
+        raise ValueError("pass exactly one of topics / subscribe_pattern")
     if isinstance(topics, list):
         topics = ",".join(topics)
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topics)
         .option("startingOffsets", starting_offsets)
         .option("includeHeaders", "true")
     )
+    if subscribe_pattern is not None:
+        reader = reader.option("subscribePattern", subscribe_pattern)
+    else:
+        reader = reader.option("subscribe", topics)
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     if min_partitions is not None:

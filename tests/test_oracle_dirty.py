@@ -50,6 +50,7 @@ DIRTY_SENSITIVE = [
     "d64_blocklist_gate",
     "d65_cluster_size_histogram",
     "d66_shared_prefix_templates",
+    "p04_curation_composition",
 ]
 
 _ROWS = [
@@ -80,6 +81,12 @@ _ROWS = [
     # would throw without TRY_CAST (round-3 ADVICE, medium)
     (16, "the quick brown fox jumps over the lazy dog again and again", "en", "srcplain"),
     (17, "an unnumbered feed with plenty of ordinary filler words here", "en", "srcplain"),
+    # multibyte UTF-8 content: md5-derived fingerprints (minhash grams,
+    # simhash lanes, doc fingerprints) must agree on the BYTES of
+    # non-ASCII text, and NBSP (U+00A0) is NOT \s in either engine's
+    # regex class (Java or RE2) — both must keep it inside one token
+    (18, "café déjà-vu naïve résumé über schön façade jalapeño", "de", "src3"),
+    (19, "word\u00a0joined\u00a0by\u00a0nbsp plus six ordinary ascii tokens here", "en", "src3"),
 ]
 
 

@@ -284,3 +284,19 @@ def test_observers_swallow_exceptions(spark, tmp_path):
     assert seen["failed"] == 1  # i=7 is the error row in 0..9
     assert seen["filtered"] > 0
     assert len(delivered) > 0
+
+
+def test_kafka_source_requires_exactly_one_subscription(spark):
+    """subscribe vs subscribePattern are mutually exclusive — the
+    validation runs before any connector lookup, so it's testable
+    without a broker or the kafka package."""
+    import pytest as _pytest
+
+    from kpipe_spark.streaming.sources import kafka_source
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        kafka_source(spark, "localhost:9092")
+    with _pytest.raises(ValueError, match="exactly one"):
+        kafka_source(
+            spark, "localhost:9092", topics="t", subscribe_pattern="t-.*"
+        )
