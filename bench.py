@@ -167,6 +167,11 @@ def _d05_signature_ab(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
+    # ambient load BEFORE the workload: the bench itself saturates the
+    # machine, so an at-exit sample (rounds <=3 reported ~9 "under
+    # load") mostly measures the bench's own footprint. loadavg_start
+    # is the number round-over-round comparisons should normalize by.
+    loadavg_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="kpipe-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -219,9 +224,11 @@ def main() -> None:
                 "streaming_records_per_sec": streaming_rate,
                 "d05_signature_ab": signature_ab,
                 "sf": sf_dir,
-                # 1-minute load average at measurement time: round-over-
-                # round comparisons can normalize for machine noise
-                # (BASELINE.md notes 15-25% inflation under load)
+                # ambient 1-min load BEFORE the workload started (the
+                # normalization number) and at exit (dominated by the
+                # bench's own 32-core footprint; kept for continuity
+                # with rounds <=3 whose single loadavg was this one)
+                "loadavg_start": loadavg_start,
                 "loadavg": round(os.getloadavg()[0], 2),
             }
         )

@@ -56,10 +56,15 @@ from kpipe_spark.util import ensure_parallelism, ieee_round
     description="CCNet-style quality terciles: per-doc unigram LM "
     "score (d17's two-pass shape), ntile(3) over the rounded score "
     "(doc_id tie-break), per-bucket doc/token tallies. Scale: the "
-    "ntile is a global sort of DOC-LEVEL scalars (3 columns/doc), not "
-    "the corpus — at 100 TB replace it with approx_percentile "
-    "thresholds broadcast back (same bucket semantics, no single-"
-    "partition sort); the corpus-sized stages are identical to d17.",
+    "naive ntile is a GLOBAL sort of doc-level scalars — one task "
+    "holding every document's score. Because lp is round(.,4)-"
+    "quantized, the exact rank decomposes d57-style: a per-lp-value "
+    "histogram (domain = the 4-decimal grid, bounded ~1e5 rows "
+    "regardless of corpus size) prefix-summed and broadcast back, "
+    "plus a row_number partitioned BY lp value for the tie-break — "
+    "parallelism is |distinct lp|, no partition holds more than one "
+    "score's ties. The ntile bucket is then a closed-form function of "
+    "the exact global position; bit-identical to the oracle's ntile.",
     tags=("llm", "quality", "window"),
 )
 def d36_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,9 +85,30 @@ def d36_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
-    w = Window.orderBy(F.col("lp").desc(), "doc_id")
+    # exact global position without a global sort: lp's 4-decimal grid
+    # bounds the histogram domain, so the single-task window runs over
+    # the HISTOGRAM; the row-level window partitions by lp value
+    hist = score.groupBy("lp").agg(F.count(F.lit(1)).alias("_c"))
+    w_h = Window.orderBy(F.col("lp").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    hist = hist.withColumn(
+        "_above", F.coalesce(F.sum("_c").over(w_h), F.lit(0))
+    ).select("lp", "_above")
+    n = score.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    w_in = Window.partitionBy("lp").orderBy("doc_id")
+    pos = F.col("_above") + F.row_number().over(w_in)
+    # ntile(k) closed form at k=3: q=n//3, r=n%3; the first r buckets
+    # hold q+1 rows. floor-of-double division is exact for n < 2^52.
+    q_ = F.floor(F.col("_n") / 3)
+    r_ = F.col("_n") % 3
+    bucket = F.when(
+        pos <= r_ * (q_ + 1), F.floor((pos - 1) / (q_ + 1)) + 1
+    ).otherwise(r_ + F.floor((pos - r_ * (q_ + 1) - 1) / q_) + 1)
     return (
-        score.withColumn("bucket", F.ntile(3).over(w))
+        score.join(F.broadcast(hist), "lp")
+        .crossJoin(F.broadcast(n))
+        .withColumn("bucket", bucket.cast("int"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

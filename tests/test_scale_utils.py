@@ -299,3 +299,52 @@ def test_ranged_prefix_sum_window_partitions_by_range(spark):
         expect[i] = acc
         acc += i % 37
     assert rows == expect
+
+
+def test_ntile_closed_form_matches_window_ntile(spark):
+    """d36's two-phase tercile: histogram position + closed-form
+    bucket must equal F.ntile(3) over the global order exactly —
+    including n < 3, all-tied scores, and remainder sizes. (The oracle
+    suite pins this against DuckDB's ntile on real corpora; this pins
+    the degenerate sizes fixtures never hit.)"""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(11)
+    for n in [1, 2, 3, 4, 5, 6, 8, 13, 40]:
+        rows = [
+            (i, round(rng.choice([0.1, 0.2, 0.2, 0.2, 0.3]), 4))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lp double")
+        ref = {
+            r["doc_id"]: r["b"]
+            for r in df.withColumn(
+                "b",
+                F.ntile(3).over(Window.orderBy(F.col("lp").desc(), "doc_id")),
+            ).collect()
+        }
+        hist = df.groupBy("lp").agg(F.count(F.lit(1)).alias("_c"))
+        w_h = Window.orderBy(F.col("lp").desc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        hist = hist.withColumn(
+            "_above", F.coalesce(F.sum("_c").over(w_h), F.lit(0))
+        ).select("lp", "_above")
+        nn = df.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+        w_in = Window.partitionBy("lp").orderBy("doc_id")
+        pos = F.col("_above") + F.row_number().over(w_in)
+        q_ = F.floor(F.col("_n") / 3)
+        r_ = F.col("_n") % 3
+        bucket = F.when(
+            pos <= r_ * (q_ + 1), F.floor((pos - 1) / (q_ + 1)) + 1
+        ).otherwise(r_ + F.floor((pos - r_ * (q_ + 1) - 1) / q_) + 1)
+        got = {
+            r["doc_id"]: r["b"]
+            for r in df.join(F.broadcast(hist), "lp")
+            .crossJoin(F.broadcast(nn))
+            .withColumn("b", bucket.cast("int"))
+            .collect()
+        }
+        assert got == ref, (n, got, ref)
