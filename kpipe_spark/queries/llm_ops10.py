@@ -1016,3 +1016,66 @@ def d66_shared_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 3)
     )
+
+
+@register(
+    "d67_passage_chunks",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1
+    ), ks AS (
+      SELECT doc_id, t, n,
+             unnest(range(0, 1 + CAST(CASE WHEN n <= 128 THEN 0
+                    ELSE ceil((n - 128) / 96.0) END AS BIGINT))) AS k
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * 96 + 1 AS BIGINT) AS start_pos,
+           CAST(len(t[k*96+1 : k*96+128]) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(t[k*96+1 : k*96+128], ' ')) AS chunk_hash
+    FROM ks
+    """,
+    description="sliding-window passage chunking: every document is "
+    "split into 128-token windows at stride 96 (25% overlap, the "
+    "standard RAG / long-context pretraining chunker) — complementary "
+    "to d39, which packs whole docs into sequences; this SPLITS docs "
+    "into retrieval passages. Emits the chunk table itself (doc, "
+    "chunk ordinal, 1-based token start, actual length — the tail "
+    "chunk may be short — and the md5 content hash that downstream "
+    "chunk-level dedup/embedding joins key on). Scale: zero shuffles "
+    "— tokenize, a per-doc sequence explode, and slice/hash "
+    "projections are all scan-local; the token array never crosses a "
+    "stage boundary, so the plan is pure whole-stage-codegen map "
+    "work at any corpus size.",
+    tags=("llm", "chunking", "tokenize"),
+)
+def d67_passage_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W, S = 128, 96
+    docs = load_tables(spark, sf_dir).documents
+    base = docs.select(
+        "doc_id", T.tokens("text").alias("t")
+    ).withColumn("n", F.size("t")).filter(F.col("n") >= 1)
+    kmax = (
+        F.when(F.col("n") <= W, F.lit(0))
+        .otherwise(F.ceil((F.col("n") - W) / S))
+        .cast("long")
+    )
+    ks = base.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0).cast("long"), kmax)).alias("k"),
+    )
+    sl = F.slice("t", (F.col("k") * S + 1).cast("int"), W)
+    return ks.select(
+        "doc_id",
+        F.col("k").alias("chunk_id"),
+        (F.col("k") * S + 1).alias("start_pos"),
+        F.size(sl).cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_hash"),
+    )

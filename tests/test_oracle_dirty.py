@@ -50,6 +50,7 @@ DIRTY_SENSITIVE = [
     "d64_blocklist_gate",
     "d65_cluster_size_histogram",
     "d66_shared_prefix_templates",
+    "d67_passage_chunks",
     "p04_curation_composition",
 ]
 

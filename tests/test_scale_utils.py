@@ -348,3 +348,71 @@ def test_ntile_closed_form_matches_window_ntile(spark):
             .collect()
         }
         assert got == ref, (n, got, ref)
+
+
+def test_incremental_dedup_corpus_side_is_exchange_free_when_bucketed(spark):
+    """THE d54 scale claim, pinned in the physical plan: when the
+    corpus band table is the stored bucketed artifact (bucketed on
+    (band, bucket) via write_bucketed, as the d54 docstring
+    prescribes), admitting a batch shuffles ONLY batch-sized data —
+    the corpus side of the candidate join carries no Exchange. A
+    corpus-side shuffle per batch is exactly the 100 TB cost the
+    incremental shape exists to avoid."""
+    from kpipe_spark.functions import dedup as D
+    from kpipe_spark.util import write_bucketed
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"w{i} " * 3 + "alpha beta gamma delta epsilon zeta")
+            for i in range(120)
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus_bands = D.minhash_bands_df(
+        D.minhash_signature_df(docs.filter(F.col("doc_id") % 4 != 0))
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            corpus_bands,
+            "corpus_bands_t",
+            ["band", "bucket"],
+            num_buckets=8,
+            sort_by=["band", "bucket"],
+        )
+        stored = spark.table("corpus_bands_t")
+        batch = docs.filter(F.col("doc_id") % 4 == 0)
+        partners = D.incremental_minhash_partners(batch, stored)
+        plan = partners._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan[:2000]
+        # walk the bucketed scan's parent chain up to its join: only
+        # Sort/Project may sit between them — an Exchange there means
+        # the corpus band table is re-shuffled per batch
+        lines = plan.splitlines()
+        scan_idx = next(
+            i for i, ln in enumerate(lines) if "corpus_bands_t" in ln
+        )
+
+        def indent(ln: str) -> int:
+            body = ln.replace(":", " ").replace("+-", "  ")
+            return len(body) - len(body.lstrip())
+
+        depth = indent(lines[scan_idx])
+        for ln in reversed(lines[:scan_idx]):
+            if indent(ln) >= depth:
+                continue
+            if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
+                break
+            depth = indent(ln)
+            assert "Exchange" not in ln, (
+                "corpus band table re-shuffled per batch:\n" + ln
+            )
+        else:
+            raise AssertionError("no join above the bucketed scan:\n" + plan)
+        # and the join still finds the duplicate partners
+        assert partners.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS corpus_bands_t")
