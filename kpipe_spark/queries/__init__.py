@@ -50,16 +50,17 @@ def register(
 
 # The external driver grades the FIRST 50 registry entries against the
 # DuckDB oracle. Rounds 1-3 graded 134 distinct queries (every one
-# green at its latest grade); this round the window rotates to the 28
+# green at its latest grade); this round the window rotates to the 29
 # entries the driver has never graded — the round-3 corpus-assembly
 # layer (d54-d66, m05-m07), the deferred simple relational queries
 # (q06, q13, q26, q30, q34, q39, q40, q42, q46, q51), q85, and the new
-# p04 curation composition — closing the loop: after this round every
-# registry query has driver-side correctness evidence. The three
-# cross-round sentinels (q01, p01, d05) stay, and the remaining 19
-# slots re-grade round-1-era queries (stalest evidence, LLM-ops
-# families first). All oracle-backed queries run the identical DuckDB
-# compare in pytest regardless of window position.
+# round-4 p04 curation composition and d67 passage chunking — closing
+# the loop: after this round every registry query has driver-side
+# correctness evidence. The three cross-round sentinels (q01, p01,
+# d05) stay, and the remaining 18 slots re-grade round-1-era queries
+# (stalest evidence, LLM-ops families first). All oracle-backed
+# queries run the identical DuckDB compare in pytest regardless of
+# window position.
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",
@@ -94,6 +95,7 @@ FLAGSHIP_50: tuple[str, ...] = (
     "q42_distinct_projection",
     "q46_union_by_name",
     "q51_date_arithmetic",
+    "d67_passage_chunks",
     # round-1-era re-grades (stalest driver evidence)
     "d01_dedup_exact",
     "d06_simhash",
@@ -113,7 +115,6 @@ FLAGSHIP_50: tuple[str, ...] = (
     "d41_word_entropy",
     "d43_srp_near_dup",
     "m01_media_metadata",
-    "m02_frame_sample",
 )
 
 

@@ -25,9 +25,10 @@ def test_d57_budget_admission_bounds(spark):
         .agg(F.sum("admitted_tokens").alias("adm"))
         .collect()[0]
     )
-    toks = _docs(spark).select(
-        F.size(F.split("text", " ")).cast("long").alias("n")
-    )
+    from kpipe_spark.functions.text import token_count
+
+    # same ''-filtered denomination d57 budgets in (round-4 change)
+    toks = _docs(spark).select(token_count("text").cast("long").alias("n"))
     row = toks.agg(
         F.sum("n").alias("total"), F.max("n").alias("max_doc")
     ).collect()[0]
@@ -140,3 +141,44 @@ def test_budget_select_matches_global_greedy(spark, rows, budget_frac):
         ).collect()
     }
     assert got == _greedy_reference(data, budget)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),  # partition key
+            st.integers(min_value=0, max_value=300),  # order key (doc id)
+            st.one_of(st.none(), st.integers(min_value=0, max_value=40)),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda r: (r[0], r[1]),  # order key unique per part
+    ),
+    width=st.sampled_from([1, 4, 64]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ranged_prefix_sum_property(spark, rows, width):
+    """Hypothesis form of the packing prefix-sum equivalence: for any
+    partitioned integer-keyed rows with optional NULL weights and any
+    range width (incl. width=1: every row its own range), the
+    two-phase result equals the per-partition exclusive running sum."""
+    from kpipe_spark.functions.prefix import ranged_prefix_sum
+
+    df = spark.createDataFrame(rows, "src string, doc_id long, w long")
+    got = {
+        (r["src"], r["doc_id"]): r["_before"]
+        for r in ranged_prefix_sum(
+            df, ["src"], "doc_id", F.col("w"), range_width=width
+        ).collect()
+    }
+    expect = {}
+    for src in {r[0] for r in rows}:
+        acc = 0
+        for _, did, w in sorted(r for r in rows if r[0] == src):
+            expect[(src, did)] = acc
+            acc += w or 0
+    assert got == expect
