@@ -131,6 +131,7 @@ def all_queries() -> dict[str, Query]:
         llm_ops8,
         llm_ops9,
         llm_ops10,
+        llm_ops11,
         pipeline_queries,
         relational,
         relational2,

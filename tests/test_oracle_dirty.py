@@ -51,6 +51,9 @@ DIRTY_SENSITIVE = [
     "d65_cluster_size_histogram",
     "d66_shared_prefix_templates",
     "d67_passage_chunks",
+    "d68_dsir_importance",
+    "d69_bigram_interp_logprob",
+    "d71_ngram_novelty",
     "p04_curation_composition",
 ]
 

@@ -103,6 +103,7 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
     allowed = {
         # --- 1-row / few-row aggregates (scalar stats, totals) ---
         "tot", "total", "stats", "denom", "m", "n", "top", "g",
+        "ntot",        # llm_ops11 d69: 1-row corpus token total
         # --- bounded-by-construction model artifacts ---
         "cents", "centroids", "probes",  # k centroids / n_probe cells
         "hist",        # selection.py: <=10001-row quality histogram
