@@ -53,6 +53,10 @@ HEADLINE = [
     # comparable.
     "d54_incremental_dedup",
     "p04_curation_composition",
+    # round 4b: the DSIR selection scorer — the heaviest of the new
+    # selection/monitoring ops (corpus explode + bucket model + score
+    # join), worth tracking round-over-round like d05/d17
+    "d68_dsir_importance",
 ]
 
 
@@ -203,7 +207,15 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    streaming_rate = _streaming_pipeline_rate(spark, sf_dir)
+    # best-of-3 like the query timings: a single streaming run swings
+    # ~3x with GC/scheduling (measured 32k-92k rec/s for an identical
+    # pipeline in one session) because checkpoint-dir I/O and the first
+    # trigger's startup land inside one ~7 s window; the max over three
+    # fresh runs (each with its own checkpoint dir) is the steady-state
+    # number the reference's consumer benchmarks report
+    streaming_rate = max(
+        _streaming_pipeline_rate(spark, sf_dir) for _ in range(3)
+    )
     signature_ab = _d05_signature_ab(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     # the reference's yardstick is consumer rec/s (BASELINE.md): p01 runs

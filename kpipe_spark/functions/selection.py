@@ -88,3 +88,76 @@ def budget_select(
         "_before", F.coalesce(F.sum("_w").over(w_in), F.lit(0))
     ).filter(F.col("_above") + F.col("_before") < F.col("_budget"))
     return full.select(*src_cols).unionByName(boundary.select(*src_cols))
+
+
+# -- DSIR importance scoring --------------------------------------------------
+
+DSIR_BUCKETS_DEFAULT = 4096
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_sources: tuple[str, ...],
+    n_buckets: int = DSIR_BUCKETS_DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR hashed-bigram importance weights (Xie et al. 2023): per
+    document, sum over its bigram occurrences of
+    ``log10 p_target(bucket) - log10 p_raw(bucket)`` with Laplace
+    smoothing, where buckets are ``md5_hash60(bigram) % n_buckets``
+    (cross-engine exact) and the target distribution is fit on the
+    documents whose ``source_col`` is in ``target_sources``.
+
+    Returns (id_col, n_bigrams, logw[round 4]); documents with <2
+    tokens (no bigrams) or no content produce no row. Scale shape: the
+    explode feeds one per-(doc,bucket) partial aggregate; the model
+    side is an ``n_buckets``-row table plus a 1-row total, both
+    broadcast — nothing vocabulary- or corpus-sized joins.
+    tests/test_llm_ops11.py checks the math against a plain-Python
+    reference on randomized corpora; d68's DuckDB oracle pins it
+    cross-engine.
+    """
+    from kpipe_spark.functions.dedup import md5_hash60
+    from kpipe_spark.functions.text import tokens
+
+    content = F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
+    t = tokens(text_col)
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = docs.filter(content).select(
+        id_col, source_col, F.explode(bigrams).alias("g")
+    )
+    cnt = (
+        bg.withColumn("bucket", md5_hash60(F.col("g")) % n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(
+            F.any_value(source_col).alias("_src"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    stats = cnt.groupBy("bucket").agg(
+        F.sum("c").alias("cr"),
+        F.coalesce(
+            F.sum(F.when(F.col("_src").isin(*target_sources), F.col("c"))),
+            F.lit(0),
+        ).alias("ct"),
+    )
+    tot = stats.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    lr = F.log10((F.col("ct") + 1) / (F.col("nt") + n_buckets)) - F.log10(
+        (F.col("cr") + 1) / (F.col("nr") + n_buckets)
+    )
+    return (
+        cnt.join(F.broadcast(stats), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("c") * lr), 4).alias("logw"),
+        )
+    )

@@ -60,7 +60,9 @@ def register(
 # d05) stay, and the remaining 18 slots re-grade round-1-era queries
 # (stalest evidence, LLM-ops families first). All oracle-backed
 # queries run the identical DuckDB compare in pytest regardless of
-# window position.
+# window position. (Round-5 rotation note: the ops registered after
+# THIS window froze — d68-d73, the selection/monitoring layer — are
+# the next never-graded set; rotate them in first.)
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",

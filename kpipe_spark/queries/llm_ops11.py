@@ -5,12 +5,14 @@ assembly layer.
 Reference parity note: kpipe declares analytics out of scope
 (/root/reference/README.md:190-208); these extend the north-star LLM
 surface (SURVEY.md §2.4) over the synthetic documents/embeddings
-tables. All four are public-literature methods: DSIR hashed-n-gram
+tables. All six are public-literature methods: DSIR hashed-n-gram
 importance resampling (Xie et al. 2023), interpolated-bigram LM
 perplexity filtering (the CCNet/KenLM move one order up from d17's
 unigram), recall@k evaluation of an IVF index against exact search
-(the FAISS-style index health check), and first-occurrence n-gram
-novelty (dedup-aware selection scoring).
+(the FAISS-style index health check), first-occurrence n-gram
+novelty (dedup-aware selection scoring), per-source hashed-bigram KL
+drift (distribution-shift monitoring), and a Zipf rank-frequency fit
+(corpus-health fingerprint).
 
 Scale discipline shared by the text ops here: every join is keyed on
 a gram/bucket/doc hash (no cartesian anywhere), model-side tables are
@@ -103,45 +105,10 @@ _BIGRAM_TOK_CTE = r"""
     tags=("llm", "selection", "tokenize"),
 )
 def d68_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    B = _DSIR_BUCKETS
+    from kpipe_spark.functions.selection import dsir_log_weights
+
     docs = load_tables(spark, sf_dir).documents
-    content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
-    t = T.tokens("text")
-    n = F.size(t)
-    bigrams = F.zip_with(
-        F.slice(t, 1, n - 1),
-        F.slice(t, 2, n - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    bg = (
-        docs.filter(content)
-        .select("doc_id", "source", F.explode(bigrams).alias("g"))
-    )
-    cnt = (
-        bg.withColumn("bucket", D.md5_hash60(F.col("g")) % B)
-        .groupBy("doc_id", "bucket")
-        .agg(F.any_value("source").alias("source"), F.count(F.lit(1)).alias("c"))
-    )
-    stats = cnt.groupBy("bucket").agg(
-        F.sum("c").alias("cr"),
-        F.coalesce(
-            F.sum(F.when(F.col("source").isin(*_DSIR_TARGET), F.col("c"))),
-            F.lit(0),
-        ).alias("ct"),
-    )
-    tot = stats.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
-    lr = F.log10((F.col("ct") + 1) / (F.col("nt") + B)) - F.log10(
-        (F.col("cr") + 1) / (F.col("nr") + B)
-    )
-    return (
-        cnt.join(F.broadcast(stats), "bucket")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_bigrams"),
-            F.round(F.sum(F.col("c") * lr), 4).alias("logw"),
-        )
-    )
+    return dsir_log_weights(docs, _DSIR_TARGET, _DSIR_BUCKETS)
 
 
 @register(
@@ -437,4 +404,174 @@ def d71_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("novel_frac"),
         )
+    )
+
+
+@register(
+    "d72_source_kl_drift",
+    oracle=rf"""
+    WITH {_BIGRAM_TOK_CTE.strip()},
+    cnt AS (
+      SELECT source,
+             CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket,
+             count(*) AS c
+      FROM bg GROUP BY source,
+             CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+               % {_DSIR_BUCKETS}
+    ), stot AS (
+      SELECT source, sum(c) AS ns FROM cnt GROUP BY source
+    ), corp AS (
+      SELECT bucket, sum(c) AS cq FROM cnt GROUP BY bucket
+    ), tot AS (
+      SELECT sum(cq) AS n FROM corp
+    )
+    SELECT cnt.source,
+           CAST(any_value(stot.ns) AS BIGINT) AS n_bigrams,
+           round(sum((cnt.c / stot.ns)
+                     * log2((cnt.c / stot.ns) / (corp.cq / tot.n))), 4)
+             AS kl_bits
+    FROM cnt
+    JOIN stot USING (source)
+    JOIN corp USING (bucket)
+    CROSS JOIN tot
+    GROUP BY cnt.source
+    """,
+    description="per-source distribution drift: KL divergence (bits) "
+    "of each source's hashed-bigram distribution from the corpus-wide "
+    "distribution, over the same 4096-bucket md5 feature space d68 "
+    "uses — the monitoring number that flags a crawl source whose "
+    "content shifted (spam influx, template change, language drift) "
+    "before it pollutes the mix. No smoothing needed: the corpus "
+    "marginal dominates every source (q[b] >= c_s[b]/N > 0 wherever "
+    "p_s[b] > 0), so the sum is over the source's own support. Scale: "
+    "ONE corpus-sized partial aggregate (explode -> (source,bucket) "
+    "counts, <= |sources| x 4096 rows out); everything downstream is "
+    "bucket-table-sized joins.",
+    tags=("llm", "monitoring", "tokenize"),
+)
+def d72_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _DSIR_BUCKETS
+    docs = load_tables(spark, sf_dir).documents
+    content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
+    t = T.tokens("text")
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    cnt = (
+        docs.filter(content)
+        .select("source", F.explode(bigrams).alias("g"))
+        .withColumn("bucket", D.md5_hash60(F.col("g")) % B)
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stot = cnt.groupBy("source").agg(F.sum("c").alias("ns"))
+    corp = cnt.groupBy("bucket").agg(F.sum("c").alias("cq"))
+    tot = corp.agg(F.sum("cq").alias("n"))
+    ps = F.col("c") / F.col("ns")
+    q = F.col("cq") / F.col("n")
+    return (
+        cnt.join(F.broadcast(stot), "source")
+        .join(F.broadcast(corp), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.any_value("ns").cast("long").alias("n_bigrams"),
+            F.round(F.sum(ps * F.log2(ps / q)), 4).alias("kl_bits"),
+        )
+    )
+
+
+_ZIPF_TOP = 1000
+
+
+@register(
+    "d73_zipf_fit",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+      WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+    ), tok AS (
+      SELECT unnest(t) AS w FROM toks
+    ), freq AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), vocab AS (
+      SELECT count(*) AS n_vocab, sum(c) AS n_tokens FROM freq
+    ), top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+      FROM (SELECT w, c FROM freq ORDER BY c DESC, w LIMIT {_ZIPF_TOP})
+    ), pts AS (
+      SELECT log10(CAST(r AS DOUBLE)) AS x, log10(CAST(c AS DOUBLE)) AS y
+      FROM top
+    ), fit AS (
+      SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(vocab.n_vocab AS BIGINT) AS n_vocab,
+           CAST(vocab.n_tokens AS BIGINT) AS n_tokens,
+           round((fit.k * fit.sxy - fit.sx * fit.sy)
+                 / (fit.k * fit.sxx - fit.sx * fit.sx), 4) AS zipf_slope,
+           round((fit.sy - ((fit.k * fit.sxy - fit.sx * fit.sy)
+                            / (fit.k * fit.sxx - fit.sx * fit.sx)) * fit.sx)
+                 / fit.k, 4) AS zipf_intercept
+    FROM fit CROSS JOIN vocab
+    """,
+    description="Zipf's-law fit as a corpus-health gate: least-squares "
+    "slope/intercept of log10(frequency) on log10(rank) over the top-"
+    "1000 tokens, plus vocab/token totals. Natural text sits near "
+    "slope -1; template spam and word-soup generators drift far off "
+    "it — a one-row fingerprint to trend per crawl snapshot. Scale: "
+    "the top-1000 selection compiles to TakeOrderedAndProject (per-"
+    "partition heap + merge, NO global vocab sort); the rank window "
+    "then runs on a 1000-row frame, and the regression is a 5-number "
+    "aggregate of that frame — nothing vocabulary-sized is ever "
+    "sorted or single-tasked.",
+    tags=("llm", "monitoring", "tokenize"),
+)
+def d73_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
+    freq = (
+        docs.filter(content)
+        .select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    top = freq.orderBy(F.col("c").desc(), "w").limit(_ZIPF_TOP)
+    pts = top.select(
+        F.log10(
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "w"))
+            .cast("double")
+        ).alias("x"),
+        F.log10(F.col("c").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return fit.crossJoin(F.broadcast(vocab)).select(
+        "n_vocab",
+        "n_tokens",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4).alias(
+            "zipf_intercept"
+        ),
     )

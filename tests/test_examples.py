@@ -29,6 +29,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("examples/incremental_admission.py", "incremental == full recompute = True"),
         ("examples/corpus_assembly.py", "budget + mixture + shard audit consistent = True"),
         ("examples/passage_retrieval.py", "copied chunk retrieves its source at cosine ~1.0 = True"),
+        ("examples/data_selection.py", "DSIR + novelty + budget admission invariant holds = True"),
     ],
 )
 def test_example_runs(script, expect):

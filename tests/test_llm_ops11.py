@@ -1,0 +1,184 @@
+"""Semantic tests for the round-4 selection/eval operators (llm_ops11).
+
+The oracle suite proves Spark == DuckDB on these; this file proves the
+MATH is right — the DSIR score against a plain-Python reference on
+randomized corpora, and closed-form sanity anchors for novelty, recall
+and the Zipf fit (a duplicated doc scores 0 novelty, exact-Zipf input
+fits slope -1, IVF recall is a fraction of exact hits).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kpipe_spark.functions.selection import dsir_log_weights
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _bucket(gram: str, n_buckets: int) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def _dsir_reference(
+    rows: list[tuple[int, str, str]],
+    targets: tuple[str, ...],
+    n_buckets: int,
+) -> dict[int, tuple[int, float]]:
+    """Plain-Python DSIR: per-doc (n_bigrams, round(logw, 4))."""
+    per_doc: dict[int, dict[int, int]] = {}
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    src: dict[int, str] = {}
+    for doc_id, text, source in rows:
+        if text is None or not text.strip():
+            continue
+        toks = [t for t in text.split() if t]
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not grams:
+            continue
+        src[doc_id] = source
+        d = per_doc.setdefault(doc_id, {})
+        for g in grams:
+            b = _bucket(g, n_buckets)
+            d[b] = d.get(b, 0) + 1
+            cr[b] = cr.get(b, 0) + 1
+            if source in targets:
+                ct[b] = ct.get(b, 0) + 1
+    nr = sum(cr.values())
+    nt = sum(ct.values())
+    out = {}
+    for doc_id, d in per_doc.items():
+        logw = sum(
+            c
+            * (
+                math.log10((ct.get(b, 0) + 1) / (nt + n_buckets))
+                - math.log10((cr[b] + 1) / (nr + n_buckets))
+            )
+            for b, c in d.items()
+        )
+        out[doc_id] = (sum(d.values()), math.floor(logw * 1e4 + 0.5) / 1e4)
+    return out
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "run", "the", "x9"]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.lists(st.sampled_from(_WORDS), max_size=8).map(" ".join),
+            ),
+            st.sampled_from(["wiki", "crawl", "forum"]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    targets=st.sampled_from([("wiki",), ("wiki", "forum"), ("nope",)]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dsir_matches_python_reference(spark, rows, targets):
+    """dsir_log_weights == the direct plain-Python computation for any
+    corpus, including null/blank texts, 0-1-token docs (no bigrams →
+    no row), and an empty target set (score collapses to the smoothing
+    ratio, not an error)."""
+    data = [(i, t, s) for i, (t, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logw"])
+        for r in dsir_log_weights(df, targets, n_buckets=64).collect()
+    }
+    expected = _dsir_reference(data, targets, 64)
+    assert set(got) == set(expected)
+    for doc_id, (nb, logw) in expected.items():
+        g_nb, g_logw = got[doc_id]
+        assert g_nb == nb
+        assert g_logw == pytest.approx(logw, abs=2e-4)
+
+
+def test_dsir_target_docs_score_higher(spark):
+    """A doc sharing bigrams with the target distribution must outscore
+    a doc whose bigrams only exist in the raw pool."""
+    data = [
+        (0, "good clean prose here", "wiki"),
+        (1, "good clean prose here", "crawl"),  # matches target content
+        (2, "zz yy xx ww vv uu", "crawl"),  # target has none of these
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r["logw"] for r in dsir_log_weights(df, ("wiki",)).collect()}
+    assert got[1] > got[2]
+
+
+def test_novelty_duplicate_scores_zero(spark_sf_query):
+    """d71: an exact duplicate of an earlier doc has novelty 0; the
+    first occurrence of unique content has novelty 1."""
+    df = spark_sf_query("d71_ngram_novelty", SF_SMALL)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows, "no novelty rows at sf0.001"
+    fracs = [r["novel_frac"] for r in rows.values()]
+    assert all(0.0 <= f <= 1.0 for f in fracs)
+    # lowest doc_id with content is all-novel by definition
+    first = rows[min(rows)]
+    assert first["novel_frac"] == 1.0
+
+
+def test_ann_recall_bounds_and_candidates(spark_sf_query):
+    """d70: recall in [0,1], n_hits <= 10, and the IVF candidate count
+    is a strict subset of the corpus (the whole point of the index)."""
+    rows = spark_sf_query("d70_ann_recall_eval", SF_SMALL).collect()
+    assert rows
+    import duckdb
+
+    n_corpus = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_SMALL}/embeddings.parquet'"
+    ).fetchone()[0]
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 10
+        assert r["recall"] == pytest.approx(r["n_hits"] / 10.0)
+        assert 0 < r["n_candidates"] < n_corpus
+
+
+def test_zipf_fit_exact_zipf_slope(spark):
+    """d73's regression algebra: a corpus whose token frequencies are
+    exactly c(r) = round(1000/r) fits slope ~= -1."""
+    from kpipe_spark.queries import all_queries  # noqa: F401 (registry)
+    import tempfile, os
+
+    words = []
+    for r in range(1, 51):
+        words.extend([f"w{r:03d}"] * round(1000 / r))
+    text = " ".join(words)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, text, "en", "src0", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        from kpipe_spark.queries import QUERIES
+
+        row = QUERIES["d73_zipf_fit"].build(spark, d).collect()[0]
+    assert row["n_vocab"] == 50
+    assert abs(row["zipf_slope"] + 1.0) < 0.05
+
+
+@pytest.fixture
+def spark_sf_query(spark):
+    from kpipe_spark.queries import all_queries
+
+    q = all_queries()
+
+    def run(name: str, sf_dir: str):
+        return q[name].build(spark, sf_dir)
+
+    return run

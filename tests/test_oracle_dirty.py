@@ -54,6 +54,8 @@ DIRTY_SENSITIVE = [
     "d68_dsir_importance",
     "d69_bigram_interp_logprob",
     "d71_ngram_novelty",
+    "d72_source_kl_drift",
+    "d73_zipf_fit",
     "p04_curation_composition",
 ]
 
