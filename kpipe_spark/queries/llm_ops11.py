@@ -5,14 +5,17 @@ assembly layer.
 Reference parity note: kpipe declares analytics out of scope
 (/root/reference/README.md:190-208); these extend the north-star LLM
 surface (SURVEY.md §2.4) over the synthetic documents/embeddings
-tables. All six are public-literature methods: DSIR hashed-n-gram
+tables. All are public-literature methods: DSIR hashed-n-gram
 importance resampling (Xie et al. 2023), interpolated-bigram LM
 perplexity filtering (the CCNet/KenLM move one order up from d17's
 unigram), recall@k evaluation of an IVF index against exact search
 (the FAISS-style index health check), first-occurrence n-gram
 novelty (dedup-aware selection scoring), per-source hashed-bigram KL
-drift (distribution-shift monitoring), and a Zipf rank-frequency fit
-(corpus-health fingerprint).
+drift and per-label embedding-centroid drift (distribution-shift
+monitoring in token and vector space), a Zipf rank-frequency fit
+(corpus-health fingerprint), a vocabulary coverage curve
+(tokenizer-budget planning), and per-document OOV rate (tokenizer
+fit / noise outlier gate).
 
 Scale discipline shared by the text ops here: every join is keyed on
 a gram/bucket/doc hash (no cartesian anywhere), model-side tables are
@@ -574,4 +577,265 @@ def d73_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 4).alias(
             "zipf_intercept"
         ),
+    )
+
+
+# Fixed-point scale for embedding aggregation: float32 payloads cast
+# exactly to double, then scaled by 2^24 (the float32 mantissa width)
+# and rounded onto an integer grid. Cross-row sums become exact BIGINT
+# arithmetic — immune to partial-aggregation order — on both engines;
+# the scale cancels in cosine and divides out exactly for means.
+_EMB_FP = float(1 << 24)
+
+
+@register(
+    "d74_embedding_drift",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_EMB_FP!r})
+                  AS BIGINT) AS q
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, sum(q) AS s, count(*) AS n
+      FROM comp GROUP BY label, pos
+    ), gl AS (
+      SELECT pos, sum(s) AS gs, sum(n) AS gn FROM cent GROUP BY pos
+    ), j AS (
+      SELECT label, cent.pos, CAST(s AS DOUBLE) AS s,
+             CAST(gs AS DOUBLE) AS gs, n, gn
+      FROM cent JOIN gl USING (pos)
+    ), per AS (
+      SELECT label, max(n) AS n_vecs,
+             list(s ORDER BY pos) AS ls,
+             list(gs ORDER BY pos) AS lg,
+             list(s / (n * {_EMB_FP!r}) - gs / (gn * {_EMB_FP!r})
+                  ORDER BY pos) AS ld
+      FROM j GROUP BY label
+    )
+    , den AS (
+      SELECT label, n_vecs, ls, lg, ld,
+             sqrt(list_reduce(list_transform(range(1, len(ls) + 1),
+                                             i -> ls[i] * ls[i]),
+                              (a, b) -> a + b)) AS nl,
+             sqrt(list_reduce(list_transform(range(1, len(lg) + 1),
+                                             i -> lg[i] * lg[i]),
+                              (a, b) -> a + b)) AS ng
+      FROM per
+    )
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           -- NULL, not NaN/error, for a degenerate zero centroid
+           -- (mirrors Spark's guarded division under ANSI mode)
+           CASE WHEN nl = 0 OR ng = 0 THEN NULL
+                ELSE round(list_reduce(list_transform(range(1, len(ls) + 1),
+                                                      i -> ls[i] * lg[i]),
+                                       (a, b) -> a + b) / (nl * ng), 6)
+           END AS centroid_cosine,
+           round(sqrt(list_reduce(list_transform(ld, d -> d * d),
+                                  (a, b) -> a + b)), 6) AS centroid_l2
+    FROM den
+    """,
+    description="embedding-space drift monitor (the vector analogue of "
+    "d72): per label, the cosine between the label's centroid and the "
+    "corpus-wide centroid, plus the L2 distance between the two mean "
+    "vectors — flags an embedding shard whose distribution wandered "
+    "(model-version mix-up, corrupted batch, domain shift) before it "
+    "poisons ANN indexes built on top. Determinism: per-dimension sums "
+    "use 2^24 fixed-point BIGINTs (exact under any partial-agg order); "
+    "the per-label dim-wise folds run over pos-sorted arrays so both "
+    "engines add in the same sequence. Scale: ONE corpus-sized "
+    "posexplode partial aggregate (map-side combine to |labels| x dim "
+    "rows); everything downstream is centroid-table-sized.",
+    tags=("llm", "monitoring", "embedding"),
+)
+def d74_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir).embeddings
+    comp = emb.select(
+        "label", F.posexplode(S.as_double_array("embedding")).alias("pos", "x")
+    ).select(
+        "label", "pos", F.round(F.col("x") * _EMB_FP).cast("long").alias("q")
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    gl = cent.groupBy("pos").agg(F.sum("s").alias("gs"), F.sum("n").alias("gn"))
+    j = cent.join(F.broadcast(gl), "pos")
+    per = j.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("pos"),
+                    F.col("s").cast("double").alias("s"),
+                    F.col("gs").cast("double").alias("gs"),
+                    (
+                        F.col("s") / (F.col("n") * _EMB_FP)
+                        - F.col("gs") / (F.col("gn") * _EMB_FP)
+                    ).alias("d"),
+                )
+            )
+        ).alias("L"),
+    )
+    # left folds seeded with 0.0 match DuckDB's list_reduce (seedless)
+    # exactly: 0.0 + x1 == x1 in IEEE double (mixing.py:34 precedent)
+    dot = F.aggregate(
+        F.col("L"), F.lit(0.0), lambda a, r: a + r["s"] * r["gs"]
+    )
+    nl = F.sqrt(
+        F.aggregate(F.col("L"), F.lit(0.0), lambda a, r: a + r["s"] * r["s"])
+    )
+    ng = F.sqrt(
+        F.aggregate(F.col("L"), F.lit(0.0), lambda a, r: a + r["gs"] * r["gs"])
+    )
+    l2 = F.sqrt(
+        F.aggregate(F.col("L"), F.lit(0.0), lambda a, r: a + r["d"] * r["d"])
+    )
+    return per.select(
+        "label",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        # guarded division: a degenerate zero centroid yields NULL (the
+        # when() keeps ANSI mode from throwing DIVIDE_BY_ZERO; the
+        # oracle's CASE mirrors it — DuckDB would give NaN, not NULL)
+        F.when(
+            (nl != 0) & (ng != 0), F.round(dot / (nl * ng), 6)
+        ).alias("centroid_cosine"),
+        F.round(l2, 6).alias("centroid_l2"),
+    )
+
+
+_TOK_FREQ_CTE = r"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+      WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ), freq AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w
+    )
+"""
+
+# Coverage-curve budgets: what fraction of the corpus token mass the
+# top-K vocabulary covers, per candidate K. Doubling grid — the curve's
+# knee is what a tokenizer-budget decision reads.
+_COVERAGE_KS = (1, 2, 4, 8, 16, 32)
+
+# Vocabulary size for the per-document OOV gate (d76). The synthetic
+# corpus has ~31 distinct tokens, so 16 exercises real in/out-of-vocab
+# splits; in production this is the tokenizer's vocab (30k-100k) and
+# the broadcast side stays vocab-sized by construction.
+_OOV_VOCAB_K = 16
+
+
+@register(
+    "d75_vocab_coverage",
+    oracle=rf"""
+    WITH {_TOK_FREQ_CTE.strip()},
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+      FROM (SELECT w, c FROM freq ORDER BY c DESC, w
+            LIMIT {max(_COVERAGE_KS)})
+    ), tot AS (
+      SELECT sum(c) AS t FROM freq
+    ), ks AS (
+      SELECT unnest({list(_COVERAGE_KS)}) AS k
+    )
+    SELECT CAST(ks.k AS INTEGER) AS k,
+           CAST(sum(ranked.c) AS BIGINT) AS covered_tokens,
+           round(sum(ranked.c) * 1.0 / any_value(tot.t), 4) AS coverage_frac
+    FROM ks JOIN ranked ON ranked.r <= ks.k CROSS JOIN tot
+    GROUP BY ks.k
+    """,
+    description="vocabulary coverage curve: for each candidate vocab "
+    "budget K (1,2,4,...,32), the fraction of total corpus token "
+    "occurrences covered by the top-K tokens — the knee of this curve "
+    "is the tokenizer-budget planning number (and a degenerate curve "
+    "is itself a corpus-health flag: template spam covers ~1.0 at tiny "
+    "K). Scale: one corpus-sized token count (map-side combine), then "
+    "the top-K selection compiles to TakeOrderedAndProject (per-"
+    "partition heap, no global vocab sort); the curve itself is a "
+    "K_max-row frame joined to a literal K grid.",
+    tags=("llm", "monitoring", "tokenize"),
+)
+def d75_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
+    freq = (
+        docs.filter(content)
+        .select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = freq.agg(F.sum("c").alias("t"))
+    top = freq.orderBy(F.col("c").desc(), "w").limit(max(_COVERAGE_KS))
+    ranked = top.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), "w")).alias("r"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _COVERAGE_KS], "k int")
+    return (
+        F.broadcast(ks)
+        .join(ranked, F.col("r") <= F.col("k"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k")
+        .agg(
+            F.sum("c").cast("long").alias("covered_tokens"),
+            F.round(F.sum("c") / F.any_value("t"), 4).alias("coverage_frac"),
+        )
+    )
+
+
+@register(
+    "d76_oov_rate",
+    oracle=rf"""
+    WITH {_TOK_FREQ_CTE.strip()},
+    vocab16 AS (
+      SELECT w FROM freq ORDER BY c DESC, w LIMIT {_OOV_VOCAB_K}
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN vocab16.w IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN vocab16.w IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS oov_frac
+    FROM tok LEFT JOIN vocab16 ON tok.w = vocab16.w
+    GROUP BY tok.doc_id
+    """,
+    description="per-document out-of-vocabulary rate against the "
+    "corpus top-16 vocabulary: token count, OOV occurrences, and OOV "
+    "fraction — the cheap proxy for 'will this doc fragment badly "
+    "under the tokenizer' and a language/noise outlier flag (vocab "
+    "K=16 because the synthetic corpus has ~31 distinct tokens; in "
+    "production the vocab side is the tokenizer's 30k-100k list and "
+    "stays broadcast-sized by construction). Scale: vocab via "
+    "TakeOrderedAndProject, broadcast to a corpus-sized token explode "
+    "(no shuffle on the join), then one per-doc aggregate.",
+    tags=("llm", "quality", "tokenize"),
+)
+def d76_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
+    tok = docs.filter(content).select(
+        "doc_id", F.explode(T.tokens("text")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab16 = (
+        freq.orderBy(F.col("c").desc(), "w")
+        .limit(_OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("_in"))
+    )
+    miss = F.col("_in").isNull()
+    return (
+        tok.join(F.broadcast(vocab16), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(miss, 1).otherwise(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.sum(F.when(miss, 1).otherwise(0)) / F.count(F.lit(1)), 4
+            ).alias("oov_frac"),
+        )
     )

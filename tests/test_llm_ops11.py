@@ -172,6 +172,72 @@ def test_zipf_fit_exact_zipf_slope(spark):
     assert abs(row["zipf_slope"] + 1.0) < 0.05
 
 
+def test_embedding_drift_identical_labels(spark):
+    """d74's math: if every label has the SAME centroid (each label
+    holds the same pair of mirrored vectors), drift is zero — cosine 1,
+    L2 0 — and a label shifted by a constant offset shows cosine < 1."""
+    import os
+    import tempfile
+
+    from kpipe_spark.queries import all_queries
+
+    QUERIES = all_queries()
+    base = [0.5, -0.25, 0.125]
+    rows = []
+    vid = 0
+    for lab in (0, 1):
+        for sign in (1.0, -1.0):
+            rows.append((vid, [sign * x for x in base], lab))
+            vid += 1
+    # label 2: constant positive offset — a genuinely different centroid
+    rows.append((vid, [x + 0.25 for x in base], 2))
+    rows.append((vid + 1, [x + 0.3 for x in base], 2))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        got = {
+            r["label"]: r
+            for r in QUERIES["d74_embedding_drift"].build(spark, d).collect()
+        }
+    # labels 0/1 centroids are exactly the zero vector (mirrored pairs
+    # cancel in fixed-point too) — cosine is undefined and must come
+    # back NULL, not DIVIDE_BY_ZERO/NaN
+    assert got[0]["centroid_cosine"] is None
+    assert got[1]["centroid_cosine"] is None
+    assert got[2]["n_vecs"] == 2
+    assert -1.0 <= got[2]["centroid_cosine"] <= 1.0
+    assert got[2]["centroid_l2"] > 0.0
+
+
+def test_vocab_coverage_monotone(spark_sf_query):
+    """d75: coverage is nondecreasing in K, bounded by 1, and the
+    largest K on a 31-token vocab covers more than the smallest."""
+    rows = {r["k"]: r for r in spark_sf_query("d75_vocab_coverage", SF_SMALL).collect()}
+    ks = sorted(rows)
+    assert ks == [1, 2, 4, 8, 16, 32]
+    last = 0.0
+    for k in ks:
+        f = rows[k]["coverage_frac"]
+        assert 0.0 < f <= 1.0
+        assert f >= last
+        last = f
+    assert rows[32]["coverage_frac"] > rows[1]["coverage_frac"]
+
+
+def test_oov_rate_bounds_and_consistency(spark_sf_query):
+    """d76: oov_frac == n_oov / n_tokens, within [0,1], and across the
+    corpus SOME tokens are out of the top-16 vocab (31-token corpus)."""
+    rows = spark_sf_query("d76_oov_rate", SF_SMALL).collect()
+    assert rows
+    assert any(r["n_oov"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert r["oov_frac"] == pytest.approx(
+            r["n_oov"] / r["n_tokens"], abs=1e-4
+        )
+
+
 @pytest.fixture
 def spark_sf_query(spark):
     from kpipe_spark.queries import all_queries

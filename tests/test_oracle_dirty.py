@@ -56,6 +56,8 @@ DIRTY_SENSITIVE = [
     "d71_ngram_novelty",
     "d72_source_kl_drift",
     "d73_zipf_fit",
+    "d75_vocab_coverage",
+    "d76_oov_rate",
     "p04_curation_composition",
 ]
 

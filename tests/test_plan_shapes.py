@@ -107,6 +107,9 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         "stot",        # llm_ops11 d72: per-source bigram totals (|sources| rows)
         "corp",        # llm_ops11 d72: 4096-bucket corpus histogram
         "vocab",       # llm_ops11 d73: 1-row vocab/token totals
+        "gl",          # llm_ops11 d74: dim-row global centroid sums
+        "ks",          # llm_ops11 d75: literal coverage-K grid (6 rows)
+        "vocab16",     # llm_ops11 d76: top-16 vocab (LIMIT-bounded)
         # --- bounded-by-construction model artifacts ---
         "cents", "centroids", "probes",  # k centroids / n_probe cells
         "hist",        # selection.py: <=10001-row quality histogram
