@@ -30,6 +30,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("examples/corpus_assembly.py", "budget + mixture + shard audit consistent = True"),
         ("examples/passage_retrieval.py", "copied chunk retrieves its source at cosine ~1.0 = True"),
         ("examples/data_selection.py", "DSIR + novelty + budget admission invariant holds = True"),
+        ("examples/corpus_monitoring.py", "corpus health invariants hold = True"),
     ],
 )
 def test_example_runs(script, expect):

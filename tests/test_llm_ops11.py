@@ -210,6 +210,51 @@ def test_embedding_drift_identical_labels(spark):
     assert got[2]["centroid_l2"] > 0.0
 
 
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_embedding_drift_matches_numpy(spark, seed):
+    """d74 == the direct numpy computation (within fixed-point
+    quantization error, which is <= 2^-25 per element — invisible at
+    the rounded 6 decimals for these magnitudes)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from kpipe_spark.queries import all_queries
+
+    rng = np.random.default_rng(seed)
+    n, dim, n_labels = 30, 8, 3
+    vecs = rng.uniform(-0.5, 0.5, (n, dim)).astype(np.float32)
+    labels = rng.integers(0, n_labels, n)
+    rows = [
+        (i, [float(x) for x in vecs[i]], int(labels[i])) for i in range(n)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(d, "embeddings.parquet"))
+        got = {
+            r["label"]: r
+            for r in all_queries()["d74_embedding_drift"]
+            .build(spark, d)
+            .collect()
+        }
+    g = vecs.astype(np.float64).mean(axis=0)
+    for lab in np.unique(labels):
+        m = vecs[labels == lab].astype(np.float64).mean(axis=0)
+        cos = float(m @ g / (np.linalg.norm(m) * np.linalg.norm(g)))
+        l2 = float(np.linalg.norm(m - g))
+        r = got[int(lab)]
+        assert r["n_vecs"] == int((labels == lab).sum())
+        assert r["centroid_cosine"] == pytest.approx(cos, abs=5e-5)
+        assert r["centroid_l2"] == pytest.approx(l2, abs=5e-5)
+
+
 def test_vocab_coverage_monotone(spark_sf_query):
     """d75: coverage is nondecreasing in K, bounded by 1, and the
     largest K on a 31-token vocab covers more than the smallest."""
