@@ -210,6 +210,55 @@ def test_embedding_drift_identical_labels(spark):
     assert got[2]["centroid_l2"] > 0.0
 
 
+def test_embedding_drift_null_and_ragged_vectors(spark):
+    """d74 on dirty vector data: NULL embeddings and empty arrays
+    contribute no rows (a label that is ALL-null simply disappears),
+    and ragged dimensions don't crash — per-dimension means divide by
+    that dimension's own count."""
+    import os
+    import tempfile
+
+    from kpipe_spark.queries import all_queries
+
+    rows = [
+        (0, [0.5, 0.25], 0),
+        (1, None, 0),
+        (2, [], 0),
+        (3, None, 1),       # label 1 is all-null
+        (4, [], 1),
+        (5, [0.5, 0.25, 0.125], 2),  # ragged vs label 0
+        (6, [0.25], 2),
+    ]
+    import duckdb
+
+    q = all_queries()["d74_embedding_drift"]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
+        sdf = q.build(spark, d).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+        )
+        odf = con.sql(q.oracle).df()
+    got = {r["label"]: r for _, r in sdf.iterrows()}
+    assert set(got) == {0, 2}  # all-null label 1 absent, no crash
+    assert got[0]["n_vecs"] == 1
+    assert got[2]["n_vecs"] == 2
+    for r in got.values():
+        assert -1.0 <= r["centroid_cosine"] <= 1.0
+        assert r["centroid_l2"] >= 0.0
+    # and the DuckDB oracle agrees on the dirty fixture (the dirty
+    # suite proper is documents-only; this is d74's equivalent row)
+    key = lambda df: sorted(  # noqa: E731
+        tuple(repr(v) for v in r)
+        for r in df[sorted(df.columns)].itertuples(index=False)
+    )
+    assert key(sdf) == key(odf)
+
+
 @given(seed=st.integers(min_value=0, max_value=2**31 - 1))
 @settings(
     max_examples=5,
