@@ -454,38 +454,13 @@ def d71_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "monitoring", "tokenize"),
 )
 def d72_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    B = _DSIR_BUCKETS
+    from kpipe_spark.functions.monitoring import (
+        bigram_bucket_counts,
+        source_kl_bits,
+    )
+
     docs = load_tables(spark, sf_dir).documents
-    content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
-    t = T.tokens("text")
-    n = F.size(t)
-    bigrams = F.zip_with(
-        F.slice(t, 1, n - 1),
-        F.slice(t, 2, n - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    cnt = (
-        docs.filter(content)
-        .select("source", F.explode(bigrams).alias("g"))
-        .withColumn("bucket", D.md5_hash60(F.col("g")) % B)
-        .groupBy("source", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    stot = cnt.groupBy("source").agg(F.sum("c").alias("ns"))
-    corp = cnt.groupBy("bucket").agg(F.sum("c").alias("cq"))
-    tot = corp.agg(F.sum("cq").alias("n"))
-    ps = F.col("c") / F.col("ns")
-    q = F.col("cq") / F.col("n")
-    return (
-        cnt.join(F.broadcast(stot), "source")
-        .join(F.broadcast(corp), "bucket")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("source")
-        .agg(
-            F.any_value("ns").cast("long").alias("n_bigrams"),
-            F.round(F.sum(ps * F.log2(ps / q)), 4).alias("kl_bits"),
-        )
-    )
+    return source_kl_bits(bigram_bucket_counts(docs, _DSIR_BUCKETS))
 
 
 _ZIPF_TOP = 1000

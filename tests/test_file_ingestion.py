@@ -156,3 +156,91 @@ def test_streaming_curation_end_to_end(spark, tmp_path):
     got = {r["doc_id"]: r["is_dup"] for r in delivered}
     assert got == {1: False, 2: True}  # doc 3 filtered, line 4 parked
     assert len(parked) == 1
+
+
+def test_streaming_drift_monitoring(spark, tmp_path):
+    """Drift monitoring at ingest: the monitor's state — (source,
+    bucket) hashed-bigram counts — is ADDITIVE, so a JSONL stream
+    ingested in micro-batches, with each batch's counts summed into an
+    accumulator, must yield EXACTLY d72's batch report over the same
+    documents. This is the 100 TB shape: the stored state stays
+    <= |sources| x 4096 rows and the corpus is never re-scanned."""
+    import json
+    import os
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from kpipe_spark.functions.monitoring import (
+        bigram_bucket_counts,
+        source_kl_bits,
+    )
+    from kpipe_spark.queries import all_queries
+
+    docs = [
+        (0, "alpha beta gamma delta alpha beta", "src0"),
+        (1, "alpha beta gamma delta epsilon zeta", "src0"),
+        (2, "omega psi chi phi omega psi chi", "src1"),
+        (3, "alpha beta omega psi gamma delta", "src1"),
+        (4, "epsilon zeta eta theta iota kappa", "src2"),
+        (5, "alpha alpha alpha alpha alpha alpha", "src2"),
+    ]
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        with open(os.path.join(src, f"b{i}.jsonl"), "w") as f:
+            for d, t, s in docs[i * 2 : i * 2 + 2]:
+                f.write(json.dumps({"doc_id": d, "text": t, "source": s}) + "\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(src)
+        .select(
+            F.from_json(
+                F.col("value"), "doc_id bigint, text string, source string"
+            ).alias("payload")
+        )
+    )
+    acc: dict[tuple[str, int], int] = defaultdict(int)
+    batches = []
+
+    def monitor_sink(df, batch_id):
+        cnt = bigram_bucket_counts(df.select("payload.*"))
+        rows = cnt.collect()
+        if rows:
+            batches.append(batch_id)
+        for r in rows:
+            acc[(r["source"], r["bucket"])] += r["c"]
+
+    qy = (
+        stream.writeStream.foreachBatch(monitor_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    assert len(batches) >= 2, "expected incremental micro-batches"
+
+    acc_df = spark.createDataFrame(
+        [(s, b, c) for (s, b), c in acc.items()],
+        "source string, bucket long, c long",
+    )
+    streamed = {
+        r["source"]: (r["n_bigrams"], r["kl_bits"])
+        for r in source_kl_bits(acc_df).collect()
+    }
+
+    # batch reference: d72 over the same documents written as a table
+    ref_dir = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [(d, t, "en", s, len(t)) for d, t, s in docs],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(os.path.join(ref_dir, "documents.parquet"))
+    batch = {
+        r["source"]: (r["n_bigrams"], r["kl_bits"])
+        for r in all_queries()["d72_source_kl_drift"]
+        .build(spark, ref_dir)
+        .collect()
+    }
+    assert streamed == batch
