@@ -232,6 +232,7 @@ def minhash_candidates(
     num_hashes: int = MINHASH_NUM_HASHES,
     bands: int = MINHASH_BANDS,
     shingle_k: int = 3,
+    expand: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) via banded MinHash.
 
@@ -240,11 +241,27 @@ def minhash_candidates(
     (i < j) combinations from the sorted array computes the signature
     once; the self-join formulation re-evaluated the whole signature
     pipeline per side (Spark plans the two join inputs independently —
-    no exchange reuse under AQE), doubling the dominant cost. The
-    quadratic blowup stays confined to a bucket, which at sane
-    thresholds is tiny; a pathological hot bucket (boilerplate spam) is
-    capped the same way either formulation must — by bands/rows tuning.
+    no exchange reuse under AQE), doubling the dominant cost.
+
+    ``expand`` controls the within-bucket blowup:
+
+    * ``"pairs"`` (default): all C(m,2) combinations — the complete
+      candidate list d05/d07's pairwise-verify semantics need. At sane
+      band/row tuning m is tiny, but a HOT bucket (boilerplate spam:
+      thousands of near-identical docs colliding in EVERY band, which
+      no tuning can prevent) costs O(m^2) rows.
+    * ``"star"``: m-1 pairs per bucket — each id linked to the
+      bucket's min id only. Within a bucket every id is linked to the
+      same hub, so the CONNECTED COMPONENTS of the candidate graph are
+      provably identical to all-pairs (any all-pairs edge (x, y) is
+      the 2-path x-hub-y in star form); direct pair-level output is
+      intentionally incomplete. This is the 100 TB clustering shape:
+      bucket cost linear, and `dup_components`/d24/d47-style component
+      consumers lose nothing
+      (tests/test_llm_ops2.py::test_star_expansion_same_components).
     """
+    if expand not in ("pairs", "star"):
+        raise ValueError(f"expand must be 'pairs' or 'star': {expand!r}")
     sig = minhash_bands_df(
         minhash_signature_df(df, text_col, id_col, num_hashes, shingle_k),
         id_col,
@@ -257,15 +274,22 @@ def minhash_candidates(
         .filter(F.size("_ids") > 1)
     )
     n = F.size("_ids")
-    pairs = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, n),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+    if expand == "star":
+        hub = F.element_at("_ids", 1)
+        pairs = F.transform(
+            F.slice(F.col("_ids"), 2, n),
+            lambda y: F.struct(hub.alias("id_a"), y.alias("id_b")),
         )
-    )
+    else:
+        pairs = F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + 2, n),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))

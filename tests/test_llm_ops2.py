@@ -387,3 +387,44 @@ def test_zero_norm_vector_never_ranks_in_topk(spark):
     out = brute_force_topk(corpus, q, k=2, query_id_col="query_id")
     neighbors = [r["neighbor_id"] for r in sorted(out.collect(), key=lambda r: r["rn"])]
     assert neighbors == [2, 4]  # the zero vector is ranked by nobody
+
+
+def test_star_expansion_same_components(spark):
+    """minhash_candidates(expand='star') emits at most m-1 pairs per
+    bucket instead of C(m,2) — the hot-bucket (boilerplate spam)
+    survival shape — while the connected components of the candidate
+    graph are IDENTICAL to all-pairs expansion: within a bucket every
+    id links to the same hub, so any all-pairs edge (x, y) is the
+    2-path x-hub-y in star form."""
+    from kpipe_spark.functions.dedup import (
+        connected_components,
+        minhash_candidates,
+    )
+
+    spam = "buy cheap widgets now best price free shipping act today"
+    rows = [(i, spam) for i in range(12)]  # a hot bucket: 12 identical
+    rows += [
+        (20, "the quick brown fox jumps over the lazy dog at dawn"),
+        (21, "the quick brown fox jumps over the lazy dog at dusk"),
+        (30, "completely unrelated content about distributed join plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    full = minhash_candidates(df)
+    star = minhash_candidates(df, expand="star")
+    n_full, n_star = full.count(), star.count()
+    # 12 identical docs alone: C(12,2)=66 all-pairs vs 11 star edges
+    assert n_star < n_full
+    assert n_full >= 66
+    assert n_star <= 11 + 5  # star edges + the fox near-dup linkage
+
+    def comps(pairs):
+        return {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(pairs).collect()
+        }
+
+    assert comps(star) == comps(full)
+    # and the spam clique is one component rooted at its min id
+    spam_comp = {c for i, c in comps(star) if i < 12}
+    assert spam_comp == {0}
