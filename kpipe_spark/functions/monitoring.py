@@ -12,7 +12,7 @@ pins that batch-accumulated counts converge to the identical report.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: hashed-bigram feature buckets shared with the DSIR scorer (d68):
@@ -26,7 +26,7 @@ def bigram_bucket_counts(
     n_buckets: int = DRIFT_BUCKETS_DEFAULT,
     text_col: str = "text",
     source_col: str = "source",
-) -> Column:
+) -> DataFrame:
     """Hashed-bigram occurrence counts per (source, bucket): the
     accumulable state of the drift monitor. One corpus-sized explode
     feeding a partial aggregate; output is bounded by
