@@ -210,6 +210,58 @@ def test_embedding_drift_identical_labels(spark):
     assert got[2]["centroid_l2"] > 0.0
 
 
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.lists(st.sampled_from(_WORDS), max_size=6).map(" ".join),
+            ),
+            st.sampled_from(["s0", "s1", "s2"]),
+        ),
+        min_size=2,
+        max_size=20,
+    ),
+    split_at=st.integers(min_value=0, max_value=20),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_drift_counts_additive_and_kl_nonnegative(spark, rows, split_at):
+    """The drift monitor's algebra on random corpora: (1) counts are
+    additive — counts(A) + counts(B) == counts(A ∪ B) for any split,
+    the property the streaming accumulator relies on; (2) KL >= 0 for
+    every source (Gibbs' inequality)."""
+    from collections import defaultdict
+
+    from kpipe_spark.functions.monitoring import (
+        bigram_bucket_counts,
+        source_kl_bits,
+    )
+
+    data = [(i, t, s) for i, (t, s) in enumerate(rows)]
+    schema = "doc_id long, text string, source string"
+    whole = spark.createDataFrame(data, schema)
+    cut = min(split_at, len(data))
+    acc: dict[tuple[str, int], int] = defaultdict(int)
+    for part in (data[:cut], data[cut:]):
+        if not part:
+            continue
+        for r in bigram_bucket_counts(
+            spark.createDataFrame(part, schema), n_buckets=64
+        ).collect():
+            acc[(r["source"], r["bucket"])] += r["c"]
+    direct = {
+        (r["source"], r["bucket"]): r["c"]
+        for r in bigram_bucket_counts(whole, n_buckets=64).collect()
+    }
+    assert dict(acc) == direct
+    for r in source_kl_bits(bigram_bucket_counts(whole, n_buckets=64)).collect():
+        assert r["kl_bits"] >= 0.0
+
+
 def test_embedding_drift_null_and_ragged_vectors(spark):
     """d74 on dirty vector data: NULL embeddings and empty arrays
     contribute no rows (a label that is ALL-null simply disappears),
