@@ -1,0 +1,127 @@
+"""CorpusIndex: the packaged incremental-admission loop.
+
+build -> admit -> append -> admit-again lifecycle on a corpus with
+known duplicate structure, plus the plan property that makes it the
+100 TB shape: the stored band table's side of the admission join plans
+NO Exchange (bucketing paid the shuffle at build time)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from kpipe_spark.functions.corpus_index import CorpusIndex
+
+SPAM = "identical boilerplate text repeated across the corpus every day"
+FOX = "the quick brown fox jumps over the lazy dog at dawn today"
+
+
+@pytest.fixture
+def corpus_rows():
+    return [
+        (100, SPAM),
+        (101, FOX),
+        (102, "completely unrelated prose about bucketed join planning"),
+    ]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_admit_append_lifecycle(spark, corpus_rows):
+    table = f"ci_test_{uuid.uuid4().hex[:8]}"
+    idx = CorpusIndex.build(spark, _df(spark, corpus_rows), table, num_buckets=4)
+    try:
+        batch = _df(
+            spark,
+            [
+                (200, SPAM),  # dup of corpus doc 100
+                (201, "genuinely novel content nothing resembles anywhere"),
+                (202, "another piece of fresh text with its own words"),
+                (203, FOX),  # dup of corpus doc 101
+                (210, "twin texts that duplicate each other inside batch"),
+                (211, "twin texts that duplicate each other inside batch"),
+            ],
+        )
+        ledger = {r["doc_id"]: r for r in idx.admit(batch).collect()}
+        assert set(ledger) == {200, 201, 202, 203, 210, 211}
+        # corpus dups rejected, with the corpus partner visible
+        assert ledger[200]["n_corpus_dups"] >= 1
+        assert not ledger[200]["admitted"]
+        assert ledger[200]["min_dup_id"] == 100
+        assert ledger[203]["n_corpus_dups"] >= 1 and not ledger[203]["admitted"]
+        # batch twins: keep-one — the lower id wins
+        assert ledger[210]["admitted"] and not ledger[211]["admitted"]
+        assert ledger[211]["min_dup_id"] == 210
+        # novel docs admitted with clean ledgers
+        for i in (201, 202):
+            assert ledger[i]["admitted"]
+            assert ledger[i]["n_corpus_dups"] == 0
+            assert ledger[i]["n_batch_dups"] == 0
+            assert ledger[i]["min_dup_id"] is None
+
+        # append the admitted docs; re-admitting the same batch must now
+        # reject EVERYTHING (every doc collides with its indexed copy)
+        admitted_ids = [i for i, r in ledger.items() if r["admitted"]]
+        idx.append(
+            batch.filter(batch.doc_id.isin(admitted_ids))
+        )
+        again = {r["doc_id"]: r for r in idx.admit(batch).collect()}
+        assert all(not r["admitted"] for r in again.values())
+        assert all(r["n_corpus_dups"] >= 1 for r in again.values())
+    finally:
+        idx.drop()
+
+
+def test_attach_requires_existing_table(spark):
+    with pytest.raises(ValueError, match="no such index"):
+        CorpusIndex.attach(spark, f"ci_missing_{uuid.uuid4().hex[:8]}")
+
+
+def test_admit_corpus_side_is_exchange_free(spark, corpus_rows):
+    """The whole point of the stored artifact: the admission join scans
+    the bucketed band table WITHOUT a shuffle Exchange on that side
+    (the batch side shuffles, the corpus side never does). Broadcast
+    threshold disabled — at test scale AQE would legitimately broadcast
+    the tiny corpus table, hiding the bucketing property this pins
+    (same technique as test_scale_utils'
+    test_bucketed_join_has_no_exchange)."""
+    table = f"ci_plan_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    idx = CorpusIndex.build(spark, _df(spark, corpus_rows), table, num_buckets=4)
+    try:
+        ledger = idx.admit(_df(spark, [(300, SPAM), (301, "novel words")]))
+        ledger.collect()
+        plan = ledger._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan[:2000]
+        lines = plan.splitlines()
+        scan_idx = next(
+            i for i, ln in enumerate(lines) if table in ln and "Scan" in ln
+        )
+
+        def indent(ln: str) -> int:
+            body = ln.replace(":", " ").replace("+-", "  ")
+            return len(body) - len(body.lstrip())
+
+        # walk the bucketed scan's parent chain up to its join: only
+        # Sort/Project may sit between them — an Exchange there means
+        # the corpus band table is re-shuffled per admitted batch
+        depth = indent(lines[scan_idx])
+        for ln in reversed(lines[:scan_idx]):
+            if indent(ln) >= depth:
+                continue
+            if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
+                break
+            depth = indent(ln)
+            assert "Exchange" not in ln, (
+                "corpus band table re-shuffled per batch:\n" + ln
+            )
+        else:
+            raise AssertionError("no join above the bucketed scan:\n" + plan)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        idx.drop()
