@@ -107,6 +107,30 @@ def main() -> None:
     }
     partners.unpersist()
     spark.sql("DROP TABLE IF EXISTS corpus_bands")
+
+    # ---- the same loop through the packaged API: CorpusIndex wraps
+    # build -> admit -> append, adds keep-one verdicts and re-ingest
+    # detection (functions/corpus_index.py; lifecycle pinned in
+    # tests/test_corpus_index.py)
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+
+    idx = CorpusIndex.build(spark, corpus, "corpus_bands_api")
+    try:
+        ledger = idx.admit(batch)
+        admitted = batch.join(
+            ledger.filter("admitted").select("doc_id"), "doc_id", "semi"
+        )
+        n_adm = admitted.count()
+        idx.append(admitted)
+        # re-admitting the same batch now rejects everything: each doc
+        # collides with either its own indexed copy or its dup group's
+        # surviving representative
+        readmitted = idx.admit(batch).filter("admitted").count()
+        api_ok = n_adm > 0 and readmitted == 0
+    finally:
+        idx.drop()
+    print("CorpusIndex admit->append->re-admit closes =", api_ok)
+
     print(
         "incremental == full recompute =", incremental == full,
         "(%d candidate pairs)" % len(incremental),
