@@ -61,7 +61,7 @@ def register(
 # (stalest evidence, LLM-ops families first). All oracle-backed
 # queries run the identical DuckDB compare in pytest regardless of
 # window position. (Round-5 rotation note: the ops registered after
-# THIS window froze — d68-d76, the selection/monitoring layer — are
+# THIS window froze — d68-d77, the selection/monitoring layer — are
 # the next never-graded set; rotate them in first.)
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability

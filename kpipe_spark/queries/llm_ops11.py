@@ -14,8 +14,10 @@ novelty (dedup-aware selection scoring), per-source hashed-bigram KL
 drift and per-label embedding-centroid drift (distribution-shift
 monitoring in token and vector space), a Zipf rank-frequency fit
 (corpus-health fingerprint), a vocabulary coverage curve
-(tokenizer-budget planning), and per-document OOV rate (tokenizer
-fit / noise outlier gate).
+(tokenizer-budget planning), per-document OOV rate (tokenizer
+fit / noise outlier gate), and a snapshot reconciliation ledger
+(added/removed/changed/unchanged + token deltas between crawl
+snapshots via content fingerprints).
 
 Scale discipline shared by the text ops here: every join is keyed on
 a gram/bucket/doc hash (no cartesian anywhere), model-side tables are
@@ -812,5 +814,103 @@ def d76_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(F.when(miss, 1).otherwise(0)) / F.count(F.lit(1)), 4
             ).alias("oov_frac"),
+        )
+    )
+
+
+@register(
+    "d77_snapshot_diff",
+    oracle=r"""
+    WITH h AS (
+      SELECT doc_id, source, text,
+             CAST(concat('0x', substr(md5(concat('snap_',
+                  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 5 AS hs,
+             CAST(concat('0x', substr(md5(concat('rev_',
+                  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 7 AS hr
+      FROM documents
+    ), old AS (
+      SELECT doc_id, source, text FROM h WHERE hs <> 0
+    ), new AS (
+      SELECT doc_id, source,
+             CASE WHEN hr = 0 AND text IS NOT NULL
+                  THEN text || ' revised edition' ELSE text END AS text
+      FROM h WHERE hs <> 1
+    ), j AS (
+      SELECT coalesce(o.source, n.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN md5(coalesce(o.text, ''))
+                       <> md5(coalesce(n.text, '')) THEN 'changed'
+                  ELSE 'unchanged' END AS verdict,
+             coalesce(len(list_filter(regexp_split_to_array(n.text, '\s+'),
+                                      x -> x <> '')), 0)
+             - coalesce(len(list_filter(regexp_split_to_array(o.text, '\s+'),
+                                        x -> x <> '')), 0) AS tok_delta
+      FROM old o FULL JOIN new n USING (doc_id)
+    )
+    SELECT source, verdict,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok_delta) AS BIGINT) AS token_delta
+    FROM j GROUP BY source, verdict
+    """,
+    description="snapshot reconciliation ledger: diff two crawl "
+    "snapshots (old = stable-hash partition of the corpus, new = an "
+    "overlapping partition with a deterministic subset re-crawled to "
+    "changed content) into per-(source, verdict) doc counts and token "
+    "deltas — added / removed / changed (md5 content fingerprint "
+    "mismatch) / unchanged; the per-snapshot data-ops report that "
+    "tells you what a new crawl actually did to the corpus before you "
+    "re-run curation on it. Scale: ONE full outer equi-join on doc_id "
+    "(co-partitionable; fingerprints are scan-local projections, no "
+    "text ever shuffles beyond its own row), then a "
+    "|sources| x 4-row aggregate.",
+    tags=("llm", "monitoring", "cdc", "tokenize"),
+)
+def d77_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    did = F.col("doc_id").cast("string")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        (D.md5_hash60(F.concat(F.lit("snap_"), did)) % 5).alias("hs"),
+        (D.md5_hash60(F.concat(F.lit("rev_"), did)) % 7).alias("hr"),
+    )
+    old = base.filter(F.col("hs") != 0).select("doc_id", "source", "text")
+    new = base.filter(F.col("hs") != 1).select(
+        "doc_id",
+        "source",
+        F.when(
+            (F.col("hr") == 0) & F.col("text").isNotNull(),
+            F.concat(F.col("text"), F.lit(" revised edition")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    o, nn = old.alias("o"), new.alias("n")
+    j = o.join(nn, "doc_id", "full")
+    verdict = (
+        F.when(F.col("o.source").isNull(), F.lit("added"))
+        .when(F.col("n.source").isNull(), F.lit("removed"))
+        .when(
+            F.md5(F.coalesce(F.col("o.text"), F.lit("")))
+            != F.md5(F.coalesce(F.col("n.text"), F.lit(""))),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    ntok = lambda c: F.coalesce(  # noqa: E731
+        F.size(T.tokens(F.col(c))), F.lit(0)
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+            verdict.alias("verdict"),
+            (ntok("n.text") - ntok("o.text")).alias("tok_delta"),
+        )
+        .groupBy("source", "verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_delta").cast("long").alias("token_delta"),
         )
     )

@@ -58,6 +58,7 @@ DIRTY_SENSITIVE = [
     "d73_zipf_fit",
     "d75_vocab_coverage",
     "d76_oov_rate",
+    "d77_snapshot_diff",
     "p04_curation_composition",
 ]
 
