@@ -170,6 +170,52 @@ def _d05_signature_ab(spark, sf_dir: str) -> dict:
     }
 
 
+def _incremental_admit_ab(spark, sf_dir: str) -> dict:
+    """The stored-artifact dividend, measured: admitting the same
+    batch (doc_id % 4 == 0) against (a) a pre-built bucketed band
+    index (CorpusIndex.admit — the steady-state production path; the
+    one-time index build is NOT in the timed window, it's the cost
+    you pay once per corpus) vs (b) the self-contained d54 query that
+    re-derives corpus signatures inline every run (what the headline
+    d54 number measures, by design — the oracle needs it
+    self-contained). The gap is what the artifact buys per batch; at
+    100 TB (a) stays batch-sized while (b) is a full corpus pass."""
+    from kpipe_spark.catalog import load_tables
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+
+    docs = load_tables(spark, sf_dir).documents
+    is_new = F.col("doc_id") % 4 == 0
+    idx = CorpusIndex.build(
+        spark, docs.filter(~is_new), "bench_corpus_bands", num_buckets=8
+    )
+    try:
+        batch = docs.filter(is_new)
+
+        def timed(build) -> float:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        stored = timed(lambda: idx.admit(batch))
+        from kpipe_spark.queries import all_queries
+
+        inline = timed(
+            lambda: all_queries()["d54_incremental_dedup"].build(
+                spark, sf_dir
+            )
+        )
+        return {
+            "stored_index_admit_sec": round(stored, 3),
+            "inline_derivation_sec": round(inline, 3),
+            "artifact_speedup": round(inline / stored, 2),
+        }
+    finally:
+        idx.drop()
+
+
 def main() -> None:
     # ambient load BEFORE the workload: the bench itself saturates the
     # machine, so an at-exit sample (rounds <=3 reported ~9 "under
@@ -217,6 +263,7 @@ def main() -> None:
         _streaming_pipeline_rate(spark, sf_dir) for _ in range(3)
     )
     signature_ab = _d05_signature_ab(spark, sf_dir)
+    admit_ab = _incremental_admit_ab(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     # the reference's yardstick is consumer rec/s (BASELINE.md): p01 runs
     # the full outcome pipeline (JSON extract + 4 operators + accounting)
@@ -235,6 +282,7 @@ def main() -> None:
                 ),
                 "streaming_records_per_sec": streaming_rate,
                 "d05_signature_ab": signature_ab,
+                "incremental_admit_ab": admit_ab,
                 "sf": sf_dir,
                 # ambient 1-min load BEFORE the workload started (the
                 # normalization number) and at exit (dominated by the

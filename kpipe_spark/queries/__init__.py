@@ -60,9 +60,11 @@ def register(
 # d05) stay, and the remaining 18 slots re-grade round-1-era queries
 # (stalest evidence, LLM-ops families first). All oracle-backed
 # queries run the identical DuckDB compare in pytest regardless of
-# window position. (Round-5 rotation note: the ops registered after
-# THIS window froze — d68-d77, the selection/monitoring layer — are
-# the next never-graded set; rotate them in first.)
+# window position. (Round-5 rotation note: nothing is never-graded
+# after r4 — the selection/monitoring layer d68-d77 grades here;
+# rotate the displaced round-1-era re-grades d06/d07/d11/d15/d16/
+# d19/d20/d25/d26/d41 back in first, then continue the stalest-
+# evidence rotation.)
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",
@@ -98,23 +100,28 @@ FLAGSHIP_50: tuple[str, ...] = (
     "q46_union_by_name",
     "q51_date_arithmetic",
     "d67_passage_chunks",
+    # the round-4 selection/monitoring layer (registered this round —
+    # graded first-time HERE so that after r4 every one of the 173
+    # registry queries has driver-side evidence; the ten round-1-era
+    # re-grades they displaced all pass the identical pytest compare
+    # continuously and rotate back in r5)
+    "d68_dsir_importance",
+    "d69_bigram_interp_logprob",
+    "d70_ann_recall_eval",
+    "d71_ngram_novelty",
+    "d72_source_kl_drift",
+    "d73_zipf_fit",
+    "d74_embedding_drift",
+    "d75_vocab_coverage",
+    "d76_oov_rate",
+    "d77_snapshot_diff",
     # round-1-era re-grades (stalest driver evidence)
     "d01_dedup_exact",
-    "d06_simhash",
-    "d07_ngram_jaccard_pairs",
     "d08_similarity_topk",
-    "d11_embedding_neardup",
     "d13_ivf_topk",
-    "d15_simhash_neardup",
-    "d16_pii_scrub",
     "d17_unigram_logprob",
-    "d19_stratified_sample",
-    "d20_dataset_split",
     "d24_dup_clusters",
-    "d25_vocab_build",
-    "d26_tfidf_keywords",
     "d34_gopher_quality_rules",
-    "d41_word_entropy",
     "d43_srp_near_dup",
     "m01_media_metadata",
 )
