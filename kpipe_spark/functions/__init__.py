@@ -5,7 +5,15 @@ kpipe has none of these — they're the data-pipeline capabilities a
 
 - ``text``: tokenization, quality scoring, language ID, fingerprints
 - ``dedup``: exact, MinHash-LSH, SimHash, n-gram Jaccard
+- ``corpus_index``: the stored band artifact as an API
+  (build/attach/admit/append incremental admission)
 - ``similarity``: embedding cosine, brute-force and LSH-bucketed top-k
+- ``selection``: token-budget greedy admission, DSIR importance
+- ``mixing``: temperature-normalized source mixture weights
+- ``monitoring``: hashed-bigram drift counts + per-source KL report
+- ``bpe``: BPE merge training / tokenization
+- ``prefix``: range-parallel exclusive prefix sums
+- ``profiling``: column profiles, skew diagnostics
 - ``multimodal``: binary media columns with typed metadata
 
 All are driver-collect-free and expressed with built-in functions where
