@@ -188,12 +188,20 @@ class CorpusIndex:
         """Add admitted docs' bands to the index (same family, same
         bucket spec — Spark validates the bucketing matches on append),
         so the next batch collides against them."""
-        n_buckets = int(
+        spec = (
             self.spark.sql(f"DESCRIBE TABLE EXTENDED {self.table}")
             .filter(F.col("col_name") == "Num Buckets")
             .select("data_type")
-            .collect()[0][0]
+            .collect()
         )
+        if not spec:
+            raise ValueError(
+                f"{self.table} is not a bucketed table — append requires "
+                "an index created by CorpusIndex.build/write_bucketed "
+                "(appending unbucketed bands would silently break the "
+                "exchange-free admit join)"
+            )
+        n_buckets = int(spec[0][0])
         (
             self._bands_of(admitted_docs)
             .write.mode("append")

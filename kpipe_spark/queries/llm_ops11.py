@@ -37,6 +37,7 @@ from kpipe_spark.functions import dedup as D
 from kpipe_spark.functions import similarity as S
 from kpipe_spark.functions import text as T
 from kpipe_spark.queries import register
+from kpipe_spark.queries._oracle_fragments import MINHASH_CTES
 
 # DSIR feature-hash buckets. Fixed and small: the bucket table is
 # B rows regardless of corpus size, which is the whole point of the
@@ -912,5 +913,63 @@ def d77_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("tok_delta").cast("long").alias("token_delta"),
+        )
+    )
+
+
+@register(
+    "d78_source_dup_rate",
+    oracle=rf"""
+    WITH {MINHASH_CTES.strip()},
+    dup_ids AS (
+      SELECT id_a AS doc_id FROM cand
+      UNION
+      SELECT id_b AS doc_id FROM cand
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs,
+           round(count(dd.doc_id) * 1.0 / count(*), 4) AS dup_rate
+    FROM documents d LEFT JOIN dup_ids dd USING (doc_id)
+    GROUP BY d.source
+    """,
+    description="per-source duplicate participation: for each source, "
+    "the fraction of its documents that appear in ANY MinHash "
+    "candidate pair — the spam-influx detector (a source whose dup "
+    "rate jumps between snapshots started shipping boilerplate or "
+    "re-crawls; trend it next to d72's KL drift). Scale: the Spark "
+    "side expands candidates with the STAR shape (m-1 edges per "
+    "bucket, linear in a hot bucket) — legitimate here because "
+    "membership in the candidate graph is expansion-invariant (every "
+    "bucket member appears as hub or spoke), and the all-pairs oracle "
+    "proves exactly that equivalence on every run. The oracle derives "
+    "from the same family constants as d05/d54, so tuning can't "
+    "desync it. Contentless docs count in the denominator (they "
+    "cannot near-dup anything).",
+    tags=("llm", "monitoring", "dedup", "minhash", "tokenize"),
+)
+def d78_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    cand = D.minhash_candidates(docs, expand="star")
+    dup_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.round(
+                F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_rate"),
         )
     )

@@ -59,6 +59,7 @@ DIRTY_SENSITIVE = [
     "d75_vocab_coverage",
     "d76_oov_rate",
     "d77_snapshot_diff",
+    "d78_source_dup_rate",
     "p04_curation_composition",
 ]
 
