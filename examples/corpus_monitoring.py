@@ -8,6 +8,7 @@ the round-4 monitoring operators:
     d73 Zipf fit               is the corpus still natural-language-shaped
     d75 vocab coverage curve   how much mass a K-token vocab captures
     d76 OOV rate               which documents fall outside the vocab
+    d78 source dup rate        which source started shipping duplicates
 
 In production each number is trended per snapshot and alerting
 thresholds sit on the deltas; here we run one snapshot and check the
@@ -49,6 +50,8 @@ def main() -> None:
     cov = {r["k"]: r["coverage_frac"]
            for r in q["d75_vocab_coverage"].build(spark, sf_dir).collect()}
     oov = q["d76_oov_rate"].build(spark, sf_dir).collect()
+    dup = {r["source"]: r["dup_rate"]
+           for r in q["d78_source_dup_rate"].build(spark, sf_dir).collect()}
 
     print(f"sources: {len(kl)}; max KL drift = {max(kl.values()):.4f} bits "
           f"({max(kl, key=kl.get)})")
@@ -58,6 +61,8 @@ def main() -> None:
     print(f"zipf: slope {zipf['zipf_slope']}, vocab {zipf['n_vocab']}, "
           f"tokens {zipf['n_tokens']}")
     print("coverage:", {k: cov[k] for k in sorted(cov)})
+    print(f"dup rate: max = {max(dup.values()):.4f} "
+          f"({max(dup, key=dup.get)})")
 
     oov_tokens = sum(r["n_oov"] for r in oov)
     all_tokens = sum(r["n_tokens"] for r in oov)
@@ -82,6 +87,7 @@ def main() -> None:
         "oov_matches_coverage": abs(
             oov_tokens / all_tokens - (1.0 - cov[16])
         ) < 1e-3,
+        "dup_rate_bounded": all(0.0 <= v <= 1.0 for v in dup.values()),
     }
     for name, ok in checks.items():
         if not ok:
