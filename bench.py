@@ -60,12 +60,22 @@ HEADLINE = [
 ]
 
 
-def _streaming_pipeline_rate(spark, sf_dir: str, n_batches: int = 5) -> int:
+def _streaming_pipeline_rate(
+    spark, sf_dir: str, n_batches: int = 5
+) -> tuple[int, int]:
     """End-to-end Structured-Streaming throughput through the full
     outcome pipeline (decode -> operators -> DLQ split -> sink), the
     closest apples-to-apples number to the reference's consumer rec/s
     benchmarks (BASELINE.md): n_batches micro-batches of the events
-    table driven through StreamRunner on a file source."""
+    table driven through StreamRunner on a file source.
+
+    Returns (whole_run_rps, steady_state_rps): the first includes
+    query startup + first-trigger warmup (the metric rounds 1-4 have
+    always reported, kept for continuity); the second is measured
+    between the completion of the FIRST batch and the last — the
+    sustained number the reference's long-running consumer benchmarks
+    correspond to (their rec/s excludes consumer-group startup by
+    construction of a minutes-long run)."""
     import shutil
     import tempfile
 
@@ -81,7 +91,14 @@ def _streaming_pipeline_rate(spark, sf_dir: str, n_batches: int = 5) -> int:
     for i in range(n_batches):
         shutil.copy(events_path, os.path.join(src, f"b{i}.parquet"))
     schema = spark.read.parquet(events_path).schema
-    n_rows = spark.read.parquet(events_path).count() * n_batches
+    rows_per_batch = spark.read.parquet(events_path).count()
+    n_rows = rows_per_batch * n_batches
+
+    batch_done: list[float] = []
+
+    def sink(df, batch_id):
+        df.write.format("noop").mode("overwrite").save()
+        batch_done.append(time.perf_counter())
 
     runner = StreamRunner(
         pipeline=(
@@ -91,7 +108,7 @@ def _streaming_pipeline_rate(spark, sf_dir: str, n_batches: int = 5) -> int:
             .require_field("k_val")
             .filter(F.col("value") > 50.0)
         ),
-        sink=lambda df, batch_id: df.write.format("noop").mode("overwrite").save(),
+        sink=sink,
         dlq_writer=lambda df, batch_id: df.write.format("noop").mode("overwrite").save(),
     )
     stream = (
@@ -105,7 +122,12 @@ def _streaming_pipeline_rate(spark, sf_dir: str, n_batches: int = 5) -> int:
     handle.close()
     elapsed = time.perf_counter() - t0
     shutil.rmtree(workdir, ignore_errors=True)
-    return int(n_rows / elapsed)
+    steady = 0
+    if len(batch_done) >= 2:
+        span = batch_done[-1] - batch_done[0]
+        if span > 0:
+            steady = int(rows_per_batch * (len(batch_done) - 1) / span)
+    return int(n_rows / elapsed), steady
 
 
 def _d05_signature_ab(spark, sf_dir: str) -> dict:
@@ -259,9 +281,9 @@ def main() -> None:
     # trigger's startup land inside one ~7 s window; the max over three
     # fresh runs (each with its own checkpoint dir) is the steady-state
     # number the reference's consumer benchmarks report
-    streaming_rate = max(
-        _streaming_pipeline_rate(spark, sf_dir) for _ in range(3)
-    )
+    stream_runs = [_streaming_pipeline_rate(spark, sf_dir) for _ in range(3)]
+    streaming_rate = max(r for r, _ in stream_runs)
+    streaming_steady = max(s for _, s in stream_runs)
     signature_ab = _d05_signature_ab(spark, sf_dir)
     admit_ab = _incremental_admit_ab(spark, sf_dir)
     total = round(sum(timings.values()), 3)
@@ -281,6 +303,10 @@ def main() -> None:
                     n_events / timings["p01_outcome_accounting"]
                 ),
                 "streaming_records_per_sec": streaming_rate,
+                # sustained rate between first- and last-batch
+                # completion — startup excluded, the shape the
+                # reference's minutes-long consumer benchmarks report
+                "streaming_steady_state_rps": streaming_steady,
                 "d05_signature_ab": signature_ab,
                 "incremental_admit_ab": admit_ab,
                 "sf": sf_dir,

@@ -445,8 +445,18 @@ def dup_components(
     at scale (one row per document blows Spark's 8 GB broadcast limit
     long before 100 TB). Consumers left-join and
     ``coalesce(cluster_id, id)`` for the singleton default.
+
+    Candidates use the STAR expansion: components only need graph
+    connectivity, which star edges preserve exactly (every all-pairs
+    edge is a 2-path through the bucket hub —
+    test_star_expansion_same_components), so a hot boilerplate bucket
+    costs m-1 edges instead of C(m,2). The d24/d47/d52/d55/d65
+    oracles keep the all-pairs ``cand`` CTE and still hash-match —
+    the recursive-components closure of both edge sets is identical.
     """
-    pairs = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    pairs = minhash_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k, expand="star"
+    )
     return connected_components(pairs).withColumnRenamed("id", id_col)
 
 
