@@ -61,9 +61,9 @@ def register(
 # (stalest evidence, LLM-ops families first). All oracle-backed
 # queries run the identical DuckDB compare in pytest regardless of
 # window position. (Round-5 rotation note: nothing is never-graded
-# after r4 — the selection/monitoring layer d68-d78 grades here;
+# after r4 — the selection/monitoring layer d68-d79 grades here;
 # rotate the displaced round-1-era re-grades d06/d07/d11/d15/d16/
-# d19/d20/d25/d26/d41/d43 back in first, then continue the stalest-
+# d19/d20/d25/d26/d34/d41/d43 back in first, then continue the stalest-
 # evidence rotation.)
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
@@ -101,8 +101,8 @@ FLAGSHIP_50: tuple[str, ...] = (
     "q51_date_arithmetic",
     "d67_passage_chunks",
     # the round-4 selection/monitoring layer (registered this round —
-    # graded first-time HERE so that after r4 every one of the 174
-    # registry queries has driver-side evidence; the eleven round-1-era
+    # graded first-time HERE so that after r4 every one of the 175
+    # registry queries has driver-side evidence; the twelve round-1-era
     # re-grades they displaced all pass the identical pytest compare
     # continuously and rotate back in r5)
     "d68_dsir_importance",
@@ -116,13 +116,13 @@ FLAGSHIP_50: tuple[str, ...] = (
     "d76_oov_rate",
     "d77_snapshot_diff",
     "d78_source_dup_rate",
+    "d79_text_normalization",
     # round-1-era re-grades (stalest driver evidence)
     "d01_dedup_exact",
     "d08_similarity_topk",
     "d13_ivf_topk",
     "d17_unigram_logprob",
     "d24_dup_clusters",
-    "d34_gopher_quality_rules",
     "m01_media_metadata",
 )
 

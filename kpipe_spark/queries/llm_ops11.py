@@ -973,3 +973,77 @@ def d78_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def _nfc_normalize_udf():
+    """Arrow-batched NFC + whitespace canonicalization.
+
+    The whitespace class is the EXPLICIT ASCII set [ \\t\\n\\r\\f\\v] —
+    NOT Python's ``\\s``, which (unlike Java's and RE2's) also matches
+    Unicode spaces such as NBSP; the repo-wide tokenization contract
+    is that NBSP stays inside a token (test_oracle_dirty.py rows
+    18-19), and the normalizer must not disagree with the tokenizer.
+    NFC itself needs Python (Spark has no builtin normalizer);
+    unicodedata and DuckDB's utf8proc implement the same Unicode
+    normalization algorithm, which the oracle compare pins.
+    """
+    import pandas as pd  # noqa: F401 (type only)
+    import re
+    import unicodedata
+
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    @F.pandas_udf("string")
+    def nfc_norm(s):  # type: ignore[no-untyped-def]
+        return s.map(
+            lambda t: None
+            if t is None
+            else unicodedata.normalize("NFC", ws.sub(" ", t).strip())
+        )
+
+    return nfc_norm
+
+
+@register(
+    "d79_text_normalization",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(norm <> text AS INTEGER) AS changed,
+           CAST(len(norm) AS BIGINT) AS n_chars_norm,
+           md5(norm) AS norm_fp
+    FROM (
+      SELECT doc_id, text,
+             nfc_normalize(trim(regexp_replace(text,
+                 '[ \t\n\r\f\v]+', ' ', 'g'))) AS norm
+      FROM documents WHERE text IS NOT NULL
+    )
+    """,
+    description="canonical text normalization — the first transform "
+    "of every curation pipeline: collapse ASCII whitespace runs to "
+    "single spaces, strip ends, Unicode-NFC compose (é as e+combining-"
+    "acute becomes one code point, so dedup fingerprints stop "
+    "splitting on encoding accidents). Emits per-doc changed flag, "
+    "normalized length, and the md5 fingerprint OF THE NORMALIZED "
+    "text (the key exact dedup should group on). Spark side is an "
+    "Arrow-batched pandas UDF (NFC has no Catalyst builtin); the "
+    "oracle pins Python's unicodedata against DuckDB's utf8proc — "
+    "same Unicode algorithm, checked byte-for-byte through the md5. "
+    "Scale: scan-local projection, perfectly partition-parallel; the "
+    "UDF is the one legitimate Python hot-path class (vectorized, "
+    "no shuffle).",
+    tags=("llm", "text", "normalize"),
+)
+def d79_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    nfc = _nfc_normalize_udf()
+    norm = F.col("_norm")
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .withColumn("_norm", nfc(F.col("text")))
+        .select(
+            "doc_id",
+            (norm != F.col("text")).cast("int").alias("changed"),
+            F.length(norm).cast("long").alias("n_chars_norm"),
+            F.md5(norm).alias("norm_fp"),
+        )
+    )

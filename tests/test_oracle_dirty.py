@@ -60,6 +60,7 @@ DIRTY_SENSITIVE = [
     "d76_oov_rate",
     "d77_snapshot_diff",
     "d78_source_dup_rate",
+    "d79_text_normalization",
     "p04_curation_composition",
 ]
 
@@ -97,6 +98,11 @@ _ROWS = [
     # regex class (Java or RE2) — both must keep it inside one token
     (18, "café déjà-vu naïve résumé über schön façade jalapeño", "de", "src3"),
     (19, "word\u00a0joined\u00a0by\u00a0nbsp plus six ordinary ascii tokens here", "en", "src3"),
+    # DECOMPOSED Unicode (e + combining acute, a + combining ring):
+    # d79's NFC must compose these identically in Python unicodedata
+    # and DuckDB utf8proc (different byte sequence, same md5 after),
+    # while the md5-affine dedup ops treat the raw bytes consistently
+    (20, "cafe\u0301 deja vu a\u030a angstro\u0308m plus ascii filler words", "de", "src3"),
 ]
 
 
