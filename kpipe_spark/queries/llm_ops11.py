@@ -15,9 +15,12 @@ drift and per-label embedding-centroid drift (distribution-shift
 monitoring in token and vector space), a Zipf rank-frequency fit
 (corpus-health fingerprint), a vocabulary coverage curve
 (tokenizer-budget planning), per-document OOV rate (tokenizer
-fit / noise outlier gate), and a snapshot reconciliation ledger
+fit / noise outlier gate), a snapshot reconciliation ledger
 (added/removed/changed/unchanged + token deltas between crawl
-snapshots via content fingerprints).
+snapshots via content fingerprints), per-source near-dup
+participation rate (spam-influx detection, star-expanded), and
+canonical NFC + whitespace text normalization (the curation
+pipeline's first transform, as an Arrow-batched pandas UDF).
 
 Scale discipline shared by the text ops here: every join is keyed on
 a gram/bucket/doc hash (no cartesian anywhere), model-side tables are
