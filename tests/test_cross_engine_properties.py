@@ -94,3 +94,39 @@ def test_temperature_fold_matches_duckdb_bitwise(spark, toks):
     con = duckdb.connect()
     want = {s: repr(p) for s, p in con.execute(sql).fetchall()}
     assert got == want
+
+
+_NFC_ALPHABET = (
+    list("abcdeoun ")
+    + ["é", "å", "ö", "ñ", "ç"]  # precomposed
+    + [
+        "́", "̀", "̈", "̊",  # combining marks
+        "̧", "̃", "̄", "̆", "̌",
+    ]
+)
+
+
+@given(
+    chars=st.lists(
+        st.sampled_from(_NFC_ALPHABET), min_size=1, max_size=12
+    )
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_nfc_matches_duckdb(chars):
+    """d79's cross-engine contract: Python unicodedata NFC ==
+    DuckDB's utf8proc nfc_normalize, byte for byte, on arbitrary
+    precomposed/combining-mark soup (including marks with nothing to
+    attach to and multi-mark stacks — the canonical-ordering cases
+    where Unicode-version skew between the two libraries would
+    surface first)."""
+    import unicodedata
+
+    s = "".join(chars)
+    con = duckdb.connect()
+    db = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+    con.close()
+    assert unicodedata.normalize("NFC", s) == db
