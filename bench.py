@@ -57,6 +57,10 @@ HEADLINE = [
     # selection/monitoring ops (corpus explode + bucket model + score
     # join), worth tracking round-over-round like d05/d17
     "d68_dsir_importance",
+    # round 4c: the Arrow-batched pandas-UDF scan path (NFC
+    # normalization) — the Python-boundary throughput number, the
+    # companion to m03's decode cost
+    "d79_text_normalization",
 ]
 
 
