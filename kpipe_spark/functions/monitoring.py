@@ -61,6 +61,11 @@ def source_kl_bits(cnt: DataFrame, source_col: str = "source") -> DataFrame:
     wherever p_s[b] > 0), so the sum runs over the source's own
     support. Everything here is bucket-table-sized — the corpus never
     appears."""
+    # the counts frame fans out to four branches (stot/corp/tot
+    # broadcasts + the score join); materialize it once so a
+    # corpus-derived input doesn't recompute its explode per branch.
+    # Bounded by contract: <= |sources| x n_buckets rows.
+    cnt = cnt.localCheckpoint(eager=False)
     stot = cnt.groupBy(source_col).agg(F.sum("c").alias("ns"))
     corp = cnt.groupBy("bucket").agg(F.sum("c").alias("cq"))
     tot = corp.agg(F.sum("cq").alias("n"))

@@ -143,6 +143,15 @@ def dsir_log_weights(
         bg.withColumn("bucket", md5_hash60(F.col("g")) % n_buckets)
         .groupBy(id_col, source_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        # materialized ONCE: cnt feeds three plan branches (the score
+        # join plus the broadcast stats and total), and broadcast
+        # exchanges cannot reuse a shuffle exchange, so without this
+        # the corpus tokenize+explode+md5 runs 3x per call (measured
+        # 1.7 s -> 0.48 s at sf0.1). Production pipelines persist the
+        # hashed-feature table to storage for the same reason — DSIR
+        # featurizes once, then fits and scores from the features
+        # (swap for checkpoint()/a parquet artifact on a cluster).
+        .localCheckpoint(eager=False)
     )
     stats = cnt.groupBy("bucket").agg(
         F.sum("c").alias("cr"),

@@ -527,6 +527,9 @@ def d73_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(T.tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        # vocab-sized; feeds both the totals row and the top-1000 —
+        # materialize once instead of exploding the corpus twice
+        .localCheckpoint(eager=False)
     )
     vocab = freq.agg(
         F.count(F.lit(1)).cast("long").alias("n_vocab"),
@@ -749,6 +752,9 @@ def d75_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(T.tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        # vocab-sized; feeds the corpus total and the top-K ranking —
+        # materialize once instead of exploding the corpus twice
+        .localCheckpoint(eager=False)
     )
     tot = freq.agg(F.sum("c").alias("t"))
     top = freq.orderBy(F.col("c").desc(), "w").limit(max(_COVERAGE_KS))
@@ -802,7 +808,13 @@ def d76_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.filter(content).select(
         "doc_id", F.explode(T.tokens("text")).alias("w")
     )
-    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # the vocab derivation would otherwise re-run tok's corpus explode
+    # under the broadcast branch; vocab-sized, materialize once
+    freq = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     vocab16 = (
         freq.orderBy(F.col("c").desc(), "w")
         .limit(_OOV_VOCAB_K)
