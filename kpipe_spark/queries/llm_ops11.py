@@ -41,6 +41,7 @@ from kpipe_spark.functions import similarity as S
 from kpipe_spark.functions import text as T
 from kpipe_spark.queries import register
 from kpipe_spark.queries._oracle_fragments import MINHASH_CTES
+from kpipe_spark.util import ensure_parallelism
 
 # DSIR feature-hash buckets. Fixed and small: the bucket table is
 # B rows regardless of corpus size, which is the whole point of the
@@ -158,8 +159,12 @@ def d68_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle joins only; the bigram and unigram model tables are "
     "vocabulary-sized so they are NOT broadcast-hinted (the d48/d56 "
     "honesty rule) — AQE may still choose broadcast at benchmark "
-    "scale, and the per-doc count exchange feeds both the model "
-    "aggregate and the scoring join via ReuseExchange (d17's shape).",
+    "scale. The per-doc count and unigram tables each feed multiple "
+    "branches and are materialized once (localCheckpoint; swap for a "
+    "stored model table in production) — the optimizer does NOT "
+    "reuse an aggregation exchange across a model branch and a "
+    "scoring join, so without materialization the corpus explode "
+    "re-runs per consumer.",
     tags=("llm", "quality", "tokenize"),
 )
 def d69_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,12 +180,23 @@ def d69_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = toks.select("doc_id", F.explode(bigrams).alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    cnt = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # consumed by the bigram-model aggregate AND the scoring join —
+    # materialize once (the docstring's ReuseExchange hope did not
+    # survive contact with the optimizer: the model branch's exchange
+    # never matches the join's requirement, measured 0 reuses)
+    cnt = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     bigf = cnt.groupBy("w1", "w2").agg(F.sum("c").alias("cbg"))
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
+        # vocab-sized, consumed THREE times (w1 join, w2 join, total);
+        # without this each consumer re-runs the token explode
+        .localCheckpoint(eager=False)
     )
     ntot = uni.agg(F.sum("cu").alias("n"))
     p = 0.7 * F.col("cbg") / F.col("cu1") + 0.3 * F.col("cu2") / F.col("n")
@@ -395,24 +411,37 @@ def d70_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d71_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
     content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
-    sh = docs.filter(content).select(
-        "doc_id", F.explode(D.word_shingles("text", 3)).alias("g")
+    # spread the interpreted-HOF shingle explode across cores (the
+    # 1-split scan ran it single-task: 2.5 s alone at sf0.1), then
+    # materialize ONCE: both aggregates below consume it, and the
+    # original join formulation (sh ⋈ first ON g) re-computed the
+    # explode AND shuffled the full shingle stream by gram a second
+    # time. Counting winners per doc instead of joining them back
+    # needs only map-side-combined aggregates after this — no
+    # gram-keyed join at all (5.5 s -> 2.0 s at sf0.1; the remainder
+    # is small-data task overhead that amortizes at scale).
+    sh = (
+        ensure_parallelism(docs.filter(content))
+        .select("doc_id", F.explode(D.word_shingles("text", 3)).alias("g"))
+        .localCheckpoint(eager=False)
     )
-    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        sh.join(first, "g")
+    tot = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    # one row per gram (its first doc), then winners-per-doc: a doc's
+    # novel count is the number of grams whose min doc_id it is
+    nov = (
+        sh.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.round(
-                F.coalesce(
-                    F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)),
-                    F.lit(0),
-                )
-                / F.count(F.lit(1)),
-                4,
-            ).alias("novel_frac"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return tot.join(nov, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_shingles"), 4
+        ).alias("novel_frac"),
     )
 
 
