@@ -242,6 +242,45 @@ def _incremental_admit_ab(spark, sf_dir: str) -> dict:
         idx.drop()
 
 
+def sweep() -> None:
+    """Time EVERY registry query once (warm, noop sink) and print the
+    sorted table plus one JSON line. The headline list is a curated
+    subset; this is the blind-spot catcher — round 4's run found a
+    query at 77 s (d11) that three rounds of headline benches never
+    saw. Run per round; a regression in any of the registry's queries
+    should surface as a number, not an anecdote."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="kpipe-spark-bench-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    from kpipe_spark.catalog import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
+    queries = all_queries()
+    times: dict[str, float] = {}
+    for name, q in queries.items():
+        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
+        print(f"{t:8.3f}  {name}")
+    print(
+        json.dumps(
+            {
+                "metric": "full_registry_sweep_runtime",
+                "value": round(sum(times.values()), 1),
+                "unit": "sec",
+                "n_queries": len(times),
+                "slowest": dict(
+                    sorted(times.items(), key=lambda kv: -kv[1])[:10]
+                ),
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
 def main() -> None:
     # ambient load BEFORE the workload: the bench itself saturates the
     # machine, so an at-exit sample (rounds <=3 reported ~9 "under
@@ -326,4 +365,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--sweep" in sys.argv[1:]:
+        sweep()
+    else:
+        main()
