@@ -188,20 +188,34 @@ def _semdedup_pairs(v: DataFrame, cents: DataFrame) -> DataFrame:
         S.cosine(F.col("_e"), F.col("_ce")).alias("_csim"),
     )
     key = F.struct(F.col("_csim"), (-F.col("centroid_id")).alias("_nc"))
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by("centroid_id", key).alias("centroid_id"),
-        F.any_value(F.col("_e")).alias("_e"),
+    # materialized once: the within-cluster self-join plans its two
+    # inputs independently (the d46 trap — the whole assignment
+    # pipeline would run twice), and the per-ROW norm rides along so
+    # each PAIR costs one interpreted dot fold instead of three
+    # (same fold, same bits as cosine() — norms are row quantities)
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by("centroid_id", key).alias("centroid_id"),
+            F.any_value(F.col("_e")).alias("_e"),
+        )
+        .withColumn("_n", S.norm(F.col("_e")))
+        .localCheckpoint(eager=False)
     )
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
         F.col("centroid_id"),
         F.col("_e").alias("_ea"),
+        F.col("_n").alias("_na"),
     )
     b = assigned.select(
         F.col("vec_id").alias("id_b"),
         F.col("centroid_id"),
         F.col("_e").alias("_eb"),
+        F.col("_n").alias("_nb"),
     )
+    den = F.col("_na") * F.col("_nb")
+    pair_sim = F.when(den > 0, S.dot(F.col("_ea"), F.col("_eb")) / den)
     pairs = (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -209,9 +223,7 @@ def _semdedup_pairs(v: DataFrame, cents: DataFrame) -> DataFrame:
             "centroid_id",
             "id_a",
             "id_b",
-            ieee_round(S.cosine(F.col("_ea"), F.col("_eb")), 4).alias(
-                "cosine_sim"
-            ),
+            ieee_round(pair_sim, 4).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= 0.35)
     )
