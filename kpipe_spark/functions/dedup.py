@@ -511,8 +511,18 @@ def ngram_jaccard_pairs(
     """Verified near-dup pairs: MinHash-LSH candidates refined by exact
     shingle Jaccard >= threshold. The expensive exact measure runs only
     on the candidate set."""
+    from kpipe_spark.util import ensure_parallelism
+
     cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("sh"))
+    # spread the interpreted-HOF shingle build (1-split scans run it
+    # single-task) and materialize once — both join sides consume it,
+    # so the unmaterialized form computed every document's shingle
+    # array twice per call
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), word_shingles(text_col, shingle_k).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     return (
         cands.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
