@@ -364,7 +364,16 @@ def d48_minhash_estimator_calibration(
     # text-sized (corpus-scale), so a hint would exceed the 8 GB
     # broadcast limit at the scale this op advertises. AQE broadcasts
     # the (small) candidate side or falls back to shuffle join.
-    sh = docs.select("doc_id", D.word_shingles("text").alias("_sh"))
+    # Spread + materialize once: both join sides consume the shingle
+    # table (the d07 shape — unmaterialized, every document's shingles
+    # computed twice on a single task).
+    from kpipe_spark.util import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(docs)
+        .select("doc_id", D.word_shingles("text").alias("_sh"))
+        .localCheckpoint(eager=False)
+    )
     jac = D.jaccard(F.col("_ga"), F.col("_gb"))
     return (
         cand.join(
