@@ -209,10 +209,17 @@ def _incremental_admit_ab(spark, sf_dir: str) -> dict:
     from kpipe_spark.catalog import load_tables
     from kpipe_spark.functions.corpus_index import CorpusIndex
 
+    import uuid
+
     docs = load_tables(spark, sf_dir).documents
     is_new = F.col("doc_id") % 4 == 0
+    # uuid-suffixed: two concurrent bench runs share one warehouse and
+    # would otherwise overwrite/drop each other's index mid-measurement
     idx = CorpusIndex.build(
-        spark, docs.filter(~is_new), "bench_corpus_bands", num_buckets=8
+        spark,
+        docs.filter(~is_new),
+        f"bench_corpus_bands_{uuid.uuid4().hex[:8]}",
+        num_buckets=8,
     )
     try:
         batch = docs.filter(is_new)
@@ -249,6 +256,7 @@ def sweep() -> None:
     query at 77 s (d11) that three rounds of headline benches never
     saw. Run per round; a regression in any of the registry's queries
     should surface as a number, not an anecdote."""
+    _await_quiet_machine()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="kpipe-spark-bench-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -281,7 +289,34 @@ def sweep() -> None:
     )
 
 
+def _await_quiet_machine() -> float:
+    """Ambient-load gate: refuse to start measuring while the machine
+    is busy. Round 4's official artifact was captured at loadavg 18.9
+    and every number inflated ~1.5x with zero plan changes — a bench
+    taken under that much contention measures the neighbors, not the
+    code. Wait (bounded) for 1-min loadavg to drop below the gate;
+    returns seconds waited. Gate/wait tunable via env for machines
+    whose idle baseline differs (SPARK_GRAFT_LOAD_GATE=0 disables)."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "900"))
+    if gate <= 0:
+        return 0.0
+    waited = 0.0
+    while os.getloadavg()[0] > gate and waited < max_wait:
+        time.sleep(15)
+        waited += 15
+    if os.getloadavg()[0] > gate:
+        print(
+            f"WARNING: proceeding at loadavg {os.getloadavg()[0]:.1f} "
+            f"> gate {gate} after {int(waited)}s — numbers will be "
+            "noise-dominated",
+            file=sys.stderr,
+        )
+    return waited
+
+
 def main() -> None:
+    load_gate_wait = _await_quiet_machine()
     # ambient load BEFORE the workload: the bench itself saturates the
     # machine, so an at-exit sample (rounds <=3 reported ~9 "under
     # load") mostly measures the bench's own footprint. loadavg_start
@@ -325,7 +360,8 @@ def main() -> None:
     # fresh runs (each with its own checkpoint dir) is the steady-state
     # number the reference's consumer benchmarks report
     stream_runs = [_streaming_pipeline_rate(spark, sf_dir) for _ in range(3)]
-    streaming_rate = max(r for r, _ in stream_runs)
+    whole_rates = sorted(r for r, _ in stream_runs)
+    streaming_rate = whole_rates[-1]
     streaming_steady = max(s for _, s in stream_runs)
     signature_ab = _d05_signature_ab(spark, sf_dir)
     admit_ab = _incremental_admit_ab(spark, sf_dir)
@@ -350,6 +386,14 @@ def main() -> None:
                 # completion — startup excluded, the shape the
                 # reference's minutes-long consumer benchmarks report
                 "streaming_steady_state_rps": streaming_steady,
+                # variance honesty: single runs of an identical
+                # pipeline ranged 32-92k rec/s in one session
+                # (checkpoint-dir I/O + first-trigger startup land
+                # inside one ~7s window); best-of-3 is the headline,
+                # median/spread say what "typical" looks like
+                "streaming_rps_best": whole_rates[-1],
+                "streaming_rps_median": whole_rates[1],
+                "streaming_rps_spread": whole_rates[-1] - whole_rates[0],
                 "d05_signature_ab": signature_ab,
                 "incremental_admit_ab": admit_ab,
                 "sf": sf_dir,
@@ -359,9 +403,24 @@ def main() -> None:
                 # with rounds <=3 whose single loadavg was this one)
                 "loadavg_start": loadavg_start,
                 "loadavg": round(os.getloadavg()[0], 2),
+                "load_gate_wait_sec": int(load_gate_wait),
             }
         )
     )
+    # the A/B is a GUARD, not just telemetry: a family retune that
+    # makes the explode->aggregate signature faster than the shipped
+    # projection must fail the bench run, not hide in a JSON field.
+    # 20% tolerance so scheduler noise on a near-tie can't flap.
+    if signature_ab["projection_sec"] > signature_ab["aggregate_sec"] * 1.2:
+        print(
+            "FAIL: d05 signature A/B flipped — the shipped projection "
+            f"shape ({signature_ab['projection_sec']}s) is slower than "
+            f"the aggregate shape ({signature_ab['aggregate_sec']}s); "
+            "retune MINHASH slot family or flip the shipped shape "
+            "(ARCHITECTURE.md 'projection vs aggregate')",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,15 @@ class CorpusIndex:
 
     # -- construction ---------------------------------------------------------
 
+    # family + bucket parameters persisted as table properties at build
+    # time, so attach()/append() read the table's OWN identity instead
+    # of trusting the caller (a family mismatch silently yields zero
+    # collisions — exactly the failure mode the class docstring warns
+    # about) or string-parsing DESCRIBE output (brittle across Spark
+    # catalog-output formats)
+    _PROP_PREFIX = "kpipe.index."
+    _FAMILY_PROPS = ("num_hashes", "bands", "shingle_k")
+
     @classmethod
     def build(
         cls,
@@ -88,16 +97,57 @@ class CorpusIndex:
             keys=["band", "bucket"],
             num_buckets=num_buckets,
         )
+        idx._write_properties(num_buckets)
         return idx
+
+    def _write_properties(self, num_buckets: int) -> None:
+        props = {
+            "num_buckets": num_buckets,
+            **{p: getattr(self, p) for p in self._FAMILY_PROPS},
+        }
+        kv = ", ".join(
+            f"'{self._PROP_PREFIX}{k}' = '{v}'" for k, v in props.items()
+        )
+        self.spark.sql(f"ALTER TABLE {self.table} SET TBLPROPERTIES ({kv})")
+
+    def _properties(self) -> dict[str, int]:
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
+        return {
+            r["key"].removeprefix(self._PROP_PREFIX): int(r["value"])
+            for r in rows
+            if r["key"].startswith(self._PROP_PREFIX)
+        }
 
     @classmethod
     def attach(cls, spark: SparkSession, table: str, **family) -> "CorpusIndex":
         """Handle to an existing band table (built in a prior session
-        or by another job). The caller asserts the family parameters
-        match the ones the table was built with."""
+        or by another job). The MinHash family is read back from the
+        table's properties and VALIDATED against any family kwargs the
+        caller passes — a silent mismatch would make every admit report
+        zero collisions."""
         if not spark.catalog.tableExists(table):
             raise ValueError(f"no such index table: {table}")
-        return cls(spark, table, **family)
+        idx = cls(spark, table, **family)
+        stored = idx._properties()
+        mismatched = {
+            p: (family[p], stored[p])
+            for p in cls._FAMILY_PROPS
+            if p in stored and p in family and family[p] != stored[p]
+        }
+        if mismatched:
+            detail = ", ".join(
+                f"{p}: caller {got} != table {want}"
+                for p, (got, want) in mismatched.items()
+            )
+            raise ValueError(
+                f"MinHash family mismatch attaching {table} ({detail}) — "
+                "admitting with a different family than the index was "
+                "built with would silently miss every collision"
+            )
+        for p in cls._FAMILY_PROPS:  # adopt the table's stored family
+            if p in stored:
+                setattr(idx, p, stored[p])
+        return idx
 
     def _bands_of(self, docs: DataFrame) -> DataFrame:
         return minhash_bands_df(
@@ -184,30 +234,75 @@ class CorpusIndex:
             (~F.col("_lose")).alias("admitted"),
         )
 
+    def _num_buckets(self) -> int:
+        props = self._properties()
+        if "num_buckets" not in props:
+            raise ValueError(
+                f"{self.table} carries no {self._PROP_PREFIX}num_buckets "
+                "property — append/compact require an index created by "
+                "CorpusIndex.build (appending unbucketed bands would "
+                "silently break the exchange-free admit join)"
+            )
+        return props["num_buckets"]
+
     def append(self, admitted_docs: DataFrame) -> None:
         """Add admitted docs' bands to the index (same family, same
         bucket spec — Spark validates the bucketing matches on append),
         so the next batch collides against them."""
-        spec = (
-            self.spark.sql(f"DESCRIBE TABLE EXTENDED {self.table}")
-            .filter(F.col("col_name") == "Num Buckets")
-            .select("data_type")
-            .collect()
-        )
-        if not spec:
-            raise ValueError(
-                f"{self.table} is not a bucketed table — append requires "
-                "an index created by CorpusIndex.build/write_bucketed "
-                "(appending unbucketed bands would silently break the "
-                "exchange-free admit join)"
-            )
-        n_buckets = int(spec[0][0])
         (
             self._bands_of(admitted_docs)
             .write.mode("append")
-            .bucketBy(n_buckets, "band", "bucket")
+            .bucketBy(self._num_buckets(), "band", "bucket")
             .saveAsTable(self.table, format="parquet")
         )
+
+    def compact(self) -> None:
+        """Rewrite the band table into one file per bucket, preserving
+        the bucket spec (and therefore the exchange-free admit join).
+
+        Every ``append`` batch adds its own file per (task, bucket); at
+        100 TB steady state — thousands of admission batches — the
+        index accretes small files until open()/footer overhead makes
+        the index itself the straggler of every admit (the stored-state
+        analogue of kpipe's offset-ledger hygiene,
+        /root/reference/docs/OFFSET-INVARIANTS.md). Compaction is one
+        index-sized job, NOT corpus-sized: ``repartition(n, band,
+        bucket)`` uses the same Murmur3 hash partitioning as the bucket
+        spec, so each output task holds exactly one bucket's rows and
+        the bucketed write emits one file per bucket. The rewrite goes
+        to a side table first and swaps via RENAME, so a failed
+        compaction leaves the live index untouched."""
+        n_buckets = self._num_buckets()
+        tmp = f"{self.table}__compacting"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        # reading the table AS bucketed makes the planner elide the
+        # explicit repartition (the scan already claims the target
+        # partitioning), leaving one output file per (input task,
+        # bucket) — the opposite of compaction. Read it as a plain
+        # file scan for the rewrite; the WRITE side's bucketBy is
+        # unaffected by this conf (measured: 4-bucket index compacts
+        # to <= 4 files and still joins exchange-free afterwards).
+        conf = "spark.sql.sources.bucketing.enabled"
+        prev = self.spark.conf.get(conf, "true")
+        self.spark.conf.set(conf, "false")
+        try:
+            (
+                self.bands_df.repartition(
+                    n_buckets, F.col("band"), F.col("bucket")
+                )
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, "band", "bucket")
+                .saveAsTable(tmp, format="parquet")
+            )
+        finally:
+            self.spark.conf.set(conf, prev)
+        live, self.table = self.table, tmp
+        try:
+            self._write_properties(n_buckets)
+        finally:
+            self.table = live
+        self.spark.sql(f"DROP TABLE {self.table}")
+        self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.table}")
 
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")

@@ -511,17 +511,19 @@ def ngram_jaccard_pairs(
     """Verified near-dup pairs: MinHash-LSH candidates refined by exact
     shingle Jaccard >= threshold. The expensive exact measure runs only
     on the candidate set."""
-    from kpipe_spark.util import ensure_parallelism
+    from kpipe_spark.util import ensure_parallelism, materialize
 
     cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
     # spread the interpreted-HOF shingle build (1-split scans run it
     # single-task) and materialize once — both join sides consume it,
     # so the unmaterialized form computed every document's shingle
-    # array twice per call
-    sh = (
-        ensure_parallelism(df)
-        .select(F.col(id_col), word_shingles(text_col, shingle_k).alias("sh"))
-        .localCheckpoint(eager=False)
+    # array twice per call. Corpus-scaled: the injectable strategy
+    # (util.set_materializer) redirects it off block storage at scale
+    sh = materialize(
+        ensure_parallelism(df).select(
+            F.col(id_col), word_shingles(text_col, shingle_k).alias("sh")
+        ),
+        scale="corpus",
     )
     return (
         cands.join(

@@ -139,19 +139,21 @@ def dsir_log_weights(
     bg = docs.filter(content).select(
         id_col, source_col, F.explode(bigrams).alias("g")
     )
-    cnt = (
+    from kpipe_spark.util import materialize
+
+    # materialized ONCE: cnt feeds three plan branches (the score
+    # join plus the broadcast stats and total), and broadcast
+    # exchanges cannot reuse a shuffle exchange, so without this
+    # the corpus tokenize+explode+md5 runs 3x per call (measured
+    # 1.7 s -> 0.48 s at sf0.1). doc_id-keyed = corpus-scaled, so the
+    # strategy is injectable (util.set_materializer): a cluster
+    # installs table_materializer and this becomes the stored
+    # hashed-feature table production DSIR keeps anyway.
+    cnt = materialize(
         bg.withColumn("bucket", md5_hash60(F.col("g")) % n_buckets)
         .groupBy(id_col, source_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        # materialized ONCE: cnt feeds three plan branches (the score
-        # join plus the broadcast stats and total), and broadcast
-        # exchanges cannot reuse a shuffle exchange, so without this
-        # the corpus tokenize+explode+md5 runs 3x per call (measured
-        # 1.7 s -> 0.48 s at sf0.1). Production pipelines persist the
-        # hashed-feature table to storage for the same reason — DSIR
-        # featurizes once, then fits and scores from the features
-        # (swap for checkpoint()/a parquet artifact on a cluster).
-        .localCheckpoint(eager=False)
+        .agg(F.count(F.lit(1)).alias("c")),
+        scale="corpus",
     )
     stats = cnt.groupBy("bucket").agg(
         F.sum("c").alias("cr"),

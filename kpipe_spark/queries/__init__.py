@@ -49,81 +49,79 @@ def register(
 
 
 # The external driver grades the FIRST 50 registry entries against the
-# DuckDB oracle. Rounds 1-3 graded 134 distinct queries (every one
-# green at its latest grade); this round the window rotates to the 29
-# entries the driver has never graded — the round-3 corpus-assembly
-# layer (d54-d66, m05-m07), the deferred simple relational queries
-# (q06, q13, q26, q30, q34, q39, q40, q42, q46, q51), q85, and the new
-# round-4 p04 curation composition and d67 passage chunking — closing
-# the loop: after this round every registry query has driver-side
-# correctness evidence. The three cross-round sentinels (q01, p01,
-# d05) stay, and the remaining 18 slots re-grade round-1-era queries
-# (stalest evidence, LLM-ops families first). All oracle-backed
-# queries run the identical DuckDB compare in pytest regardless of
-# window position. (Round-5 rotation note: nothing is never-graded
-# after r4 — the selection/monitoring layer d68-d79 grades here;
-# rotate the displaced round-1-era re-grades d06/d07/d11/d15/d16/
-# d19/d20/d25/d26/d34/d41/d43 back in first, then continue the stalest-
-# evidence rotation.)
+# DuckDB oracle. After round 4 all 175 registry queries have been
+# driver-graded at least once and every query graded since its oracle
+# existed is green; the round-5 window is pure evidence refresh,
+# stalest first. Leading: d06/d07/d09/d15, whose ONLY driver grade
+# (round 1) predates their oracles (err=no_oracle) — after this round
+# every oracle-backed query's LATEST driver grade is a hash pass.
+# Then: every remaining round-1-era grade (the 23 hash re-grades the
+# round-4 window displaced, plus m02), the three rows-only-by-nature
+# queries (d23/d27/d28 — MLlib randomness / iterative training; the
+# driver refreshes their rows-only evidence), and 17 round-2-era
+# re-grades (LLM-ops families first, then a relational spread:
+# joins/windows/rollup/range/as-of/sessionization). The three
+# cross-round sentinels (q01, p01, d05) stay for comparability. All
+# oracle-backed queries run the identical DuckDB compare in pytest
+# regardless of window position. (Round-6 rotation note: continue
+# stalest-first — the 38 remaining round-2-era grades, then round-3.)
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",
     "p01_outcome_accounting",
     "d05_minhash_neardup",
-    # never-driver-graded: round-3/4 additions + deferred relational
-    "p04_curation_composition",
-    "d54_incremental_dedup",
-    "d55_dedup_adjusted_mixture",
-    "d56_contamination_spans",
-    "d57_token_budget_selection",
-    "d58_shard_plan",
-    "d59_priority_source_dedup",
-    "d60_curation_funnel",
-    "d61_dup_substring_spans",
-    "d62_ivf_cell_profile",
-    "d63_tokenizer_fertility",
-    "d64_blocklist_gate",
-    "d65_cluster_size_histogram",
-    "d66_shared_prefix_templates",
-    "m05_audio_frame_energy",
-    "m06_image_patch_stats",
-    "m07_multimodal_packing",
-    "q85_mode_per_group",
-    "q06_revenue_forecast",
-    "q13_window_rank",
-    "q26_having_filter",
-    "q30_events_top_users",
-    "q34_explode_token_freq",
-    "q39_first_last_per_group",
-    "q40_regexp_extract",
-    "q42_distinct_projection",
-    "q46_union_by_name",
-    "q51_date_arithmetic",
-    "d67_passage_chunks",
-    # the round-4 selection/monitoring layer (registered this round —
-    # graded first-time HERE so that after r4 every one of the 175
-    # registry queries has driver-side evidence; the twelve round-1-era
-    # re-grades they displaced all pass the identical pytest compare
-    # continuously and rotate back in r5)
-    "d68_dsir_importance",
-    "d69_bigram_interp_logprob",
-    "d70_ann_recall_eval",
-    "d71_ngram_novelty",
-    "d72_source_kl_drift",
-    "d73_zipf_fit",
-    "d74_embedding_drift",
-    "d75_vocab_coverage",
-    "d76_oov_rate",
-    "d77_snapshot_diff",
-    "d78_source_dup_rate",
-    "d79_text_normalization",
-    # round-1-era re-grades (stalest driver evidence)
-    "d01_dedup_exact",
-    "d08_similarity_topk",
-    "d13_ivf_topk",
-    "d17_unigram_logprob",
-    "d24_dup_clusters",
-    "m01_media_metadata",
+    # only driver grade predates their oracles (r1 err=no_oracle)
+    "d06_simhash",
+    "d07_ngram_jaccard_pairs",
+    "d09_lsh_similarity_topk",
+    "d15_simhash_neardup",
+    # round-1-era hash re-grades (stalest driver evidence)
+    "d02_token_stats",
+    "d03_quality_score",
+    "d04_lang_id",
+    "d10_embedding_norms",
+    "d11_embedding_neardup",
+    "d12_doc_fingerprint",
+    "d14_doc_embedding_quality",
+    "d16_pii_scrub",
+    "d18_bpe_token_stats",
+    "d19_stratified_sample",
+    "d20_dataset_split",
+    "d21_embedding_quantize",
+    "d25_vocab_build",
+    "d26_tfidf_keywords",
+    "d29_column_profile",
+    "d30_k_anonymity",
+    "d33_boilerplate_ngrams",
+    "d34_gopher_quality_rules",
+    "d38_key_skew_profile",
+    "d41_word_entropy",
+    "d42_lexical_diversity",
+    "d43_srp_near_dup",
+    "m02_frame_sample",
+    # rows-only by nature (d23/d27/d28): refresh the weaker rows check
+    "d23_mllib_minhash_join",
+    "d27_ivf_kmeans_topk",
+    "d28_bpe_train",
+    # round-2-era re-grades: LLM-ops families first
+    "d22_repetition_score",
+    "d31_contamination_check",
+    "d32_source_mixing_weights",
+    "d35_source_document_cap",
+    "d36_lm_quality_buckets",
+    "d39_sequence_packing",
+    "d40_corpus_card",
+    "p02_passed_enriched",
+    "p03_field_surgery",
+    # round-2-era relational spread
+    "q02_revenue_by_nation",
+    "q11_window_topk_per_customer",
+    "q14_rollup",
+    "q22_events_hourly",
+    "q28_range_join",
+    "q33_percentiles",
+    "q37_sessionization",
+    "q38_asof_join",
 )
 
 

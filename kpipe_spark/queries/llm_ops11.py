@@ -41,7 +41,7 @@ from kpipe_spark.functions import similarity as S
 from kpipe_spark.functions import text as T
 from kpipe_spark.queries import register
 from kpipe_spark.queries._oracle_fragments import MINHASH_CTES
-from kpipe_spark.util import ensure_parallelism
+from kpipe_spark.util import ensure_parallelism, materialize
 
 # DSIR feature-hash buckets. Fixed and small: the bucket table is
 # B rows regardless of corpus size, which is the whole point of the
@@ -53,6 +53,10 @@ _DSIR_BUCKETS = 4096
 # corpus spreads content uniformly over srcN, so any fixed subset
 # exercises the math.
 _DSIR_TARGET = ("src0", "src1")
+# Rendered explicitly so the oracle SQL stays valid for ANY non-empty
+# tuple — Python's tuple repr of a 1-element tuple ("src0",) is not SQL
+assert len(_DSIR_TARGET) >= 1, "DSIR needs a non-empty target set"
+_DSIR_TARGET_SQL = "(" + ", ".join(repr(s) for s in _DSIR_TARGET) + ")"
 
 _BIGRAM_TOK_CTE = r"""
     toks AS (
@@ -88,7 +92,7 @@ _BIGRAM_TOK_CTE = r"""
     ), stats AS (
       SELECT bucket,
              sum(c) AS cr,
-             coalesce(sum(c) FILTER (WHERE source IN {_DSIR_TARGET}), 0) AS ct
+             coalesce(sum(c) FILTER (WHERE source IN {_DSIR_TARGET_SQL}), 0) AS ct
       FROM cnt GROUP BY bucket
     ), tot AS (
       SELECT sum(cr) AS nr, sum(ct) AS nt FROM stats
@@ -183,11 +187,13 @@ def d69_bigram_interp_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumed by the bigram-model aggregate AND the scoring join —
     # materialize once (the docstring's ReuseExchange hope did not
     # survive contact with the optimizer: the model branch's exchange
-    # never matches the join's requirement, measured 0 reuses)
-    cnt = (
-        bg.groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+    # never matches the join's requirement, measured 0 reuses).
+    # doc_id-keyed = corpus-scaled: the injectable strategy
+    # (util.set_materializer) redirects this to a stored feature
+    # table on clusters instead of executor block storage
+    cnt = materialize(
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c")),
+        scale="corpus",
     )
     bigf = cnt.groupBy("w1", "w2").agg(F.sum("c").alias("cbg"))
     uni = (
@@ -420,10 +426,11 @@ def d71_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needs only map-side-combined aggregates after this — no
     # gram-keyed join at all (5.5 s -> 2.0 s at sf0.1; the remainder
     # is small-data task overhead that amortizes at scale).
-    sh = (
-        ensure_parallelism(docs.filter(content))
-        .select("doc_id", F.explode(D.word_shingles("text", 3)).alias("g"))
-        .localCheckpoint(eager=False)
+    sh = materialize(
+        ensure_parallelism(docs.filter(content)).select(
+            "doc_id", F.explode(D.word_shingles("text", 3)).alias("g")
+        ),
+        scale="corpus",
     )
     tot = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles")

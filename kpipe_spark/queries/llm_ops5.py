@@ -80,12 +80,11 @@ def d33_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-task) and materialize once — dg feeds both the docfreq
     # model aggregate and the scoring join, which otherwise re-run
     # the explode each (7.4 s -> ~1.5 s at sf0.1)
-    from kpipe_spark.util import ensure_parallelism
+    from kpipe_spark.util import ensure_parallelism, materialize
 
-    dg = (
-        ensure_parallelism(docs)
-        .select("doc_id", F.explode(grams).alias("g"))
-        .localCheckpoint(eager=False)
+    dg = materialize(
+        ensure_parallelism(docs).select("doc_id", F.explode(grams).alias("g")),
+        scale="corpus",
     )
     dfq = dg.groupBy("g").agg(F.count(F.lit(1)).alias("docfreq"))
     return (

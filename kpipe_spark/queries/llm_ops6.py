@@ -21,7 +21,7 @@ from kpipe_spark.catalog import load_tables
 from kpipe_spark.functions import similarity as S
 from kpipe_spark.functions.text import tokens
 from kpipe_spark.queries import register
-from kpipe_spark.util import ensure_parallelism, ieee_round
+from kpipe_spark.util import ensure_parallelism, ieee_round, materialize
 
 
 @register(
@@ -193,14 +193,14 @@ def _semdedup_pairs(v: DataFrame, cents: DataFrame) -> DataFrame:
     # pipeline would run twice), and the per-ROW norm rides along so
     # each PAIR costs one interpreted dot fold instead of three
     # (same fold, same bits as cosine() — norms are row quantities)
-    assigned = (
+    assigned = materialize(
         scored.groupBy("vec_id")
         .agg(
             F.max_by("centroid_id", key).alias("centroid_id"),
             F.any_value(F.col("_e")).alias("_e"),
         )
-        .withColumn("_n", S.norm(F.col("_e")))
-        .localCheckpoint(eager=False)
+        .withColumn("_n", S.norm(F.col("_e"))),
+        scale="corpus",
     )
     a = assigned.select(
         F.col("vec_id").alias("id_a"),

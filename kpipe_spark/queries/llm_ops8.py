@@ -367,12 +367,13 @@ def d48_minhash_estimator_calibration(
     # Spread + materialize once: both join sides consume the shingle
     # table (the d07 shape — unmaterialized, every document's shingles
     # computed twice on a single task).
-    from kpipe_spark.util import ensure_parallelism
+    from kpipe_spark.util import ensure_parallelism, materialize
 
-    sh = (
-        ensure_parallelism(docs)
-        .select("doc_id", D.word_shingles("text").alias("_sh"))
-        .localCheckpoint(eager=False)
+    sh = materialize(
+        ensure_parallelism(docs).select(
+            "doc_id", D.word_shingles("text").alias("_sh")
+        ),
+        scale="corpus",
     )
     jac = D.jaccard(F.col("_ga"), F.col("_gb"))
     return (

@@ -24,6 +24,70 @@ def ieee_round(c: Column, scale: int) -> Column:
     return (F.floor(c * p + F.lit(0.5)) / p).cast("double")
 
 
+# -- branch-sharing materialization -------------------------------------------
+#
+# Several operators derive an expensive frame once (a corpus explode, a
+# signature table) that multiple plan branches consume; Spark plans each
+# branch independently and does NOT reuse an aggregation exchange across
+# a model branch and a scoring join, so without materialization the
+# derivation re-runs per consumer. The default strategy is
+# localCheckpoint (executor block storage) — right for local and for
+# bounded frames, but a CORPUS-scaled frame checkpointed per query is
+# petabytes of block storage at 100 TB. The strategy is therefore
+# injectable: a cluster deployment installs a write-table (stored
+# feature table) or reliable-checkpoint strategy once, and every
+# operator picks it up.
+
+_materializer = None
+
+
+def set_materializer(fn) -> object:
+    """Install a materialization strategy: ``fn(df, *, eager, scale)``
+    -> DataFrame, where scale is "corpus" (rows proportional to the
+    dataset — the frames that must NOT live in block storage at 100 TB)
+    or "bounded" (vocab/bucket/batch-sized). None restores the default
+    (localCheckpoint). Returns the previous strategy so callers can
+    restore it."""
+    global _materializer
+    prev = _materializer
+    _materializer = fn
+    return prev
+
+
+def materialize(df: DataFrame, *, eager: bool = False, scale: str = "bounded") -> DataFrame:
+    """Materialization point for branch-shared intermediates. Defaults
+    to ``localCheckpoint`` (cut lineage + cache in executor block
+    storage); deployments swap the strategy via ``set_materializer``
+    (e.g. ``table_materializer`` writes corpus-scaled frames to a
+    parquet table — the stored feature table production DSIR/novelty
+    pipelines keep anyway)."""
+    if _materializer is not None:
+        return _materializer(df, eager=eager, scale=scale)
+    return df.localCheckpoint(eager=eager)
+
+
+def table_materializer(prefix: str = "kpipe_mat"):
+    """Write-table strategy for clusters: corpus-scaled frames are
+    written to (and re-read from) a parquet table instead of executor
+    block storage — durable, spillable to the warehouse's store, and
+    exactly what a production pipeline does with its feature tables.
+    Bounded frames keep the cheaper localCheckpoint. Tables are
+    prefix-numbered per materialization; callers own cleanup (DROP
+    TABLE ``prefix_*`` / ``spark.sql`` over SHOW TABLES)."""
+    import itertools
+
+    counter = itertools.count()
+
+    def mat(df: DataFrame, *, eager: bool = False, scale: str = "bounded") -> DataFrame:
+        if scale != "corpus":
+            return df.localCheckpoint(eager=eager)
+        name = f"{prefix}_{next(counter)}"
+        df.write.mode("overwrite").saveAsTable(name, format="parquet")
+        return df.sparkSession.table(name)
+
+    return mat
+
+
 _BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
 
 

@@ -30,6 +30,36 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
 
 
+def _assert_corpus_side_exchange_free(ledger, table: str) -> None:
+    """Walk the executed plan from the bucketed band-table scan up to
+    its join: only Sort/Project may sit between them — an Exchange
+    there means the corpus band table is re-shuffled per admitted
+    batch, defeating the stored artifact."""
+    plan = ledger._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan[:2000]
+    lines = plan.splitlines()
+    scan_idx = next(
+        i for i, ln in enumerate(lines) if table in ln and "Scan" in ln
+    )
+
+    def indent(ln: str) -> int:
+        body = ln.replace(":", " ").replace("+-", "  ")
+        return len(body) - len(body.lstrip())
+
+    depth = indent(lines[scan_idx])
+    for ln in reversed(lines[:scan_idx]):
+        if indent(ln) >= depth:
+            continue
+        if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
+            break
+        depth = indent(ln)
+        assert "Exchange" not in ln, (
+            "corpus band table re-shuffled per batch:\n" + ln
+        )
+    else:
+        raise AssertionError("no join above the bucketed scan:\n" + plan)
+
+
 def test_admit_append_lifecycle(spark, corpus_rows):
     table = f"ci_test_{uuid.uuid4().hex[:8]}"
     idx = CorpusIndex.build(spark, _df(spark, corpus_rows), table, num_buckets=4)
@@ -80,6 +110,75 @@ def test_attach_requires_existing_table(spark):
         CorpusIndex.attach(spark, f"ci_missing_{uuid.uuid4().hex[:8]}")
 
 
+def test_attach_adopts_and_validates_stored_family(spark, corpus_rows):
+    """The MinHash family travels WITH the table (TBLPROPERTIES): a
+    bare attach adopts the stored parameters, and an attach that
+    explicitly contradicts them fails loudly instead of silently
+    missing every collision."""
+    table = f"ci_fam_{uuid.uuid4().hex[:8]}"
+    idx = CorpusIndex.build(
+        spark, _df(spark, corpus_rows), table, num_buckets=4, shingle_k=2
+    )
+    try:
+        attached = CorpusIndex.attach(spark, table)
+        assert attached.shingle_k == 2
+        assert attached.num_hashes == idx.num_hashes
+        # same family explicitly restated is fine
+        CorpusIndex.attach(spark, table, shingle_k=2)
+        with pytest.raises(ValueError, match="family mismatch"):
+            CorpusIndex.attach(spark, table, shingle_k=5)
+        with pytest.raises(ValueError, match="family mismatch"):
+            CorpusIndex.attach(spark, table, num_hashes=idx.num_hashes + 8)
+    finally:
+        idx.drop()
+
+
+def _index_files(spark, table: str) -> list[str]:
+    files = spark.table(table).inputFiles()
+    assert files, "bucketed table reported no files"
+    return files
+
+
+def test_compact_preserves_ledger_and_bucketing(spark, corpus_rows):
+    """appends accrete files; compact() rewrites to one file per bucket
+    WITHOUT changing admission results, and the post-compaction admit
+    join still plans no Exchange on the index side (the property
+    compaction exists to protect)."""
+    table = f"ci_compact_{uuid.uuid4().hex[:8]}"
+    idx = CorpusIndex.build(spark, _df(spark, corpus_rows), table, num_buckets=4)
+    try:
+        for i in range(3):
+            idx.append(
+                _df(spark, [(400 + i, f"appended batch number {i} text body")])
+            )
+        probe = _df(spark, [(500, SPAM), (501, "appended batch number 1 text body")])
+        before = sorted(idx.admit(probe).collect())
+        n_files_before = len(_index_files(spark, table))
+
+        idx.compact()
+
+        n_files_after = len(_index_files(spark, table))
+        assert n_files_after <= 4  # one file per bucket
+        assert n_files_after < n_files_before
+        after = sorted(idx.admit(probe).collect())
+        assert after == before
+        # family + bucket properties survive the rewrite
+        attached = CorpusIndex.attach(spark, table)
+        assert attached._num_buckets() == 4
+        # the admission join is still exchange-free on the index side
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ledger = idx.admit(probe)
+            ledger.collect()
+            _assert_corpus_side_exchange_free(ledger, table)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        idx.drop()
+
+
 def test_admit_corpus_side_is_exchange_free(spark, corpus_rows):
     """The whole point of the stored artifact: the admission join scans
     the bucketed band table WITHOUT a shuffle Exchange on that side
@@ -94,32 +193,7 @@ def test_admit_corpus_side_is_exchange_free(spark, corpus_rows):
     try:
         ledger = idx.admit(_df(spark, [(300, SPAM), (301, "novel words")]))
         ledger.collect()
-        plan = ledger._jdf.queryExecution().executedPlan().toString()
-        assert "Bucketed: true" in plan, plan[:2000]
-        lines = plan.splitlines()
-        scan_idx = next(
-            i for i, ln in enumerate(lines) if table in ln and "Scan" in ln
-        )
-
-        def indent(ln: str) -> int:
-            body = ln.replace(":", " ").replace("+-", "  ")
-            return len(body) - len(body.lstrip())
-
-        # walk the bucketed scan's parent chain up to its join: only
-        # Sort/Project may sit between them — an Exchange there means
-        # the corpus band table is re-shuffled per admitted batch
-        depth = indent(lines[scan_idx])
-        for ln in reversed(lines[:scan_idx]):
-            if indent(ln) >= depth:
-                continue
-            if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln:
-                break
-            depth = indent(ln)
-            assert "Exchange" not in ln, (
-                "corpus band table re-shuffled per batch:\n" + ln
-            )
-        else:
-            raise AssertionError("no join above the bucketed scan:\n" + plan)
+        _assert_corpus_side_exchange_free(ledger, table)
     finally:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)

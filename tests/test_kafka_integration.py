@@ -220,3 +220,79 @@ def test_rebalance_under_load_no_loss_bounded_duplication(spark, tmp_path):
     # idempotent DLQ: each poison record parked exactly once even if
     # its batch replayed across the crash
     assert dlq.read(spark).count() == produced_poison_n
+
+
+def test_assignment_shrink_survivors_keep_flowing(spark, tmp_path):
+    """Chaos-rebalance SHRINK case — the revoke path of
+    /root/reference/lib/kpipe-consumer/src/test/.../
+    RebalanceAtScaleIntegrationTest.java: partitions LEAVE the
+    assignment under load and the contract is that the surviving
+    assignment keeps flowing with zero loss and the departed topic's
+    already-committed records stay delivered exactly once (no
+    re-delivery from a revoked partition).
+
+    Spark's Kafka source owns its assignments, so revocation is driven
+    the way it actually happens here: the query restarts on the same
+    checkpoint with a subscribePattern the departed topic NO LONGER
+    matches (the analogue of topic deletion / pattern change — the
+    source drops the topic's partitions from its assignment and must
+    ignore their checkpointed offsets rather than stall on them)."""
+    from kpipe_spark.pipeline import Pipeline
+    from kpipe_spark.pipeline.sinks import IdempotentDlqParquet
+    from kpipe_spark.streaming import StreamRunner
+    from kpipe_spark.streaming.sources import kafka_source
+    from kpipe_spark.testkit import CapturingSink
+
+    base = f"kpipe-shrink-{uuid.uuid4().hex[:8]}"
+    topic_keep, topic_gone = f"{base}-keep", f"{base}-gone-x"
+    ckpt = str(tmp_path / "ckpt")
+    dlq = IdempotentDlqParquet(str(tmp_path / "dlq"))
+    pipeline = Pipeline().pipe(
+        "amount",
+        F.get_json_object(F.col("value").cast("string"), "$.amount"),
+    )
+
+    def run_phase(pattern: str) -> list:
+        sink = CapturingSink()
+        runner = StreamRunner(pipeline=pipeline, sink=sink, dlq_writer=dlq)
+        stream = kafka_source(
+            spark,
+            BOOTSTRAP,
+            subscribe_pattern=pattern,
+            starting_offsets="earliest",
+        )
+        handle = runner.start(stream, ckpt, query_name=f"shrink-{base}")
+        try:
+            handle.process_all_available()
+        finally:
+            handle.close()
+        return sink.captured()
+
+    # phase A: both topics assigned, drain fully (all offsets commit)
+    _produce(spark, topic_keep, _records(0, 30))
+    _produce(spark, topic_gone, _records(100, 30))
+    try:
+        wave1 = run_phase(f"{base}-.*")
+    except Exception as exc:  # noqa: BLE001 — connector absence is a skip
+        if "kafka" in str(exc).lower() and "data source" in str(exc).lower():
+            pytest.skip(
+                "spark-sql-kafka connector not on the classpath — add "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+            )
+        raise
+
+    # the revoke: new records land on BOTH topics, but the restarted
+    # assignment no longer includes topic_gone
+    _produce(spark, topic_keep, _records(30, 30))
+    _produce(spark, topic_gone, _records(130, 30))
+    wave2 = run_phase(f"{base}-keep")
+
+    ids1 = {json.loads(bytes(r["value"]).decode())["id"] for r in wave1}
+    ids2 = [json.loads(bytes(r["value"]).decode())["id"] for r in wave2]
+    ok = lambda lo, hi: {i for i in range(lo, hi) if i % 10 != 9}  # noqa: E731
+    # phase A delivered both topics
+    assert ids1 == ok(0, 30) | ok(100, 130)
+    # survivors keep flowing: every new keep-topic record delivered;
+    # the revoked topic's records (committed OR new) never re-deliver
+    assert set(ids2) >= ok(30, 60)
+    assert all(i < 100 for i in ids2), "revoked partition re-delivered"

@@ -153,9 +153,10 @@ def test_ann_recall_bounds_and_candidates(spark_sf_query):
 def test_zipf_fit_exact_zipf_slope(spark):
     """d73's regression algebra: a corpus whose token frequencies are
     exactly c(r) = round(1000/r) fits slope ~= -1."""
-    from kpipe_spark.queries import all_queries  # noqa: F401 (registry)
+    from kpipe_spark.queries import all_queries
     import tempfile, os
 
+    QUERIES = all_queries()
     words = []
     for r in range(1, 51):
         words.extend([f"w{r:03d}"] * round(1000 / r))
@@ -165,8 +166,6 @@ def test_zipf_fit_exact_zipf_slope(spark):
             [(0, text, "en", "src0", len(text))],
             "doc_id long, text string, lang string, source string, n_chars long",
         ).write.parquet(os.path.join(d, "documents.parquet"))
-        from kpipe_spark.queries import QUERIES
-
         row = QUERIES["d73_zipf_fit"].build(spark, d).collect()[0]
     assert row["n_vocab"] == 50
     assert abs(row["zipf_slope"] + 1.0) < 0.05

@@ -416,3 +416,49 @@ def test_incremental_dedup_corpus_side_is_exchange_free_when_bucketed(spark):
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
         spark.sql("DROP TABLE IF EXISTS corpus_bands_t")
+
+
+def test_table_materializer_swaps_block_storage_for_tables(spark):
+    """The injectable materializer (the 100 TB escape from corpus-
+    scaled localCheckpoint): with table_materializer installed, a
+    corpus-scaled branch-shared frame is written to (and re-read from)
+    a parquet table, bounded frames keep localCheckpoint, and operator
+    results are IDENTICAL to the default strategy."""
+    import uuid
+
+    from kpipe_spark.functions.selection import dsir_log_weights
+    from kpipe_spark.util import materialize, set_materializer, table_materializer
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc {i} body words repeat {'alpha beta' if i % 3 else 'gamma delta'} tail {i % 5}", f"src{i % 4}")
+            for i in range(40)
+        ],
+        "doc_id long, text string, source string",
+    )
+    default = sorted(
+        dsir_log_weights(docs, ("src0", "src1"), 64).collect()
+    )
+
+    prefix = f"mat_test_{uuid.uuid4().hex[:8]}"
+    prev = set_materializer(table_materializer(prefix))
+    try:
+        via_tables = sorted(
+            dsir_log_weights(docs, ("src0", "src1"), 64).collect()
+        )
+        made = [t.name for t in spark.catalog.listTables() if t.name.startswith(prefix)]
+        assert made, "corpus-scaled frame did not go through the table strategy"
+        # bounded frames do NOT create tables
+        n_before = len(made)
+        bounded = materialize(spark.range(0, 5), scale="bounded")
+        assert bounded.count() == 5
+        assert (
+            len([t for t in spark.catalog.listTables() if t.name.startswith(prefix)])
+            == n_before
+        )
+    finally:
+        set_materializer(prev)
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix):
+                spark.sql(f"DROP TABLE {t.name}")
+    assert via_tables == default
