@@ -75,6 +75,13 @@ FLAGSHIP_50: tuple[str, ...] = (
     "d07_ngram_jaccard_pairs",
     "d09_lsh_similarity_topk",
     "d15_simhash_neardup",
+    # round-5 NEW ops: first-time driver grades outrank re-grades
+    "d80_block_dedup_retention",
+    "d81_intradoc_dup_grams",
+    "d82_doc_stitching",
+    "d83_truncation_loss_curve",
+    "d84_ivf_cell_purity",
+    "d85_data_constrained_epochs",
     # round-1-era hash re-grades (stalest driver evidence)
     "d02_token_stats",
     "d03_quality_score",
@@ -113,15 +120,10 @@ FLAGSHIP_50: tuple[str, ...] = (
     "d40_corpus_card",
     "p02_passed_enriched",
     "p03_field_surgery",
-    # round-2-era relational spread
+    # round-2-era relational spread (q14/q22/q28/q33/q37/q38 yield to
+    # the round-5 new ops; they join the round-6 stalest-first queue)
     "q02_revenue_by_nation",
     "q11_window_topk_per_customer",
-    "q14_rollup",
-    "q22_events_hourly",
-    "q28_range_join",
-    "q33_percentiles",
-    "q37_sessionization",
-    "q38_asof_join",
 )
 
 
@@ -139,6 +141,7 @@ def all_queries() -> dict[str, Query]:
         llm_ops9,
         llm_ops10,
         llm_ops11,
+        llm_ops12,
         pipeline_queries,
         relational,
         relational2,

@@ -61,6 +61,11 @@ DIRTY_SENSITIVE = [
     "d77_snapshot_diff",
     "d78_source_dup_rate",
     "d79_text_normalization",
+    "d80_block_dedup_retention",
+    "d81_intradoc_dup_grams",
+    "d82_doc_stitching",
+    "d83_truncation_loss_curve",
+    "d85_data_constrained_epochs",
     "p04_curation_composition",
 ]
 
