@@ -27,8 +27,17 @@ form of d54/p04's oracle-checked query shape.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+# append() advisory threshold: a freshly-compacted index holds one file
+# per bucket; past this many files per bucket the open()/footer overhead
+# of the accreted small files starts to dominate the admit join's scan
+ADVISORY_FILES_PER_BUCKET = 8
 
 from kpipe_spark.functions.dedup import (
     MINHASH_BANDS,
@@ -64,6 +73,12 @@ class CorpusIndex:
         self.shingle_k = shingle_k
         self.text_col = text_col
         self.id_col = id_col
+        # append() warns once the index accretes more than this many
+        # files per bucket — the steady-state operator gets told to
+        # compact() instead of having to remember (at 100 TB the index
+        # sees thousands of admission batches; small-file accretion
+        # makes the index itself the straggler of every admit)
+        self.advisory_files_per_bucket = ADVISORY_FILES_PER_BUCKET
 
     # -- construction ---------------------------------------------------------
 
@@ -236,25 +251,58 @@ class CorpusIndex:
 
     def _num_buckets(self) -> int:
         props = self._properties()
-        if "num_buckets" not in props:
-            raise ValueError(
-                f"{self.table} carries no {self._PROP_PREFIX}num_buckets "
-                "property — append/compact require an index created by "
-                "CorpusIndex.build (appending unbucketed bands would "
-                "silently break the exchange-free admit join)"
-            )
-        return props["num_buckets"]
+        if "num_buckets" in props:
+            return props["num_buckets"]
+        # Legacy fallback: a band table bucketed by a prior version of
+        # this code (or written directly via util.write_bucketed)
+        # carries no TBLPROPERTIES but IS correctly bucketed — probe
+        # the catalog's DESCRIBE output the way those versions did,
+        # then backfill the property so the probe runs once per table.
+        for r in self.spark.sql(f"DESCRIBE FORMATTED {self.table}").collect():
+            if (r["col_name"] or "").strip() == "Num Buckets":
+                n = int(str(r["data_type"]).strip())
+                self._write_properties(n)
+                return n
+        raise ValueError(
+            f"{self.table} carries no {self._PROP_PREFIX}num_buckets "
+            "property and the catalog reports no bucket spec — "
+            "append/compact require a bucketed band table (appending "
+            "unbucketed bands would silently break the exchange-free "
+            "admit join)"
+        )
 
-    def append(self, admitted_docs: DataFrame) -> None:
+    def append(self, admitted_docs: DataFrame) -> int:
         """Add admitted docs' bands to the index (same family, same
         bucket spec — Spark validates the bucketing matches on append),
-        so the next batch collides against them."""
+        so the next batch collides against them.
+
+        Returns the index's current file count, and WARNs once that
+        count exceeds ``advisory_files_per_bucket × num_buckets`` —
+        each append adds a file per (task, bucket), so a steady-state
+        admission loop accretes small files until ``compact()`` is the
+        difference between a bucket-pruned scan and a footer-reading
+        straggler. The count is a catalog file listing, not a data
+        scan."""
+        n_buckets = self._num_buckets()
         (
             self._bands_of(admitted_docs)
             .write.mode("append")
-            .bucketBy(self._num_buckets(), "band", "bucket")
+            .bucketBy(n_buckets, "band", "bucket")
             .saveAsTable(self.table, format="parquet")
         )
+        n_files = len(self.spark.table(self.table).inputFiles())
+        if n_files > self.advisory_files_per_bucket * n_buckets:
+            log.warning(
+                "CorpusIndex %s holds %d files across %d buckets "
+                "(advisory threshold %d/bucket) — run compact() to "
+                "rewrite one file per bucket before small-file "
+                "open/footer overhead dominates admit scans",
+                self.table,
+                n_files,
+                n_buckets,
+                self.advisory_files_per_bucket,
+            )
+        return n_files
 
     def compact(self) -> None:
         """Rewrite the band table into one file per bucket, preserving
@@ -269,11 +317,21 @@ class CorpusIndex:
         index-sized job, NOT corpus-sized: ``repartition(n, band,
         bucket)`` uses the same Murmur3 hash partitioning as the bucket
         spec, so each output task holds exactly one bucket's rows and
-        the bucketed write emits one file per bucket. The rewrite goes
-        to a side table first and swaps via RENAME, so a failed
-        compaction leaves the live index untouched."""
+        the bucketed write emits one file per bucket.
+
+        Failure containment: the rewrite goes to a side table, and the
+        swap is a RENAME chain (live → backup, compacted → live, drop
+        backup) — the index's rows exist under SOME catalog name at
+        every instant, a failed rewrite leaves the live index
+        untouched, and recovery from a crash mid-swap is a single
+        RENAME of whichever side table survived. The one window left
+        is the single statement between the two renames, during which
+        a concurrent reader of the live NAME misses it — run compact()
+        from the admission loop's coordinator between batches, not
+        concurrently with admits."""
         n_buckets = self._num_buckets()
         tmp = f"{self.table}__compacting"
+        backup = f"{self.table}__precompact"
         self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         # reading the table AS bucketed makes the planner elide the
         # explicit repartition (the scan already claims the target
@@ -282,27 +340,37 @@ class CorpusIndex:
         # file scan for the rewrite; the WRITE side's bucketBy is
         # unaffected by this conf (measured: 4-bucket index compacts
         # to <= 4 files and still joins exchange-free afterwards).
-        conf = "spark.sql.sources.bucketing.enabled"
-        prev = self.spark.conf.get(conf, "true")
-        self.spark.conf.set(conf, "false")
-        try:
-            (
-                self.bands_df.repartition(
-                    n_buckets, F.col("band"), F.col("bucket")
-                )
-                .write.mode("overwrite")
-                .bucketBy(n_buckets, "band", "bucket")
-                .saveAsTable(tmp, format="parquet")
-            )
-        finally:
-            self.spark.conf.set(conf, prev)
+        # The conf flips in a CLONED session — newSession() shares the
+        # SparkContext and catalog (tmp is visible to the caller's
+        # session) but holds a private SQLConf — so concurrent queries
+        # in the caller's session keep their bucketed scans while the
+        # rewrite runs.
+        rewriter = self.spark.newSession()
+        rewriter.conf.set("spark.sql.sources.bucketing.enabled", "false")
+        (
+            rewriter.table(self.table)
+            .repartition(n_buckets, F.col("band"), F.col("bucket"))
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "band", "bucket")
+            .saveAsTable(tmp, format="parquet")
+        )
         live, self.table = self.table, tmp
         try:
             self._write_properties(n_buckets)
         finally:
             self.table = live
-        self.spark.sql(f"DROP TABLE {self.table}")
-        self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.table}")
+        # swap: the pre-compaction rows stay reachable (as backup)
+        # until the compacted table is confirmed under the live name
+        self.spark.sql(f"DROP TABLE IF EXISTS {backup}")
+        self.spark.sql(f"ALTER TABLE {live} RENAME TO {backup}")
+        try:
+            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {live}")
+        except Exception:
+            # put the pre-compaction index back under the live name;
+            # the compacted rewrite stays parked under __compacting
+            self.spark.sql(f"ALTER TABLE {backup} RENAME TO {live}")
+            raise
+        self.spark.sql(f"DROP TABLE {backup}")
 
     def drop(self) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")

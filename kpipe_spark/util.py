@@ -66,26 +66,76 @@ def materialize(df: DataFrame, *, eager: bool = False, scale: str = "bounded") -
     return df.localCheckpoint(eager=eager)
 
 
-def table_materializer(prefix: str = "kpipe_mat"):
+class table_materializer:
     """Write-table strategy for clusters: corpus-scaled frames are
     written to (and re-read from) a parquet table instead of executor
     block storage — durable, spillable to the warehouse's store, and
     exactly what a production pipeline does with its feature tables.
-    Bounded frames keep the cheaper localCheckpoint. Tables are
-    prefix-numbered per materialization; callers own cleanup (DROP
-    TABLE ``prefix_*`` / ``spark.sql`` over SHOW TABLES)."""
-    import itertools
+    Bounded frames keep the cheaper localCheckpoint.
 
-    counter = itertools.count()
+    Lifecycle is owned by the strategy, not the caller:
 
-    def mat(df: DataFrame, *, eager: bool = False, scale: str = "bounded") -> DataFrame:
+    - the default prefix carries a uuid, so two concurrent jobs
+      sharing one warehouse can never write over each other's
+      materializations (the same collision-safety discipline the
+      bench's corpus index uses);
+    - created tables are tracked on ``.tables`` and dropped by
+      ``drop_all()``;
+    - used as a context manager it installs itself via
+      ``set_materializer`` on entry and, on exit, restores the prior
+      strategy AND drops every table it created::
+
+          with table_materializer():
+              ledger = dsir_log_weights(docs, targets, buckets)
+              ...
+          # no kpipe_mat_* tables survive the block
+
+    The callable form is unchanged (``mat(df, eager=..., scale=...)``),
+    so ``set_materializer(table_materializer())`` still works for
+    installations that want the tables to OUTLIVE the job (stored
+    feature tables) — call ``drop_all()`` when done, or never, by
+    choice rather than by leak."""
+
+    def __init__(self, prefix: str | None = None) -> None:
+        import itertools
+        import uuid
+
+        self.prefix = prefix or f"kpipe_mat_{uuid.uuid4().hex[:8]}"
+        self._counter = itertools.count()
+        self.tables: list[str] = []
+        self._spark = None
+        self._prev: object = None
+        self._installed = False
+
+    def __call__(
+        self, df: DataFrame, *, eager: bool = False, scale: str = "bounded"
+    ) -> DataFrame:
         if scale != "corpus":
             return df.localCheckpoint(eager=eager)
-        name = f"{prefix}_{next(counter)}"
+        name = f"{self.prefix}_{next(self._counter)}"
         df.write.mode("overwrite").saveAsTable(name, format="parquet")
+        self._spark = df.sparkSession
+        self.tables.append(name)
         return df.sparkSession.table(name)
 
-    return mat
+    def drop_all(self) -> None:
+        """Drop every table this strategy created (idempotent)."""
+        if self._spark is not None:
+            for t in self.tables:
+                self._spark.sql(f"DROP TABLE IF EXISTS {t}")
+        self.tables.clear()
+
+    def __enter__(self) -> "table_materializer":
+        self._prev = set_materializer(self)
+        self._installed = True
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        if self._installed:
+            set_materializer(self._prev)
+            self._installed = False
+        self.drop_all()
+        return False
 
 
 _BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}

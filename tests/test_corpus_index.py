@@ -199,3 +199,71 @@ def test_admit_corpus_side_is_exchange_free(spark, corpus_rows):
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
         idx.drop()
+
+
+def test_append_advisory_fires_then_compact_clears(spark, corpus_rows, caplog):
+    """Steady-state hygiene without a human in the loop: append()
+    returns the index's file count and WARNs once it crosses
+    advisory_files_per_bucket x num_buckets, and a compact() brings
+    the count back under the advisory line."""
+    import logging
+
+    table = f"ci_adv_{uuid.uuid4().hex[:8]}"
+    idx = CorpusIndex.build(spark, _df(spark, corpus_rows), table, num_buckets=2)
+    try:
+        idx.advisory_files_per_bucket = 1  # tiny threshold for the test
+        with caplog.at_level(logging.WARNING, logger="kpipe_spark.functions.corpus_index"):
+            fired = False
+            for i in range(4):
+                n = idx.append(
+                    _df(spark, [(600 + i, f"advisory batch {i} body text")])
+                )
+                if n > idx.advisory_files_per_bucket * 2:
+                    fired = True
+            assert fired, "file count never crossed the advisory threshold"
+        assert any(
+            "compact()" in r.message for r in caplog.records
+        ), "append never advised compaction"
+
+        caplog.clear()
+        idx.compact()
+        with caplog.at_level(logging.WARNING, logger="kpipe_spark.functions.corpus_index"):
+            idx.advisory_files_per_bucket = 8  # production threshold
+            n = idx.append(_df(spark, [(700, "post compaction batch")]))
+        assert n <= 2 + 2  # one file per bucket + one append batch
+        assert not any("compact()" in r.message for r in caplog.records)
+    finally:
+        idx.drop()
+
+
+def test_append_falls_back_to_describe_for_legacy_tables(spark, corpus_rows):
+    """A band table bucketed by util.write_bucketed directly (or by a
+    pre-TBLPROPERTIES version of this code) carries no
+    kpipe.index.num_buckets property but IS correctly bucketed:
+    append() must probe the catalog's bucket spec instead of raising,
+    and backfill the property so the probe runs once."""
+    from kpipe_spark.util import write_bucketed
+
+    table = f"ci_legacy_{uuid.uuid4().hex[:8]}"
+    idx = CorpusIndex(spark, table)
+    write_bucketed(
+        idx._bands_of(_df(spark, corpus_rows)),
+        table,
+        keys=["band", "bucket"],
+        num_buckets=4,
+    )
+    try:
+        assert idx._properties() == {}  # genuinely legacy: no properties
+        idx.append(_df(spark, [(800, "legacy append body text")]))
+        # property backfilled on first probe; admit sees the new doc
+        assert idx._properties()["num_buckets"] == 4
+        ledger = {
+            r["doc_id"]: r
+            for r in idx.admit(
+                _df(spark, [(801, "legacy append body text")])
+            ).collect()
+        }
+        assert ledger[801]["n_corpus_dups"] >= 1
+        assert not ledger[801]["admitted"]
+    finally:
+        idx.drop()

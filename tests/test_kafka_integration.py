@@ -268,10 +268,14 @@ def test_assignment_shrink_survivors_keep_flowing(spark, tmp_path):
             handle.close()
         return sink.captured()
 
-    # phase A: both topics assigned, drain fully (all offsets commit)
-    _produce(spark, topic_keep, _records(0, 30))
-    _produce(spark, topic_gone, _records(100, 30))
+    # phase A: both topics assigned, drain fully (all offsets commit).
+    # The produces sit INSIDE the guarded block: with KAFKA_BOOTSTRAP
+    # set but the connector absent, the kafka WRITE is the first thing
+    # to fail, and it must convert to the same skip as the read path
+    # (matching the other tests in this file).
     try:
+        _produce(spark, topic_keep, _records(0, 30))
+        _produce(spark, topic_gone, _records(100, 30))
         wave1 = run_phase(f"{base}-.*")
     except Exception as exc:  # noqa: BLE001 — connector absence is a skip
         if "kafka" in str(exc).lower() and "data source" in str(exc).lower():

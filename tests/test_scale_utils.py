@@ -462,3 +462,38 @@ def test_table_materializer_swaps_block_storage_for_tables(spark):
             if t.name.startswith(prefix):
                 spark.sql(f"DROP TABLE {t.name}")
     assert via_tables == default
+
+
+def test_table_materializer_scoped_lifecycle(spark):
+    """Lifecycle is owned by the strategy: the default prefix is
+    uuid-unique (two concurrent jobs on one warehouse can't collide),
+    and the context-manager form installs itself, then restores the
+    prior strategy and drops every table it created — no kpipe_mat_*
+    tables survive a query run."""
+    import kpipe_spark.util as U
+    from kpipe_spark.functions.selection import dsir_log_weights
+    from kpipe_spark.util import table_materializer
+
+    # uuid default prefix: two strategies never share a namespace
+    assert table_materializer().prefix != table_materializer().prefix
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc {i} words repeat {'alpha beta' if i % 3 else 'gamma'} t{i % 5}", f"src{i % 4}")
+            for i in range(40)
+        ],
+        "doc_id long, text string, source string",
+    )
+    prior = U._materializer
+    with table_materializer() as mat:
+        dsir_log_weights(docs, ("src0", "src1"), 64).collect()
+        assert mat.tables, "corpus-scaled frame did not create a table"
+        live = [t.name for t in spark.catalog.listTables() if t.name.startswith(mat.prefix)]
+        assert sorted(live) == sorted(mat.tables)
+    # prior strategy restored; every created table dropped
+    assert U._materializer is prior
+    assert not [
+        t for t in spark.catalog.listTables() if t.name.startswith("kpipe_mat_")
+    ], "materializer leaked tables past its scope"
+    assert mat.tables == []
+    mat.drop_all()  # idempotent
