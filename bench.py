@@ -65,7 +65,7 @@ HEADLINE = [
 
 
 def _streaming_pipeline_rate(
-    spark, sf_dir: str, n_batches: int = 5
+    spark, sf_dir: str, n_batches: int = 10
 ) -> tuple[int, int]:
     """End-to-end Structured-Streaming throughput through the full
     outcome pipeline (decode -> operators -> DLQ split -> sink), the
@@ -249,15 +249,26 @@ def _incremental_admit_ab(spark, sf_dir: str) -> dict:
         idx.drop()
 
 
-def sweep() -> None:
-    """Time EVERY registry query once (warm, noop sink) and print the
-    sorted table plus one JSON line. The headline list is a curated
-    subset; this is the blind-spot catcher — round 4's run found a
-    query at 77 s (d11) that three rounds of headline benches never
-    saw. Run per round; a regression in any of the registry's queries
-    should surface as a number, not an anecdote."""
+def sweep(out_path: str | None = None) -> None:
+    """Time EVERY registry query (warm, noop sink) and write the full
+    per-query table to a JSON artifact (--out, default SWEEP.json) so
+    outliers are diffable round-over-round instead of living in prose.
+    The headline list is a curated subset; this is the blind-spot
+    catcher — round 4's run found a query at 77 s (d11) that three
+    rounds of headline benches never saw.
+
+    Outlier policy (the artifact embeds it): a query >2x its
+    prior-round sweep time ON A QUIET CAPTURE (ambient under the gate)
+    is investigated before round end; hot captures are re-run, not
+    compared. Each query gets one warm-up run, then one timed capture
+    with the same external-CPU ambient measurement + bounded requeue
+    the headline loop uses."""
     _await_quiet_machine()
+    out_path = out_path or os.environ.get(
+        "SPARK_GRAFT_SWEEP_OUT", "SWEEP.json"
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    loadavg_start = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="kpipe-spark-bench-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     from kpipe_spark.catalog import TABLE_NAMES, load_table
@@ -265,28 +276,161 @@ def sweep() -> None:
     for t in TABLE_NAMES:
         load_table(spark, sf_dir, t).count()
     queries = all_queries()
+    gate = _ambient_gate()
     times: dict[str, float] = {}
+    ambient: dict[str, float] = {}
+    requeued: dict[str, int] = {}
     for name, q in queries.items():
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best, ext = _timed_capture(lambda: q.build(spark, sf_dir), runs=1)
+        retries = 0
+        while gate > 0 and ext > gate and retries < 2:
+            _await_ambient_quiet(gate)
+            best2, ext2 = _timed_capture(
+                lambda: q.build(spark, sf_dir), runs=1
+            )
+            best = min(best, best2)
+            ext = min(ext, ext2)
+            retries += 1
+        times[name] = round(best, 3)
+        ambient[name] = round(ext, 2)
+        if retries:
+            requeued[name] = retries
     for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
         print(f"{t:8.3f}  {name}")
-    print(
-        json.dumps(
-            {
-                "metric": "full_registry_sweep_runtime",
-                "value": round(sum(times.values()), 1),
-                "unit": "sec",
-                "n_queries": len(times),
-                "slowest": dict(
-                    sorted(times.items(), key=lambda kv: -kv[1])[:10]
-                ),
-                "sf": sf_dir,
-            }
-        )
-    )
+    doc = {
+        "metric": "full_registry_sweep_runtime",
+        "value": round(sum(times.values()), 1),
+        "unit": "sec",
+        "n_queries": len(times),
+        "queries": dict(sorted(times.items())),
+        "ambient_load_per_query": dict(sorted(ambient.items())),
+        "ambient_gate": gate,
+        "sweep_requeues": requeued,
+        "slowest": dict(sorted(times.items(), key=lambda kv: -kv[1])[:10]),
+        "outlier_policy": (
+            ">2x prior-round sweep time on a quiet capture (ambient "
+            "under gate) => investigate before round end; hot "
+            "captures are re-run, never compared"
+        ),
+        "sf": sf_dir,
+        "loadavg_start": loadavg_start,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=False)
+        f.write("\n")
+    print(json.dumps({k: doc[k] for k in (
+        "metric", "value", "unit", "n_queries", "slowest", "sf"
+    )}))
+
+
+# ---------------------------------------------------------------------------
+# Per-query contention measurement.
+#
+# Rounds 4 and 5 both shipped official artifacts whose numbers the code
+# didn't deserve: r4 was captured wholesale at loadavg 18.9, and r5
+# passed a START-ONLY loadavg gate at 3.95 then absorbed contention
+# that arrived mid-run (d13 read 6.0 s official vs 1.39 s on a quiet
+# re-measure of the identical plan). The fix has to be per query — but
+# raw getloadavg() cannot gate individual queries mid-bench: the bench
+# itself runs 32 executor threads, so the 1-min average is dominated by
+# our own footprint and lags by its 60 s decay constant. What CAN be
+# measured exactly is external-process CPU: /proc/stat's busy jiffies
+# minus the jiffies consumed by our own process tree (python driver +
+# Spark JVM + pyspark workers), over precisely the query's capture
+# window. That difference, divided by the window, is the number of
+# CPU cores the neighbors used while we measured — the contention that
+# actually inflates a CPU-bound query. Each headline query records it
+# as ambient_load_per_query, and any query captured above the gate is
+# re-run after the machine quiets (bounded), keeping the quietest
+# capture.
+# ---------------------------------------------------------------------------
+
+_HZ = os.sysconf("SC_CLK_TCK")
+
+
+def _total_busy_jiffies() -> int:
+    """Machine-wide non-idle jiffies (user+nice+system+irq+softirq+
+    steal+guest) from the aggregate cpu line of /proc/stat."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    idle = vals[3] + vals[4]  # idle + iowait
+    return sum(vals) - idle
+
+
+def _tree_cpu_jiffies() -> int:
+    """utime+stime jiffies summed over THIS process and all its live
+    descendants (the Spark JVM and its pyspark daemon/workers are
+    children of the driver). Reaped children's time is not recouped,
+    but over a seconds-long window with a persistent JVM that error is
+    negligible."""
+    me = os.getpid()
+    stats: dict[int, tuple[int, int]] = {}
+    for ent in os.listdir("/proc"):
+        if not ent.isdigit():
+            continue
+        try:
+            with open(f"/proc/{ent}/stat", "rb") as f:
+                raw = f.read().decode("ascii", "replace")
+        except OSError:
+            continue  # raced a process exit
+        rp = raw.rfind(")")
+        fields = raw[rp + 2 :].split()
+        # post-comm fields: [0]=state [1]=ppid ... [11]=utime [12]=stime
+        stats[int(ent)] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in stats.items():
+        children.setdefault(ppid, []).append(pid)
+    total = 0
+    stack = [me]
+    while stack:
+        pid = stack.pop()
+        if pid in stats:
+            total += stats[pid][1]
+            stack.extend(children.get(pid, ()))
+    return total
+
+
+def _ambient_gate() -> float:
+    """External-CPU gate in cores (not loadavg units): a query window
+    during which other processes burned more than this many cores is a
+    hot capture. 0 disables (SPARK_GRAFT_AMBIENT_GATE=0)."""
+    return float(os.environ.get("SPARK_GRAFT_AMBIENT_GATE", "2"))
+
+
+def _await_ambient_quiet(gate: float, max_wait: float = 240.0) -> float:
+    """Idle-sample external CPU in 2 s windows (our tree is quiescent
+    between queries, so external == ambient) until it drops under the
+    gate or the bounded wait expires. Returns seconds waited."""
+    waited = 0.0
+    while waited < max_wait:
+        b0, t0 = _total_busy_jiffies(), _tree_cpu_jiffies()
+        time.sleep(2)
+        waited += 2
+        ext = (
+            (_total_busy_jiffies() - b0) - (_tree_cpu_jiffies() - t0)
+        ) / _HZ / 2.0
+        if ext < gate * 0.75:
+            return waited
+    return waited
+
+
+def _timed_capture(build, runs: int = 3) -> tuple[float, float]:
+    """(best-of-runs seconds, ambient cores during the whole capture
+    window). The noop write forces execution of every output column."""
+    b0, t0j = _total_busy_jiffies(), _tree_cpu_jiffies()
+    w0 = time.perf_counter()
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    wall = max(time.perf_counter() - w0, 1e-9)
+    ext = max(
+        0,
+        (_total_busy_jiffies() - b0) - (_tree_cpu_jiffies() - t0j),
+    ) / _HZ / wall
+    return best, ext
 
 
 def _await_quiet_machine() -> float:
@@ -338,31 +482,47 @@ def main() -> None:
     spark.range(0, 32).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
+    ambient: dict[str, float] = {}
+    requeued: dict[str, int] = {}
+    gate = _ambient_gate()
     for name in HEADLINE:
         q = queries[name]
-        best = float("inf")
         # best-of-3: the first run includes codegen compilation, and at
         # local[32] any single run can eat a GC pause worth ±30% on the
         # heavy queries (measured: the same d05 plan ranged 1.0-4.3 s
         # across sessions at load; min-of-3 keeps the steady-state
-        # number). The noop write forces execution of every output
-        # column — count() would column-prune projections.
-        for _ in range(3):
-            t0 = time.perf_counter()
-            q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        # number). The capture also measures the EXTERNAL cores burned
+        # during its own window; a hot capture waits out the
+        # contention (bounded) and re-runs, keeping the quietest
+        # evidence — min() is safe because contention only inflates.
+        best, ext = _timed_capture(lambda: q.build(spark, sf_dir))
+        retries = 0
+        while gate > 0 and ext > gate and retries < 2:
+            _await_ambient_quiet(gate)
+            best2, ext2 = _timed_capture(lambda: q.build(spark, sf_dir))
+            best = min(best, best2)
+            ext = min(ext, ext2)
+            retries += 1
         timings[name] = round(best, 3)
+        ambient[name] = round(ext, 2)
+        if retries:
+            requeued[name] = retries
 
-    # best-of-3 like the query timings: a single streaming run swings
-    # ~3x with GC/scheduling (measured 32k-92k rec/s for an identical
-    # pipeline in one session) because checkpoint-dir I/O and the first
-    # trigger's startup land inside one ~7 s window; the max over three
-    # fresh runs (each with its own checkpoint dir) is the steady-state
-    # number the reference's consumer benchmarks report
+    # 3 fresh runs (each its own checkpoint dir) × 10 micro-batches.
+    # Rounds ≤5 used 5 batches and reported median/spread over the
+    # WHOLE-run rates, which bundle query startup + first-trigger
+    # checkpoint-dir I/O into a ~7 s window — that one-time cost, not
+    # the pipeline, was the variance (r5 spread/median = 0.44). The
+    # spread statistics now come from the STEADY-STATE rates (batch 1
+    # completion → last batch completion, 9 measured intervals per
+    # run), the shape the reference's minutes-long consumer benchmarks
+    # report by construction; whole-run best is kept for continuity
+    # with rounds 1-5.
     stream_runs = [_streaming_pipeline_rate(spark, sf_dir) for _ in range(3)]
     whole_rates = sorted(r for r, _ in stream_runs)
+    steady_rates = sorted(s for _, s in stream_runs)
     streaming_rate = whole_rates[-1]
-    streaming_steady = max(s for _, s in stream_runs)
+    streaming_steady = steady_rates[-1]
     signature_ab = _d05_signature_ab(spark, sf_dir)
     admit_ab = _incremental_admit_ab(spark, sf_dir)
     total = round(sum(timings.values()), 3)
@@ -378,6 +538,22 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # rounds 1-3 comparability: the original 16 headline
+                # queries, before d54/p04/d68/d79 joined the list
+                "legacy16_subtotal": round(
+                    sum(timings[n] for n in HEADLINE[:16]), 3
+                ),
+                # external-process CPU cores burned during each
+                # query's capture window (total /proc/stat busy minus
+                # our own process tree). THE per-query contention
+                # number: raw 1-min loadavg mid-bench is dominated by
+                # our own 32-thread footprint and lags 60 s, so it
+                # cannot gate individual queries; this can, exactly.
+                # Captures above ambient_gate were waited out and
+                # re-run (bench_requeues).
+                "ambient_load_per_query": ambient,
+                "ambient_gate": gate,
+                "bench_requeues": requeued,
                 "pipeline_records_per_sec": int(
                     n_events / timings["p01_outcome_accounting"]
                 ),
@@ -386,14 +562,20 @@ def main() -> None:
                 # completion — startup excluded, the shape the
                 # reference's minutes-long consumer benchmarks report
                 "streaming_steady_state_rps": streaming_steady,
-                # variance honesty: single runs of an identical
-                # pipeline ranged 32-92k rec/s in one session
-                # (checkpoint-dir I/O + first-trigger startup land
-                # inside one ~7s window); best-of-3 is the headline,
-                # median/spread say what "typical" looks like
-                "streaming_rps_best": whole_rates[-1],
-                "streaming_rps_median": whole_rates[1],
-                "streaming_rps_spread": whole_rates[-1] - whole_rates[0],
+                # variance honesty: the spread statistics are over the
+                # STEADY-STATE rates of the 3 runs (10 batches each, 9
+                # measured intervals — startup/first-trigger I/O
+                # excluded); r5's 0.44 spread/median was measured over
+                # whole-run rates whose variance WAS that startup
+                "streaming_rps_best": steady_rates[-1],
+                "streaming_rps_median": steady_rates[1],
+                "streaming_rps_spread": steady_rates[-1] - steady_rates[0],
+                "streaming_methodology": (
+                    "3 runs x 10 micro-batches; best/median/spread over "
+                    "per-run steady-state rates (batch-1 completion to "
+                    "last-batch completion); whole-run best kept as "
+                    "streaming_records_per_sec for rounds-1-5 continuity"
+                ),
                 "d05_signature_ab": signature_ab,
                 "incremental_admit_ab": admit_ab,
                 "sf": sf_dir,
@@ -427,6 +609,9 @@ if __name__ == "__main__":
     import sys
 
     if "--sweep" in sys.argv[1:]:
-        sweep()
+        out = None
+        if "--out" in sys.argv[1:]:
+            out = sys.argv[sys.argv.index("--out") + 1]
+        sweep(out)
     else:
         main()

@@ -49,81 +49,74 @@ def register(
 
 
 # The external driver grades the FIRST 50 registry entries against the
-# DuckDB oracle. After round 4 all 175 registry queries have been
-# driver-graded at least once and every query graded since its oracle
-# existed is green; the round-5 window is pure evidence refresh,
-# stalest first. Leading: d06/d07/d09/d15, whose ONLY driver grade
-# (round 1) predates their oracles (err=no_oracle) — after this round
-# every oracle-backed query's LATEST driver grade is a hash pass.
-# Then: every remaining round-1-era grade (the 23 hash re-grades the
-# round-4 window displaced, plus m02), the three rows-only-by-nature
-# queries (d23/d27/d28 — MLlib randomness / iterative training; the
-# driver refreshes their rows-only evidence), and 17 round-2-era
-# re-grades (LLM-ops families first, then a relational spread:
-# joins/windows/rollup/range/as-of/sessionization). The three
-# cross-round sentinels (q01, p01, d05) stay for comparability. All
-# oracle-backed queries run the identical DuckDB compare in pytest
-# regardless of window position. (Round-6 rotation note: continue
-# stalest-first — the 38 remaining round-2-era grades, then round-3.)
+# DuckDB oracle. After round 5 every oracle-backed query's latest
+# driver grade is a hash pass; the window is pure stalest-first
+# evidence rotation plus first-time grades for new ops. Round 6:
+# the two NEW PQ-ANN ops (d86/d87) lead, then ALL 37 remaining
+# round-2-era grades (the full relational spread the r4/r5 windows
+# displaced: joins, set ops, rollup/cube/grouping-sets, windows,
+# subqueries, sessionization, range/as-of), then the 8 stalest
+# round-3-era LLM-ops re-grades. The three cross-round sentinels
+# (q01, p01, d05) stay for comparability. All oracle-backed queries
+# run the identical DuckDB compare in pytest regardless of window
+# position. (Round-7 rotation note: continue stalest-first — the
+# remaining round-3-era grades: d51/d52/d53, m03/m04, and the
+# q41-q84 relational block, then round-4-era.)
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",
     "p01_outcome_accounting",
     "d05_minhash_neardup",
-    # only driver grade predates their oracles (r1 err=no_oracle)
-    "d06_simhash",
-    "d07_ngram_jaccard_pairs",
-    "d09_lsh_similarity_topk",
-    "d15_simhash_neardup",
-    # round-5 NEW ops: first-time driver grades outrank re-grades
-    "d80_block_dedup_retention",
-    "d81_intradoc_dup_grams",
-    "d82_doc_stitching",
-    "d83_truncation_loss_curve",
-    "d84_ivf_cell_purity",
-    "d85_data_constrained_epochs",
-    # round-1-era hash re-grades (stalest driver evidence)
-    "d02_token_stats",
-    "d03_quality_score",
-    "d04_lang_id",
-    "d10_embedding_norms",
-    "d11_embedding_neardup",
-    "d12_doc_fingerprint",
-    "d14_doc_embedding_quality",
-    "d16_pii_scrub",
-    "d18_bpe_token_stats",
-    "d19_stratified_sample",
-    "d20_dataset_split",
-    "d21_embedding_quantize",
-    "d25_vocab_build",
-    "d26_tfidf_keywords",
-    "d29_column_profile",
-    "d30_k_anonymity",
-    "d33_boilerplate_ngrams",
-    "d34_gopher_quality_rules",
-    "d38_key_skew_profile",
-    "d41_word_entropy",
-    "d42_lexical_diversity",
-    "d43_srp_near_dup",
-    "m02_frame_sample",
-    # rows-only by nature (d23/d27/d28): refresh the weaker rows check
-    "d23_mllib_minhash_join",
-    "d27_ivf_kmeans_topk",
-    "d28_bpe_train",
-    # round-2-era re-grades: LLM-ops families first
-    "d22_repetition_score",
-    "d31_contamination_check",
-    "d32_source_mixing_weights",
-    "d35_source_document_cap",
-    "d36_lm_quality_buckets",
-    "d39_sequence_packing",
-    "d40_corpus_card",
-    "p02_passed_enriched",
-    "p03_field_surgery",
-    # round-2-era relational spread (q14/q22/q28/q33/q37/q38 yield to
-    # the round-5 new ops; they join the round-6 stalest-first queue)
-    "q02_revenue_by_nation",
-    "q11_window_topk_per_customer",
+    # round-6 NEW ops: first-time driver grades outrank re-grades
+    "d86_pq_adc_topk",
+    "d87_pq_recall",
+    "d88_ivfpq_topk",
+    # round-2-era re-grades (stalest driver evidence, all 37)
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q07_join_left_outer",
+    "q08_join_anti",
+    "q09_join_semi",
+    "q10_join_full_outer",
+    "q12_window_running_total",
+    "q14_rollup",
+    "q15_cube",
+    "q16_union",
+    "q17_intersect",
+    "q18_except",
+    "q19_distinct_agg",
+    "q20_scalar_string_math",
+    "q21_date_functions",
+    "q22_events_hourly",
+    "q23_json_extract",
+    "q24_topk_orders",
+    "q25_grouping_sets",
+    "q27_conditional_agg_pivot",
+    "q28_range_join",
+    "q29_string_agg",
+    "q31_correlated_scalar_subquery",
+    "q32_in_subquery",
+    "q33_percentiles",
+    "q35_pivot",
+    "q36_unpivot",
+    "q37_sessionization",
+    "q38_asof_join",
+    "q44_range_frame_moving_sum",
+    "q45_array_map_functions",
+    "q49_exists_subquery",
+    "q56_exact_median",
+    "q68_argmax_aggregates",
+    "q70_lateness_priority_counts",
+    "q71_event_funnel",
+    # round-3-era re-grades: LLM-ops families first
+    "d37_semdedup_clusters",
+    "d44_temperature_sampling_weights",
+    "d45_sequence_length_histogram",
+    "d46_cross_source_overlap",
+    "d47_dedup_survivors",
+    "d48_minhash_estimator_calibration",
+    "d49_semantic_decontamination",
 )
 
 
@@ -142,6 +135,7 @@ def all_queries() -> dict[str, Query]:
         llm_ops10,
         llm_ops11,
         llm_ops12,
+        llm_ops13,
         pipeline_queries,
         relational,
         relational2,

@@ -19,12 +19,14 @@ from kpipe_spark.functions.dedup import (
 def minhash_ctes(
     num_hashes: int = MINHASH_NUM_HASHES,
     rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    table: str = "documents",
 ) -> str:
     """MinHash candidate-pair CTE chain mirroring dedup.minhash_candidates
     for the given family. (a_i, b_i) closed forms inlined as SQL — keep
     identical to dedup.slot_coefficients. Defaults derive from the SAME
     constants the Spark side uses, so family tuning can't desync the
-    oracle."""
+    oracle. ``table`` lets a caller hash a pre-transformed projection
+    (p04 normalizes the arriving batch's text before signing it)."""
     return rf"""
     toks AS (
       -- degenerate docs excluded, mirroring minhash_signature_df's
@@ -35,7 +37,7 @@ def minhash_ctes(
       SELECT doc_id,
              list_filter(regexp_split_to_array(text, '\s+'),
                          x -> x <> '') AS t
-      FROM documents
+      FROM {table}
       WHERE text IS NOT NULL AND regexp_matches(text, '\S')
     ), grams AS (
       SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),

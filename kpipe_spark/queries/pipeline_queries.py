@@ -113,10 +113,23 @@ _SW = ("the", "a", "of", "and", "to", "in", "is")
 
 
 def _p04_oracle() -> str:
-    from kpipe_spark.queries._oracle_fragments import MINHASH_CTES
+    from kpipe_spark.queries._oracle_fragments import minhash_ctes
 
+    # The arriving batch passes the d79 NFC front door BEFORE gating
+    # and signing (production curation normalizes first — SURVEY §2.4
+    # text-analysis row); the already-curated corpus side stays as
+    # indexed. src_docs is the post-front-door view both the band
+    # CTEs and the gate read.
     return f"""
-    WITH {MINHASH_CTES},
+    WITH src_docs AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN doc_id % 4 = 0
+                  THEN nfc_normalize(trim(regexp_replace(text,
+                       '[ \\t\\n\\r\\f\\v]+', ' ', 'g')))
+                  ELSE text END AS text
+      FROM documents
+    ),
+    {minhash_ctes(table="src_docs")},
     flags AS (
       SELECT doc_id,
              (doc_id % 4 = 0) AS is_new,
@@ -131,7 +144,7 @@ def _p04_oracle() -> str:
                    / len(string_split(text, ' '))) >= 0.35) AS gate,
              len(list_filter(regexp_split_to_array(text, '\\s+'),
                              x -> x <> '')) AS n_tokens
-      FROM documents
+      FROM src_docs
     ),
     hits AS (
       SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_other
@@ -172,7 +185,10 @@ def _p04_oracle() -> str:
     "an arriving batch (doc_id % 4 == 0) is serialized to JSON lines, "
     "decoded back through the real ingestion front door (decode_json "
     "under the outcome contract — a decode failure would surface as a "
-    "'decode_failed' outcome row and hash-mismatch), Gopher-gated via "
+    "'decode_failed' outcome row and hash-mismatch), NFC-normalized "
+    "(d79's whitespace+NFC canonicalizer, so encoding accidents can't "
+    "dodge the near-dup check — the corpus side stays as indexed), "
+    "Gopher-gated via "
     "Pipeline.filter, near-dup-checked against the already-indexed "
     "corpus band table (d54's incremental shape: batch-sized signature "
     "work, no corpus re-scan) with keep-one inside the batch, and the "
@@ -198,7 +214,17 @@ def p04_curation_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = decode_json(
         lines, "doc_id bigint, text string, lang string, source string"
     )
-    flat = dec.select("payload_error", F.col("payload.*"))
+    from kpipe_spark.queries.llm_ops11 import _nfc_normalize_udf
+
+    # 1b. d79 NFC front door: whitespace-canonicalize + NFC-compose
+    # the arriving text BEFORE gating and signing — production
+    # curation normalizes first, so encoding accidents can't dodge
+    # the near-dup check or skew the gate's token arithmetic. The
+    # already-curated corpus side stays as indexed.
+    nfc = _nfc_normalize_udf()
+    flat = dec.select("payload_error", F.col("payload.*")).withColumn(
+        "text", nfc(F.col("text"))
+    )
 
     # 2. Gopher gate through the Pipeline outcome contract
     ts = F.split("text", " ")

@@ -112,6 +112,8 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         "vocab16",     # llm_ops11 d76: top-16 vocab (LIMIT-bounded)
         # --- bounded-by-construction model artifacts ---
         "cents", "centroids", "probes",  # k centroids / n_probe cells
+        "cb",          # llm_ops13 d86: m*k-row PQ codebook (1024 rows)
+        "adc",         # llm_ops13 d86: panel*m*k ADC lookup table
         "hist",        # selection.py: <=10001-row quality histogram
         "freq",        # vocab-sized token document-frequency table
         "df",          # llm_ops3 tf-idf: vocab-sized doc-frequency
