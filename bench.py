@@ -277,6 +277,7 @@ def sweep(out_path: str | None = None) -> None:
         load_table(spark, sf_dir, t).count()
     queries = all_queries()
     gate = _ambient_gate()
+    budget = _RequeueBudget()
     times: dict[str, float] = {}
     ambient: dict[str, float] = {}
     requeued: dict[str, int] = {}
@@ -285,7 +286,7 @@ def sweep(out_path: str | None = None) -> None:
         best, ext = _timed_capture(lambda: q.build(spark, sf_dir), runs=1)
         retries = 0
         while gate > 0 and ext > gate and retries < 2:
-            _await_ambient_quiet(gate)
+            _await_ambient_quiet(gate, budget)
             best2, ext2 = _timed_capture(
                 lambda: q.build(spark, sf_dir), runs=1
             )
@@ -307,6 +308,7 @@ def sweep(out_path: str | None = None) -> None:
         "ambient_load_per_query": dict(sorted(ambient.items())),
         "ambient_gate": gate,
         "sweep_requeues": requeued,
+        "requeue_wait_sec": int(budget.spent),
         "slowest": dict(sorted(times.items(), key=lambda kv: -kv[1])[:10]),
         "outlier_policy": (
             ">2x prior-round sweep time on a quiet capture (ambient "
@@ -398,20 +400,43 @@ def _ambient_gate() -> float:
     return float(os.environ.get("SPARK_GRAFT_AMBIENT_GATE", "2"))
 
 
-def _await_ambient_quiet(gate: float, max_wait: float = 240.0) -> float:
+class _RequeueBudget:
+    """Global cap on time spent WAITING for ambient quiet across the
+    whole run: on a machine that never quiets (round 4 sat at loadavg
+    18.9 for the entire window), per-query waits must not compound
+    into hours — once the budget is spent, captures proceed
+    immediately and the recorded ambient_load_per_query says exactly
+    which numbers are noise-dominated."""
+
+    def __init__(self) -> None:
+        self.remaining = float(
+            os.environ.get("SPARK_GRAFT_REQUEUE_BUDGET", "600")
+        )
+        self.spent = 0.0
+
+    def consume(self, seconds: float) -> None:
+        self.remaining -= seconds
+        self.spent += seconds
+
+
+def _await_ambient_quiet(
+    gate: float, budget: "_RequeueBudget", max_wait: float = 240.0
+) -> float:
     """Idle-sample external CPU in 2 s windows (our tree is quiescent
     between queries, so external == ambient) until it drops under the
-    gate or the bounded wait expires. Returns seconds waited."""
+    gate, the bounded wait expires, or the run-wide budget is spent.
+    Returns seconds waited."""
     waited = 0.0
-    while waited < max_wait:
+    while waited < max_wait and budget.remaining > 0:
         b0, t0 = _total_busy_jiffies(), _tree_cpu_jiffies()
         time.sleep(2)
         waited += 2
+        budget.consume(2)
         ext = (
             (_total_busy_jiffies() - b0) - (_tree_cpu_jiffies() - t0)
         ) / _HZ / 2.0
         if ext < gate * 0.75:
-            return waited
+            break
     return waited
 
 
@@ -485,6 +510,7 @@ def main() -> None:
     ambient: dict[str, float] = {}
     requeued: dict[str, int] = {}
     gate = _ambient_gate()
+    budget = _RequeueBudget()
     for name in HEADLINE:
         q = queries[name]
         # best-of-3: the first run includes codegen compilation, and at
@@ -493,12 +519,13 @@ def main() -> None:
         # across sessions at load; min-of-3 keeps the steady-state
         # number). The capture also measures the EXTERNAL cores burned
         # during its own window; a hot capture waits out the
-        # contention (bounded) and re-runs, keeping the quietest
-        # evidence — min() is safe because contention only inflates.
+        # contention (bounded per query AND run-wide) and re-runs,
+        # keeping the quietest evidence — min() is safe because
+        # contention only inflates.
         best, ext = _timed_capture(lambda: q.build(spark, sf_dir))
         retries = 0
         while gate > 0 and ext > gate and retries < 2:
-            _await_ambient_quiet(gate)
+            _await_ambient_quiet(gate, budget)
             best2, ext2 = _timed_capture(lambda: q.build(spark, sf_dir))
             best = min(best, best2)
             ext = min(ext, ext2)
@@ -586,6 +613,12 @@ def main() -> None:
                 "loadavg_start": loadavg_start,
                 "loadavg": round(os.getloadavg()[0], 2),
                 "load_gate_wait_sec": int(load_gate_wait),
+                # seconds spent waiting for ambient quiet before
+                # requeued captures (run-wide budget: a machine that
+                # never quiets can't stall the bench for hours — the
+                # per-query ambient numbers then say which rows are
+                # noise-dominated)
+                "requeue_wait_sec": int(budget.spent),
             }
         )
     )

@@ -1,0 +1,378 @@
+"""AnnIndex — the stored IVF-PQ artifact a production similarity
+service queries, packaged as an API (the ANN analogue of
+``CorpusIndex``: d88 is the self-contained oracle-checked QUERY shape;
+this is the build-once / search-many artifact it materializes as).
+
+The day-to-day 100 TB ANN loop is not "scan the embeddings" (d08's
+baseline) but "search today's queries against a corpus encoded ONCE":
+
+    idx = AnnIndex.build(spark, vectors, "corpus_ann")   # paid once
+    hits = idx.search(queries)      # nprobe cells' codes only
+    idx.append(new_vectors)         # keep the index current
+
+Storage layout (the part that matters at 100 TB):
+
+- the code table is PARTITIONED BY the coarse cell, so a search scans
+  only its probed cells' files — partition pruning does what the IVF
+  inverted lists do in a single-node library (FAISS's IVFADC layout,
+  Jégou 2011 §IV, re-expressed as a parquet-partitioned table);
+- each vector stores m uint8-sized codes (an array<int> column of
+  length m — 16 bytes of payload per vector here) plus its id: the
+  whole index for a 100 TB float corpus fits the page cache;
+- centroids and codebooks live in side tables ({table}__centroids,
+  {table}__codebooks) — n_cells and m×k rows, broadcast at search;
+- the quantization family (m, sub_dim, k_codes, n_cells) persists as
+  TBLPROPERTIES and attach() validates it, the CorpusIndex discipline:
+  searching with a different family than the index was encoded with
+  would return garbage distances, silently.
+
+Determinism matches llm_ops13: residual encoding against first-k
+codebooks, every distance a 2^24 fixed-point BIGINT from birth, ties
+to the lowest code/cell — so ``search`` over d88's panel returns
+EXACTLY d88's oracle-checked rows (pinned in tests/test_ann_index.py).
+
+Reference parity: kpipe's pipeline surface has no ANN index
+(/root/reference/README.md:190-208 declares analytics out of scope);
+this is north-star LLM-pipeline surface (SURVEY.md §2.4 similarity
+search), the API form of d86/d88's query shape.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+_FP = float(1 << 24)
+
+
+def _fixed_sq_l2(a, b):
+    """Squared L2 between two array columns, quantized to 2^24
+    fixed-point BIGINT the moment it exists (llm_ops13's rule)."""
+    return F.floor(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * F.lit(_FP)
+        + F.lit(0.5)
+    ).cast("long")
+
+
+class AnnIndex:
+    _PROP_PREFIX = "kpipe.ann."
+    _FAMILY_PROPS = ("m", "sub_dim", "k_codes", "n_cells")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        m: int = 16,
+        sub_dim: int = 4,
+        k_codes: int = 64,
+        n_cells: int = 16,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        self.spark = spark
+        self.table = table
+        self.m = m
+        self.sub_dim = sub_dim
+        self.k_codes = k_codes
+        self.n_cells = n_cells
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    # -- construction -------------------------------------------------
+
+    @property
+    def _centroids_table(self) -> str:
+        return f"{self.table}__centroids"
+
+    @property
+    def _codebooks_table(self) -> str:
+        return f"{self.table}__codebooks"
+
+    def _vectors(self, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(self.id_col).alias("vec_id"),
+            F.transform(self.vec_col, lambda x: x.cast("double")).alias(
+                "_e"
+            ),
+        )
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        vectors: DataFrame,
+        table: str,
+        **family,
+    ) -> "AnnIndex":
+        """Encode a corpus: coarse-assign → residual-PQ → store the
+        cell-partitioned code table plus centroid/codebook side
+        tables. The one corpus-sized pass; every later search scans
+        only its probed cells' partitions.
+
+        Training is deterministic (centroids = first n_cells vectors,
+        codebooks = first k_codes residual subvectors — llm_ops13's
+        first-k convention, which is what lets DuckDB verify the
+        query shape this API materializes)."""
+        idx = cls(spark, table, **family)
+        v = idx._vectors(vectors)
+        cents = v.filter(F.col("vec_id") < idx.n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("_e").alias("_ce")
+        )
+        (
+            cents.select("cell", F.col("_ce").alias("centroid"))
+            .write.mode("overwrite")
+            .saveAsTable(idx._centroids_table, format="parquet")
+        )
+        assigned = idx._assign_residual(v, cents)
+        rsubs = idx._subvectors(assigned, "_r")
+        cb = rsubs.filter(F.col("vec_id") < idx.k_codes).select(
+            F.col("vec_id").alias("code"), "j", F.col("_sub").alias("_cb")
+        )
+        (
+            cb.select("code", "j", F.col("_cb").alias("subvector"))
+            .write.mode("overwrite")
+            .saveAsTable(idx._codebooks_table, format="parquet")
+        )
+        idx._encode(rsubs, cb).write.mode("overwrite").partitionBy(
+            "cell"
+        ).saveAsTable(table, format="parquet")
+        idx._write_properties()
+        return idx
+
+    def _write_properties(self) -> None:
+        kv = ", ".join(
+            f"'{self._PROP_PREFIX}{p}' = '{getattr(self, p)}'"
+            for p in self._FAMILY_PROPS
+        )
+        self.spark.sql(f"ALTER TABLE {self.table} SET TBLPROPERTIES ({kv})")
+
+    def _properties(self) -> dict[str, int]:
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
+        return {
+            r["key"].removeprefix(self._PROP_PREFIX): int(r["value"])
+            for r in rows
+            if r["key"].startswith(self._PROP_PREFIX)
+        }
+
+    @classmethod
+    def attach(cls, spark: SparkSession, table: str, **family) -> "AnnIndex":
+        """Handle to an existing index. The quantization family reads
+        back from TBLPROPERTIES and is validated against any explicit
+        kwargs — a family mismatch would make every ADC distance
+        garbage, silently."""
+        if not spark.catalog.tableExists(table):
+            raise ValueError(f"no such ANN index table: {table}")
+        idx = cls(spark, table, **family)
+        stored = idx._properties()
+        mismatched = {
+            p: (family[p], stored[p])
+            for p in cls._FAMILY_PROPS
+            if p in stored and p in family and family[p] != stored[p]
+        }
+        if mismatched:
+            detail = ", ".join(
+                f"{p}: caller {got} != table {want}"
+                for p, (got, want) in mismatched.items()
+            )
+            raise ValueError(
+                f"PQ family mismatch attaching {table} ({detail}) — "
+                "searching with a different family than the index was "
+                "encoded with returns meaningless distances"
+            )
+        for p in cls._FAMILY_PROPS:
+            if p in stored:
+                setattr(idx, p, stored[p])
+        return idx
+
+    # -- shared encode plumbing ----------------------------------------
+
+    def _assign_residual(self, v: DataFrame, cents: DataFrame) -> DataFrame:
+        """One-pass coarse assignment carrying the winning centroid out
+        of the min_by so the residual needs no join back (d88's
+        shape)."""
+        scored = v.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "_e",
+            "cell",
+            "_ce",
+            _fixed_sq_l2("_e", "_ce").alias("_cdq"),
+        )
+        win = F.min_by(
+            F.struct(F.col("cell"), F.col("_ce")),
+            F.struct(F.col("_cdq"), F.col("cell")),
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(win.alias("_w"), F.any_value("_e").alias("_e"))
+            .select(
+                "vec_id",
+                F.col("_w.cell").alias("cell"),
+                F.zip_with("_e", "_w._ce", lambda x, y: x - y).alias("_r"),
+            )
+        )
+
+    def _subvectors(self, df: DataFrame, col: str) -> DataFrame:
+        keep = [c for c in df.columns if c != col]
+        return df.select(
+            *keep,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col(col), j * self.sub_dim + 1, self.sub_dim)
+                        for j in range(self.m)
+                    ]
+                )
+            ).alias("j", "_sub"),
+        )
+
+    def _encode(self, rsubs: DataFrame, cb: DataFrame) -> DataFrame:
+        """(vec_id, cell, codes array<int>) — codes[j] is subspace j's
+        nearest codebook entry; map-side min_by argmin, then the m
+        rows fold into one array ordered by j."""
+        enc = (
+            rsubs.join(F.broadcast(cb), "j")
+            .select(
+                "vec_id",
+                "cell",
+                "j",
+                "code",
+                _fixed_sq_l2("_sub", "_cb").alias("_dq"),
+            )
+            .groupBy("vec_id", "cell", "j")
+            .agg(
+                F.min_by(
+                    "code", F.struct(F.col("_dq"), F.col("code"))
+                ).alias("code")
+            )
+        )
+        return (
+            enc.groupBy("vec_id", "cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("j", "code"))
+                ).alias("_jc")
+            )
+            .select(
+                "vec_id",
+                F.transform(F.col("_jc"), lambda x: x["code"]).alias(
+                    "codes"
+                ),
+                "cell",
+            )
+        )
+
+    def append(self, vectors: DataFrame) -> None:
+        """Encode and add new vectors (same family, same centroids and
+        codebooks — read back from the side tables, NOT re-trained:
+        re-training on an append would silently re-key every stored
+        code)."""
+        v = self._vectors(vectors)
+        cents = self.spark.table(self._centroids_table).select(
+            "cell", F.col("centroid").alias("_ce")
+        )
+        cb = self.spark.table(self._codebooks_table).select(
+            "code", "j", F.col("subvector").alias("_cb")
+        )
+        rsubs = self._subvectors(self._assign_residual(v, cents), "_r")
+        self._encode(rsubs, cb).write.mode("append").partitionBy(
+            "cell"
+        ).saveAsTable(self.table, format="parquet")
+
+    # -- the search loop -----------------------------------------------
+
+    def search(
+        self, queries: DataFrame, k: int = 10, nprobe: int = 2
+    ) -> DataFrame:
+        """IVFADC search: (query_id, neighbor_id, adc_dist, cell, rn).
+
+        The query batch is bounded (a serving batch / eval panel), so
+        its probe-cell set collects to the driver (≤ |queries|×nprobe
+        ids) and becomes a STATIC partition filter on the code table —
+        the scan reads only the probed cells' files (PartitionFilters
+        in the plan, pinned in tests). Candidate work ships (query,
+        vec, BIGINT) partial sums; vectors never shuffle."""
+        cents = self.spark.table(self._centroids_table).select(
+            "cell", F.col("centroid").alias("_ce")
+        )
+        cb = self.spark.table(self._codebooks_table).select(
+            "code", "j", F.col("subvector").alias("_cb")
+        )
+        q = self._vectors(queries).withColumnRenamed("vec_id", "query_id")
+        wp = Window.partitionBy("query_id").orderBy("_cdq", "cell")
+        probes = (
+            q.crossJoin(F.broadcast(cents))
+            .select(
+                "query_id",
+                "_e",
+                "cell",
+                "_ce",
+                _fixed_sq_l2("_e", "_ce").alias("_cdq"),
+            )
+            .withColumn("_prn", F.row_number().over(wp))
+            .filter(F.col("_prn") <= nprobe)
+            .select(
+                "query_id",
+                "cell",
+                F.zip_with("_e", "_ce", lambda x, y: x - y).alias("_qr"),
+            )
+        )
+        qsubs = self._subvectors(
+            probes.withColumnRenamed("query_id", "vec_id"), "_qr"
+        ).withColumnRenamed("vec_id", "query_id")
+        adc = qsubs.join(F.broadcast(cb), "j").select(
+            "query_id",
+            "cell",
+            "j",
+            "code",
+            _fixed_sq_l2("_sub", "_cb").alias("_dq"),
+        )
+        # bounded collect (|queries| × nprobe cell ids): turns the
+        # probe set into a static partition filter so the code-table
+        # scan never opens an unprobed cell's files
+        probed_cells = [
+            r["cell"] for r in probes.select("cell").distinct().collect()
+        ]
+        codes = self.spark.table(self.table).filter(
+            F.col("cell").isin(probed_cells)
+        )
+        enc = codes.select(
+            "vec_id",
+            "cell",
+            F.posexplode("codes").alias("j", "code"),
+        )
+        cand = (
+            enc.join(F.broadcast(adc), ["cell", "j", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(
+                F.sum("_dq").alias("_tq"),
+                F.any_value("cell").alias("cell"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy("_tq", "vec_id")
+        from kpipe_spark.util import ieee_round
+
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                ieee_round(F.col("_tq") / F.lit(_FP), 4).alias("adc_dist"),
+                F.col("cell").cast("long").alias("cell"),
+                "rn",
+            )
+        )
+
+    def drop(self) -> None:
+        for t in (self.table, self._centroids_table, self._codebooks_table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
