@@ -312,8 +312,10 @@ def sweep(out_path: str | None = None) -> None:
         "slowest": dict(sorted(times.items(), key=lambda kv: -kv[1])[:10]),
         "outlier_policy": (
             ">2x prior-round sweep time on a quiet capture (ambient "
-            "under gate) => investigate before round end; hot "
-            "captures are re-run, never compared"
+            "under gate) => confirm with best-of-3 first (sweep rows "
+            "are single timed captures and can eat a GC pause), then "
+            "investigate before round end; hot captures are re-run, "
+            "never compared"
         ),
         "sf": sf_dir,
         "loadavg_start": loadavg_start,
