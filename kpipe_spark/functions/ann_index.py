@@ -48,6 +48,11 @@ log = logging.getLogger(__name__)
 
 _FP = float(1 << 24)
 
+# append() advisory threshold: a freshly-compacted index holds one
+# file per cell; past this many files per cell the open()/footer
+# overhead of accreted append batches starts to dominate probe scans
+ADVISORY_FILES_PER_CELL = 8
+
 
 def _fixed_sq_l2(a, b):
     """Squared L2 between two array columns, quantized to 2^24
@@ -86,6 +91,7 @@ class AnnIndex:
         self.n_cells = n_cells
         self.vec_col = vec_col
         self.id_col = id_col
+        self.advisory_files_per_cell = ADVISORY_FILES_PER_CELL
 
     # -- construction -------------------------------------------------
 
@@ -111,6 +117,7 @@ class AnnIndex:
         spark: SparkSession,
         vectors: DataFrame,
         table: str,
+        centroids: DataFrame | None = None,
         **family,
     ) -> "AnnIndex":
         """Encode a corpus: coarse-assign → residual-PQ → store the
@@ -118,15 +125,28 @@ class AnnIndex:
         tables. The one corpus-sized pass; every later search scans
         only its probed cells' partitions.
 
-        Training is deterministic (centroids = first n_cells vectors,
-        codebooks = first k_codes residual subvectors — llm_ops13's
-        first-k convention, which is what lets DuckDB verify the
-        query shape this API materializes)."""
+        Default training is deterministic (centroids = first n_cells
+        vectors, codebooks = first k_codes residual subvectors —
+        llm_ops13's first-k convention, which is what lets DuckDB
+        verify the query shape this API materializes). Production
+        passes ``centroids`` — a (cell, centroid array) frame from a
+        real k-means run (e.g. ``similarity.kmeans_centroids`` /
+        MLlib) — and the index stores THOSE; everything downstream
+        (assignment, residuals, search) only reads the side table."""
         idx = cls(spark, table, **family)
         v = idx._vectors(vectors)
-        cents = v.filter(F.col("vec_id") < idx.n_cells).select(
-            F.col("vec_id").alias("cell"), F.col("_e").alias("_ce")
-        )
+        if centroids is not None:
+            cents = centroids.select(
+                F.col("cell").cast("long").alias("cell"),
+                F.transform("centroid", lambda x: x.cast("double")).alias(
+                    "_ce"
+                ),
+            )
+            idx.n_cells = centroids.count()  # bounded: the cell count
+        else:
+            cents = v.filter(F.col("vec_id") < idx.n_cells).select(
+                F.col("vec_id").alias("cell"), F.col("_e").alias("_ce")
+            )
         (
             cents.select("cell", F.col("_ce").alias("centroid"))
             .write.mode("overwrite")
@@ -270,11 +290,19 @@ class AnnIndex:
             )
         )
 
-    def append(self, vectors: DataFrame) -> None:
+    def append(self, vectors: DataFrame) -> int:
         """Encode and add new vectors (same family, same centroids and
         codebooks — read back from the side tables, NOT re-trained:
         re-training on an append would silently re-key every stored
-        code)."""
+        code).
+
+        Returns the index's current file count, and WARNs once it
+        exceeds ``advisory_files_per_cell × n_cells`` — each append
+        adds a file per (task, cell), so a steady-state ingest loop
+        accretes small files until ``compact()`` is the difference
+        between a pruned two-cell probe and a footer-reading straggler
+        (CorpusIndex.append's discipline). The count is a catalog
+        listing, not a data scan."""
         v = self._vectors(vectors)
         cents = self.spark.table(self._centroids_table).select(
             "cell", F.col("centroid").alias("_ce")
@@ -286,6 +314,69 @@ class AnnIndex:
         self._encode(rsubs, cb).write.mode("append").partitionBy(
             "cell"
         ).saveAsTable(self.table, format="parquet")
+        n_files = len(self.spark.table(self.table).inputFiles())
+        if n_files > self.advisory_files_per_cell * self.n_cells:
+            log.warning(
+                "AnnIndex %s holds %d files across %d cells (advisory "
+                "threshold %d/cell) — run compact() to rewrite one "
+                "file per cell before small-file open/footer overhead "
+                "dominates probe scans",
+                self.table,
+                n_files,
+                self.n_cells,
+                self.advisory_files_per_cell,
+            )
+        return n_files
+
+    def compact(self) -> None:
+        """Rewrite the code table into one file per cell, preserving
+        the cell partitioning (and therefore search's partition
+        pruning). ``repartition(n_cells, cell)`` puts each cell's rows
+        in one task, so the partitioned write emits one file per cell.
+        The swap is CorpusIndex.compact's RENAME chain: the index's
+        rows exist under SOME catalog name at every instant, a failed
+        rewrite leaves the live table untouched, and crash recovery
+        mid-swap is a single rename (+ RECOVER PARTITIONS). Run it
+        from the ingest loop's coordinator, not concurrently with
+        searches.
+
+        Partitioned-table subtlety (measured, and the reason for the
+        RECOVER PARTITIONS after every rename): RENAME moves the
+        table directory but the catalog's per-partition locations
+        keep their OLD absolute paths — a renamed table reads 0 rows,
+        and dropping it would delete the directories its stale
+        partition entries still point at, i.e. the NEW live data.
+        RECOVER PARTITIONS re-lists partitions under the table's new
+        location, making the subsequent DROP act on the right
+        files."""
+        tmp = f"{self.table}__compacting"
+        backup = f"{self.table}__precompact"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        (
+            self.spark.table(self.table)
+            .repartition(self.n_cells, F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .saveAsTable(tmp, format="parquet")
+        )
+        live, self.table = self.table, tmp
+        try:
+            self._write_properties()
+        finally:
+            self.table = live
+
+        def _rename(src: str, dst: str) -> None:
+            self.spark.sql(f"ALTER TABLE {src} RENAME TO {dst}")
+            self.spark.sql(f"ALTER TABLE {dst} RECOVER PARTITIONS")
+
+        self.spark.sql(f"DROP TABLE IF EXISTS {backup}")
+        _rename(live, backup)
+        try:
+            _rename(tmp, live)
+        except Exception:
+            _rename(backup, live)
+            raise
+        self.spark.sql(f"DROP TABLE {backup}")
 
     # -- the search loop -----------------------------------------------
 

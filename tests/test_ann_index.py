@@ -116,3 +116,100 @@ def test_append_uses_stored_codebooks_and_is_searchable(spark, built):
     # the twin has identical codes, so its ADC distance equals the
     # query's own residual-quantization floor — rank 1
     assert by_rank[1]["neighbor_id"] == 10100
+
+
+def test_append_advisory_then_compact_preserves_search(spark):
+    """Steady-state ingest hygiene: append() warns past the per-cell
+    advisory threshold, compact() rewrites one file per cell WITHOUT
+    changing search results, and the post-compaction scan still
+    partition-prunes."""
+    import logging
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    table = f"ann_cmp_{uuid.uuid4().hex[:8]}"
+    idx = AnnIndex.build(spark, emb.filter("vec_id < 400"), table)
+    try:
+        idx.advisory_files_per_cell = 1
+        with caplog_at(logging.WARNING) as records:
+            for i in range(2):
+                lo, hi = 400 + i * 50, 450 + i * 50
+                idx.append(emb.filter(f"vec_id >= {lo} AND vec_id < {hi}"))
+        assert any("compact()" in r.message for r in records)
+
+        panel = emb.filter("vec_id % 25 = 0 AND vec_id < 500")
+        before = sorted(map(tuple, idx.search(panel).collect()))
+        n_before = len(spark.table(table).inputFiles())
+
+        idx.compact()
+
+        n_after = len(spark.table(table).inputFiles())
+        assert n_after <= idx.n_cells
+        assert n_after < n_before
+        after = sorted(map(tuple, idx.search(panel).collect()))
+        assert after == before
+        # family properties survive the rewrite; pruning still plans
+        assert AnnIndex.attach(spark, table).n_cells == idx.n_cells
+        res = idx.search(emb.filter("vec_id = 100"), k=3)
+        res.collect()
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cell" in plan
+    finally:
+        idx.drop()
+
+
+def test_build_accepts_pretrained_centroids(spark):
+    """Production passes real k-means centroids; the index stores and
+    uses THOSE (n_cells adopts the centroid count, search assigns
+    against the side table — not the first-k convention)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    # 4 'trained' centroids: vectors 7, 99, 250, 411 under new cell ids
+    cents = (
+        emb.filter("vec_id IN (7, 99, 250, 411)")
+        .select(
+            (F.dense_rank().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.orderBy("vec_id")
+            ) - 1).alias("cell"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    table = f"ann_km_{uuid.uuid4().hex[:8]}"
+    idx = AnnIndex.build(spark, emb, table, centroids=cents)
+    try:
+        assert idx.n_cells == 4
+        assert AnnIndex.attach(spark, table).n_cells == 4
+        assert spark.table(idx._centroids_table).count() == 4
+        cells = {r["cell"] for r in spark.table(table).select("cell").distinct().collect()}
+        assert cells <= {0, 1, 2, 3}
+        hits = idx.search(emb.filter("vec_id = 7"), k=3, nprobe=1)
+        rows = hits.collect()
+        assert len(rows) == 3
+        # vector 7 IS centroid 0: all its candidates come from cell 0
+        assert {r["cell"] for r in rows} == {0}
+    finally:
+        idx.drop()
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def caplog_at(level):
+    import logging
+
+    records = []
+
+    class H(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    h = H(level=level)
+    logger = logging.getLogger("kpipe_spark.functions.ann_index")
+    logger.addHandler(h)
+    old = logger.level
+    logger.setLevel(level)
+    try:
+        yield records
+    finally:
+        logger.removeHandler(h)
+        logger.setLevel(old)
