@@ -581,6 +581,18 @@ def main() -> None:
                 # Captures above ambient_gate were waited out and
                 # re-run (bench_requeues).
                 "ambient_load_per_query": ambient,
+                "ambient_load_definition": (
+                    "external-process CPU cores during the query's "
+                    "capture window: (/proc/stat busy jiffies minus "
+                    "this bench's own process-tree jiffies) / window. "
+                    "The per-query contention number — raw 1-min "
+                    "loadavg mid-run is dominated by the bench's own "
+                    "32 executor threads and lags 60s, so it cannot "
+                    "gate individual queries; this measures exactly "
+                    "the neighbors' cores. Captures above "
+                    "ambient_gate were waited out and re-run "
+                    "(bench_requeues)."
+                ),
                 "ambient_gate": gate,
                 "bench_requeues": requeued,
                 "pipeline_records_per_sec": int(
