@@ -315,6 +315,11 @@ class AnnIndex:
         self._encode(rsubs, cb).write.mode("append").partitionBy(
             "cell"
         ).saveAsTable(self.table, format="parquet")
+        # the write runs in vectors' own session (a foreachBatch sink
+        # hands a per-batch session CLONE); refresh this handle's
+        # cached listing so the next search sees the appended codes
+        # (CorpusIndex.append's fix — same stale-cache failure mode)
+        self.spark.catalog.refreshTable(self.table)
         n_files = len(self.spark.table(self.table).inputFiles())
         if n_files > self.advisory_files_per_cell * self.n_cells:
             log.warning(

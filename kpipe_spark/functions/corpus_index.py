@@ -290,6 +290,14 @@ class CorpusIndex:
             .bucketBy(n_buckets, "band", "bucket")
             .saveAsTable(self.table, format="parquet")
         )
+        # The write executes in admitted_docs' OWN session — inside a
+        # foreachBatch sink that is a per-batch CLONE, not self.spark,
+        # and self.spark's cached file listing for the table goes
+        # stale (measured: the handle session kept reading the
+        # pre-append row count while the batch session saw the new
+        # rows). Refresh so the next admit() through this handle
+        # collides against what was just appended.
+        self.spark.catalog.refreshTable(self.table)
         n_files = len(self.spark.table(self.table).inputFiles())
         if n_files > self.advisory_files_per_bucket * n_buckets:
             log.warning(

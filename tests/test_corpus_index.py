@@ -267,3 +267,78 @@ def test_append_falls_back_to_describe_for_legacy_tables(spark, corpus_rows):
         assert not ledger[801]["admitted"]
     finally:
         idx.drop()
+
+
+def test_streaming_admission_replay_is_idempotent(spark, corpus_rows, tmp_path):
+    """The streaming form of the admission loop: micro-batches of
+    arriving docs flow through StreamRunner into a foreachBatch sink
+    that admits against the stored index and appends the admitted
+    docs. At-least-once delivery means a crash can REPLAY a batch the
+    sink already applied — and the index's same-id re-ingest
+    detection makes that replay a no-op (every replayed doc collides
+    with its own indexed copy, admitted=False, nothing appends):
+    exactly-once index STATE on top of at-least-once delivery,
+    without a transactional sink."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kpipe_spark.pipeline import Pipeline
+    from kpipe_spark.streaming import StreamRunner
+
+    table = f"ci_stream_{uuid.uuid4().hex[:8]}"
+    idx = CorpusIndex.build(spark, _df(spark, corpus_rows), table, num_buckets=4)
+    try:
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        batch1 = [(900, SPAM), (901, "streaming batch one novel words")]
+        batch2 = [(902, "streaming batch two other content"), (903, FOX)]
+        _df(spark, batch1).coalesce(1).write.mode("append").parquet(src)
+        _df(spark, batch2).coalesce(1).write.mode("append").parquet(src)
+
+        def run(ckpt_name: str) -> None:
+            def admit_sink(df, batch_id):
+                batch = df.select("doc_id", "text")
+                ledger = idx.admit(batch)
+                idx.append(
+                    batch.join(
+                        ledger.filter("admitted").select("doc_id"),
+                        "doc_id",
+                        "semi",
+                    )
+                )
+
+            runner = StreamRunner(
+                pipeline=Pipeline().require_field("doc_id"),
+                sink=admit_sink,
+            )
+            stream = (
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            handle = runner.start(
+                stream, str(tmp_path / ckpt_name), f"admit-{ckpt_name}"
+            )
+            try:
+                handle.process_all_available()
+            finally:
+                handle.close()
+
+        run("ckpt_a")
+        # 900 dups corpus SPAM, 903 dups corpus FOX -> only 901/902 admitted
+        rows_after_first = spark.table(table).count()
+        indexed_ids = {
+            r["doc_id"]
+            for r in spark.table(table).select("doc_id").distinct().collect()
+        }
+        assert {901, 902} <= indexed_ids
+        assert 900 not in indexed_ids and 903 not in indexed_ids
+
+        # the replay: a FRESH checkpoint re-delivers every batch (the
+        # worst-case at-least-once geometry); re-ingest detection must
+        # reject everything and leave the index byte-count identical
+        run("ckpt_b")
+        assert spark.table(table).count() == rows_after_first
+    finally:
+        idx.drop()
