@@ -16,9 +16,11 @@ Storage layout (the part that matters at 100 TB):
   only its probed cells' files — partition pruning does what the IVF
   inverted lists do in a single-node library (FAISS's IVFADC layout,
   Jégou 2011 §IV, re-expressed as a parquet-partitioned table);
-- each vector stores m uint8-sized codes (an array<int> column of
-  length m — 16 bytes of payload per vector here) plus its id: the
-  whole index for a 100 TB float corpus fits the page cache;
+- each vector stores m codes at the narrowest integer width that
+  fits k_codes (an array<tinyint> for the classic 8-bit-code
+  configuration — genuinely 16 bytes of code payload per vector
+  here) plus its id: the whole index for a 100 TB float corpus fits
+  the page cache;
 - centroids and codebooks live in side tables ({table}__centroids,
   {table}__codebooks) — n_cells and m×k rows, broadcast at search;
 - the quantization family (m, sub_dim, k_codes, n_cells) persists as
@@ -284,12 +286,25 @@ class AnnIndex:
             )
             .select(
                 "vec_id",
-                F.transform(F.col("_jc"), lambda x: x["code"]).alias(
-                    "codes"
-                ),
+                # store codes at the narrowest width that fits k_codes
+                # (tinyint for the classic 8-bit-code configuration) —
+                # at 100 TB the code table's whole point is bytes per
+                # vector, so array<int> would be an honest-labeling
+                # bug, not a detail
+                F.transform(
+                    F.col("_jc"), lambda x: x["code"].cast(self._code_type)
+                ).alias("codes"),
                 "cell",
             )
         )
+
+    @property
+    def _code_type(self) -> str:
+        if self.k_codes <= 127:
+            return "tinyint"
+        if self.k_codes <= 32767:
+            return "smallint"
+        return "int"
 
     def append(self, vectors: DataFrame) -> int:
         """Encode and add new vectors (same family, same centroids and
@@ -445,7 +460,7 @@ class AnnIndex:
             "vec_id",
             "cell",
             F.posexplode("codes").alias("j", "code"),
-        )
+        ).withColumn("code", F.col("code").cast("long"))  # match adc's key type
         cand = (
             enc.join(F.broadcast(adc), ["cell", "j", "code"])
             .filter(F.col("vec_id") != F.col("query_id"))
