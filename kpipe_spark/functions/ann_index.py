@@ -402,7 +402,12 @@ class AnnIndex:
     # -- the search loop -----------------------------------------------
 
     def search(
-        self, queries: DataFrame, k: int = 10, nprobe: int = 2
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 2,
+        refine_with: DataFrame | None = None,
+        refine_factor: int = 4,
     ) -> DataFrame:
         """IVFADC search: (query_id, neighbor_id, adc_dist, cell, rn).
 
@@ -411,7 +416,17 @@ class AnnIndex:
         ids) and becomes a STATIC partition filter on the code table —
         the scan reads only the probed cells' files (PartitionFilters
         in the plan, pinned in tests). Candidate work ships (query,
-        vec, BIGINT) partial sums; vectors never shuffle."""
+        vec, BIGINT) partial sums; vectors never shuffle.
+
+        ``refine_with`` enables the standard IVFADC+R step (Jégou 2011
+        §V): the ADC pass keeps k × refine_factor candidates, their
+        FLOAT vectors are fetched from the supplied corpus frame (an
+        equi-join on id — k·factor rows per query, never a corpus
+        scan on the query path's shuffle), exact squared L2 re-ranks,
+        and the top k survive. The returned frame then carries
+        ``exact_dist`` (the ranking key) alongside ``adc_dist``;
+        recall approaches exact search while the ADC pass still
+        pruned the corpus to nprobe cells' codes."""
         cents = self.spark.table(self._centroids_table).select(
             "cell", F.col("centroid").alias("_ce")
         )
@@ -473,14 +488,46 @@ class AnnIndex:
         w = Window.partitionBy("query_id").orderBy("_tq", "vec_id")
         from kpipe_spark.util import ieee_round
 
-        return (
+        adc_k = k * refine_factor if refine_with is not None else k
+        shortlist = (
             cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
+            .filter(F.col("rn") <= adc_k)
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
                 ieee_round(F.col("_tq") / F.lit(_FP), 4).alias("adc_dist"),
                 F.col("cell").cast("long").alias("cell"),
+                "rn",
+            )
+        )
+        if refine_with is None:
+            return shortlist
+
+        dim = self.m * self.sub_dim
+        corpus = self._vectors(refine_with).withColumnRenamed(
+            "vec_id", "neighbor_id"
+        )
+        qv = self._vectors(queries).select(
+            F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
+        )
+        refined = (
+            shortlist.drop("rn")
+            .join(corpus, "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .withColumn("_edq", _fixed_sq_l2("_qe", "_e", dim))
+        )
+        wr = Window.partitionBy("query_id").orderBy("_edq", "neighbor_id")
+        return (
+            refined.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                ieee_round(F.col("_edq") / F.lit(_FP), 4).alias(
+                    "exact_dist"
+                ),
+                "adc_dist",
+                "cell",
                 "rn",
             )
         )

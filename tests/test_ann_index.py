@@ -213,3 +213,75 @@ def caplog_at(level):
     finally:
         logger.removeHandler(h)
         logger.setLevel(old)
+
+
+def test_refine_reranks_toward_exact(spark, built):
+    """IVFADC+R (Jégou 2011 §V): re-ranking the ADC shortlist with
+    exact distances must (a) return exact_dist-ascending rows drawn
+    from the ADC shortlist's candidate pool, and (b) achieve recall vs
+    the probed-cells exact ranking at least as high as the plain ADC
+    pass — on this corpus the ADC ordering inside the shortlist is
+    imperfect, so refinement strictly helps or ties per query."""
+    import numpy as np
+
+    idx, emb = built
+    panel = emb.filter("vec_id % 25 = 0 AND vec_id < 500")
+    plain = idx.search(panel, k=10, nprobe=2).collect()
+    refined = idx.search(
+        panel, k=10, nprobe=2, refine_with=emb, refine_factor=4
+    ).collect()
+
+    # ground truth: exact top-10 over the SAME probed-cell candidate
+    # universe (refinement can't resurrect an unprobed cell)
+    rows = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([i for i, _ in rows])
+    x = np.array([v for _, v in rows], dtype=np.float64)
+    cents = x[: idx.n_cells]
+    cd = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cdq = np.floor(cd * (1 << 24) + 0.5).astype(np.int64)
+    cell_of = cdq.argmin(axis=1)
+    by_id = {int(ids[i]): i for i in range(len(ids))}
+
+    def exact_topk(qid: int) -> set:
+        qi = by_id[qid]
+        probed = set(np.argsort(cdq[qi], kind="stable")[:2])
+        cand = [
+            i
+            for i in range(len(ids))
+            if cell_of[i] in probed and i != qi
+        ]
+        d = ((x[cand] - x[qi]) ** 2).sum(axis=1)
+        order = sorted(zip(np.floor(d * (1 << 24) + 0.5).astype(np.int64),
+                           [int(ids[c]) for c in cand]))
+        return {vid for _, vid in order[:10]}
+
+    def group(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    g_plain, g_ref = group(plain), group(refined)
+    assert set(g_plain) == set(g_ref)
+    better, worse = 0, 0
+    for qid in g_plain:
+        truth = exact_topk(qid)
+        r_plain = len(g_plain[qid] & truth)
+        r_ref = len(g_ref[qid] & truth)
+        assert r_ref >= r_plain, (qid, r_ref, r_plain)
+        better += int(r_ref > r_plain)
+        worse += int(r_ref < r_plain)
+    assert worse == 0
+    assert better > 0, "refinement never improved any query — suspicious"
+    # structural: exact_dist ascending and rn dense per query
+    per_q = {}
+    for r in refined:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per_q.items():
+        rs = sorted(rs, key=lambda r: r["rn"])
+        dists = [r["exact_dist"] for r in rs]
+        assert dists == sorted(dists)
+        assert [r["rn"] for r in rs] == list(range(1, len(rs) + 1))

@@ -114,6 +114,7 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         "cents", "centroids", "probes",  # k centroids / n_probe cells
         "cb",          # llm_ops13 d86: m*k-row PQ codebook (1024 rows)
         "adc",         # llm_ops13 d86: panel*m*k ADC lookup table
+        "qv",          # ann_index refine: the bounded query panel
         "hist",        # selection.py: <=10001-row quality histogram
         "freq",        # vocab-sized token document-frequency table
         "df",          # llm_ops3 tf-idf: vocab-sized doc-frequency
