@@ -162,3 +162,48 @@ def test_d88_neighbors_come_from_probed_cells_only(spark, vectors):
     assert set(per_q) == set(probed)
     for qid, rs in per_q.items():
         assert sorted(r["rn"] for r in rs) == list(range(1, 11))
+
+
+def test_fixed_point_distance_matches_numpy_on_adversarial_vectors(spark):
+    """The cross-engine bridge is floor(sqL2 * 2^24 + 0.5) computed in
+    IEEE left-to-right order — check the Spark expression against a
+    numpy recomputation on vectors the corpus never exercises:
+    near-identical pairs (differences at 1e-9), mixed magnitudes
+    (1e-6 vs 1e3), negative zeros, and exact ties."""
+    from kpipe_spark.queries.llm_ops13 import _sq_l2q
+
+    rng = np.random.default_rng(20260815)
+    dim = 4
+    pairs = []
+    for i in range(200):
+        a = rng.normal(0, 1, dim)
+        kind = i % 4
+        if kind == 0:
+            b = a + rng.normal(0, 1e-9, dim)  # near-identical
+        elif kind == 1:
+            b = a * rng.choice([1e-6, 1e3], dim)  # magnitude mix
+        elif kind == 2:
+            b = np.where(rng.random(dim) < 0.5, -0.0, a)  # signed zeros
+        else:
+            b = a.copy()  # exact tie -> distance exactly 0
+        pairs.append((i, [float(x) for x in a], [float(x) for x in b]))
+    df = spark.createDataFrame(
+        pairs, "pair_id long, a array<double>, b array<double>"
+    )
+    got = {
+        r["pair_id"]: r["dq"]
+        for r in df.select(
+            "pair_id", _sq_l2q("a", "b", dim).alias("dq")
+        ).collect()
+    }
+    for pid, a, b in pairs:
+        # numpy reference in the same order: ((t0+t1)+t2)+t3
+        av, bv = np.array(a), np.array(b)
+        t = (av - bv) * (av - bv)
+        acc = 0.0
+        for x in t:
+            acc = acc + x
+        want = int(np.floor(acc * float(1 << 24) + 0.5))
+        assert got[pid] == want, (pid, got[pid], want)
+        if a == b:
+            assert got[pid] == 0
