@@ -61,6 +61,12 @@ HEADLINE = [
     # normalization) — the Python-boundary throughput number, the
     # companion to m03's decode cost
     "d79_text_normalization",
+    # round 6: the PQ-ANN family's corpus encode + ADC pass (d86) and
+    # the assembled IVF-PQ serving shape (d88) — tracked like d13.
+    # The headline TOTAL grows by their cost vs rounds <=5;
+    # legacy16_subtotal keeps the rounds-1-3 comparison intact.
+    "d86_pq_adc_topk",
+    "d88_ivfpq_topk",
 ]
 
 
