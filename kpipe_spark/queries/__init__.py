@@ -52,10 +52,10 @@ def register(
 # DuckDB oracle. After round 5 every oracle-backed query's latest
 # driver grade is a hash pass; the window is pure stalest-first
 # evidence rotation plus first-time grades for new ops. Round 6:
-# the two NEW PQ-ANN ops (d86/d87) lead, then ALL 37 remaining
+# the four NEW PQ-ANN ops (d86-d89) lead, then ALL 37 remaining
 # round-2-era grades (the full relational spread the r4/r5 windows
 # displaced: joins, set ops, rollup/cube/grouping-sets, windows,
-# subqueries, sessionization, range/as-of), then the 8 stalest
+# subqueries, sessionization, range/as-of), then the 6 stalest
 # round-3-era LLM-ops re-grades. The three cross-round sentinels
 # (q01, p01, d05) stay for comparability. All oracle-backed queries
 # run the identical DuckDB compare in pytest regardless of window
@@ -71,6 +71,7 @@ FLAGSHIP_50: tuple[str, ...] = (
     "d86_pq_adc_topk",
     "d87_pq_recall",
     "d88_ivfpq_topk",
+    "d89_pq_codebook_health",
     # round-2-era re-grades (stalest driver evidence, all 37)
     "q03_shipping_priority",
     "q04_order_priority",
@@ -116,7 +117,6 @@ FLAGSHIP_50: tuple[str, ...] = (
     "d46_cross_source_overlap",
     "d47_dedup_survivors",
     "d48_minhash_estimator_calibration",
-    "d49_semantic_decontamination",
 )
 
 

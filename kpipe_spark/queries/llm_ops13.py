@@ -502,3 +502,125 @@ def d88_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d89: PQ codebook health — the monitoring row for the d86/d88 family
+# ---------------------------------------------------------------------------
+
+
+def _pq_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, j, code, dq): each vector-subspace's chosen code AND
+    its quantization error (the min subspace distance d86's argmin
+    discards) — the raw material of codebook-health monitoring."""
+    emb = load_tables(spark, sf_dir).embeddings
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    subs = v.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("_e"), j * _PQ_SUB + 1, _PQ_SUB)
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("j", "_sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), "j", F.col("_sub").alias("_cb")
+    )
+    dist = subs.join(F.broadcast(cb), "j").select(
+        "vec_id", "j", "code", _sq_l2q("_sub", "_cb", _PQ_SUB).alias("dq")
+    )
+    win = F.min_by(
+        F.struct(F.col("code"), F.col("dq")),
+        F.struct(F.col("dq"), F.col("code")),
+    )
+    return (
+        dist.groupBy("vec_id", "j")
+        .agg(win.alias("_w"))
+        .select("vec_id", "j", F.col("_w.code").alias("code"), F.col("_w.dq").alias("dq"))
+    )
+
+
+@register(
+    "d89_pq_codebook_health",
+    oracle=f"""
+    WITH {_PQ_CTES.strip()},
+    chosen AS (
+      SELECT vec_id, j, code, dq FROM (
+        SELECT vec_id, j, code, dq,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dq, code) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), cu AS (
+      SELECT j, code, count(*) AS c FROM chosen GROUP BY j, code
+    ), top AS (
+      SELECT j, code, c FROM (
+        SELECT j, code, c,
+               row_number() OVER (PARTITION BY j
+                                  ORDER BY c DESC, code) AS rn
+        FROM cu
+      ) WHERE rn = 1
+    ), agg AS (
+      SELECT j, count(*) AS n, CAST(sum(dq) AS BIGINT) AS sd,
+             max(dq) AS md, count(DISTINCT code) AS used
+      FROM chosen GROUP BY j
+    )
+    SELECT agg.j,
+           CAST(agg.n AS BIGINT) AS n_vectors,
+           floor(CAST(agg.sd AS DOUBLE) / {_FP!r} / agg.n * 1000000.0
+                 + 0.5) / 1000000.0 AS mean_qerr,
+           floor(CAST(agg.md AS DOUBLE) / {_FP!r} * 10000.0 + 0.5)
+             / 10000.0 AS max_qerr,
+           CAST(agg.used AS BIGINT) AS codes_used,
+           CAST(top.code AS BIGINT) AS top_code,
+           floor(top.c * 1.0 / agg.n * 10000.0 + 0.5) / 10000.0
+             AS top_code_share
+    FROM agg JOIN top ON agg.j = top.j
+    """,
+    description="PQ codebook health: per subspace, the mean/max "
+    "quantization error (the residual d86's ADC distances absorb as "
+    "bias) and the code-usage profile — codes_used of k plus the top "
+    "code's share, the standard dead-codebook detector: a subspace "
+    "whose vectors pile onto few codes has stopped discriminating and "
+    "needs retraining (the PQ analogue of d62's IVF cell profile; "
+    "d87 measures the recall consequence, this says WHICH subspace "
+    "to fix). Integer-exact: errors are d86's fixed-point BIGINTs, "
+    "shares are count ratios, tie-breaks to the lowest code in both "
+    "engines. Scale: one corpus×m×k distance pass (the same shape as "
+    "the d86 encode — at 100 TB this rides the encode job for free), "
+    "then everything is m- or m×k-sized.",
+    tags=("llm", "similarity", "pq", "monitoring"),
+)
+def d89_pq_codebook_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chosen = _pq_assignments(spark, sf_dir)
+    cu = chosen.groupBy("j", "code").agg(F.count(F.lit(1)).alias("c"))
+    top_key = F.struct(F.col("c"), (-F.col("code")).alias("_nc"))
+    top = cu.groupBy("j").agg(
+        F.max_by("code", top_key).cast("long").alias("top_code"),
+        F.max("c").alias("_topc"),
+    )
+    agg = chosen.groupBy("j").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("dq").alias("_sd"),
+        F.max("dq").alias("_md"),
+        F.countDistinct("code").alias("codes_used"),
+    )
+    return (
+        agg.join(top, "j")
+        .select(
+            "j",
+            "n_vectors",
+            ieee_round(
+                F.col("_sd") / F.lit(_FP) / F.col("n_vectors"), 6
+            ).alias("mean_qerr"),
+            ieee_round(F.col("_md") / F.lit(_FP), 4).alias("max_qerr"),
+            F.col("codes_used").cast("long").alias("codes_used"),
+            "top_code",
+            ieee_round(F.col("_topc") / F.col("n_vectors"), 4).alias(
+                "top_code_share"
+            ),
+        )
+    )

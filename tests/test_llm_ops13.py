@@ -207,3 +207,43 @@ def test_fixed_point_distance_matches_numpy_on_adversarial_vectors(spark):
         assert got[pid] == want, (pid, got[pid], want)
         if a == b:
             assert got[pid] == 0
+
+
+def test_d89_codebook_health_invariants(spark):
+    """Structural truths of the codebook-health profile: one row per
+    subspace, usage bounded by k, the top code's share consistent
+    with the usage count, and mean <= max error — plus a numpy
+    recomputation of code usage for subspace 0."""
+    from kpipe_spark.queries import all_queries
+
+    rows = {
+        r["j"]: r
+        for r in all_queries()["d89_pq_codebook_health"]
+        .build(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(rows) == set(range(_PQ_M))
+    for j, r in rows.items():
+        assert 1 <= r["codes_used"] <= _PQ_K
+        assert 0 <= r["top_code"] < _PQ_K
+        # if u codes are used, the most-used one covers >= n/u of n
+        assert r["top_code_share"] * r["codes_used"] >= 0.999
+        assert r["mean_qerr"] <= r["max_qerr"] + 1e-9
+        assert r["n_vectors"] == 500
+
+    import duckdb
+
+    vecs = duckdb.sql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    x = np.array([v for _, v in vecs]).reshape(len(vecs), _PQ_M, _PQ_SUB)
+    d0 = ((x[:, 0, None, :] - x[:_PQ_K, None, 0, :].transpose(1, 0, 2)) ** 2).sum(axis=2)
+    dq0 = np.floor(d0 * _FP + 0.5).astype(np.int64)
+    codes0 = dq0.argmin(axis=1)
+    used0 = len(set(codes0.tolist()))
+    counts = np.bincount(codes0, minlength=_PQ_K)
+    top0 = int(np.flatnonzero(counts == counts.max())[0])
+    assert rows[0]["codes_used"] == used0
+    assert rows[0]["top_code"] == top0
+    assert rows[0]["top_code_share"] == round(counts.max() / 500, 4)
