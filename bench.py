@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Headline benchmark: run the flagship queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. The full artifact (per-query ambient
+contention, A/B guards, streaming stats) is written to --out (default
+BENCH_HEADLINE.json); the stdout line is sized to fit the driver's
+bounded 2000-char tail capture (see _compact_headline_line).
 
 Each query is timed end-to-end (plan + execute + noop-sink write) after
 one warm-up query primes the JVM/session. Queries are the oracle-graded
@@ -492,7 +495,74 @@ def _await_quiet_machine() -> float:
     return waited
 
 
-def main() -> None:
+def _compact_headline_line(doc: dict, limit: int = 1900) -> str:
+    """The ONE stdout JSON line, sized for the driver's bounded tail
+    capture (2000 chars: BENCH_r06.json shipped `parsed: null` because
+    the full doc — per-query ambient dict + two methodology paragraphs —
+    overflowed it and the line got beheaded). The full doc goes to the
+    --out file; stdout carries the contract fields (metric/value/unit/
+    queries/sf) plus compact evidence summaries, dropping optional
+    fields lowest-value-first if the line would still overflow."""
+    compact = {
+        k: doc[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "legacy16_subtotal",
+            "pipeline_records_per_sec",
+            "streaming_records_per_sec",
+            "streaming_steady_state_rps",
+            "streaming_rps_best",
+            "streaming_rps_median",
+            "streaming_rps_spread",
+            "sf",
+            "loadavg_start",
+            "ambient_gate",
+            "requeue_wait_sec",
+        )
+        if k in doc
+    }
+    # per-query ambient collapses to its max + the nonzero rows — on a
+    # quiet run (the only kind worth comparing) that is "0.0" + {}
+    amb = doc.get("ambient_load_per_query", {})
+    compact["ambient_max"] = max(amb.values(), default=0.0)
+    hot = {k: v for k, v in amb.items() if v > 0}
+    if hot:
+        compact["ambient_hot"] = hot
+    if doc.get("bench_requeues"):
+        compact["bench_requeues"] = doc["bench_requeues"]
+    ab = doc.get("d05_signature_ab", {})
+    if ab:
+        compact["d05_ab_shipped_is_faster"] = ab.get("shipped_is_faster")
+    admit = doc.get("incremental_admit_ab", {})
+    if admit:
+        compact["admit_artifact_speedup"] = admit.get("artifact_speedup")
+    compact["detail"] = doc.get("detail_artifact", "BENCH_HEADLINE.json")
+    # drop order: evidence summaries first, never the contract fields
+    droppable = (
+        "ambient_hot",
+        "bench_requeues",
+        "streaming_rps_spread",
+        "streaming_rps_median",
+        "streaming_rps_best",
+        "d05_ab_shipped_is_faster",
+        "admit_artifact_speedup",
+        "loadavg_start",
+        "requeue_wait_sec",
+        "ambient_gate",
+    )
+    line = json.dumps(compact, separators=(",", ":"))
+    for k in droppable:
+        if len(line) <= limit:
+            break
+        compact.pop(k, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
+def main(out_path: str | None = None) -> None:
     load_gate_wait = _await_quiet_machine()
     # ambient load BEFORE the workload: the bench itself saturates the
     # machine, so an at-exit sample (rounds <=3 reported ~9 "under
@@ -566,82 +636,56 @@ def main() -> None:
     # over the events table, so rows/elapsed is our comparable number
     n_events = queries["p01_outcome_accounting"].build(spark, sf_dir) \
         .agg(F.sum("n").alias("t")).collect()[0]["t"]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # rounds 1-3 comparability: the original 16 headline
-                # queries, before d54/p04/d68/d79 joined the list
-                "legacy16_subtotal": round(
-                    sum(timings[n] for n in HEADLINE[:16]), 3
-                ),
-                # external-process CPU cores burned during each
-                # query's capture window (total /proc/stat busy minus
-                # our own process tree). THE per-query contention
-                # number: raw 1-min loadavg mid-bench is dominated by
-                # our own 32-thread footprint and lags 60 s, so it
-                # cannot gate individual queries; this can, exactly.
-                # Captures above ambient_gate were waited out and
-                # re-run (bench_requeues).
-                "ambient_load_per_query": ambient,
-                "ambient_load_definition": (
-                    "external-process CPU cores during the query's "
-                    "capture window: (/proc/stat busy jiffies minus "
-                    "this bench's own process-tree jiffies) / window. "
-                    "The per-query contention number — raw 1-min "
-                    "loadavg mid-run is dominated by the bench's own "
-                    "32 executor threads and lags 60s, so it cannot "
-                    "gate individual queries; this measures exactly "
-                    "the neighbors' cores. Captures above "
-                    "ambient_gate were waited out and re-run "
-                    "(bench_requeues)."
-                ),
-                "ambient_gate": gate,
-                "bench_requeues": requeued,
-                "pipeline_records_per_sec": int(
-                    n_events / timings["p01_outcome_accounting"]
-                ),
-                "streaming_records_per_sec": streaming_rate,
-                # sustained rate between first- and last-batch
-                # completion — startup excluded, the shape the
-                # reference's minutes-long consumer benchmarks report
-                "streaming_steady_state_rps": streaming_steady,
-                # variance honesty: the spread statistics are over the
-                # STEADY-STATE rates of the 3 runs (10 batches each, 9
-                # measured intervals — startup/first-trigger I/O
-                # excluded); r5's 0.44 spread/median was measured over
-                # whole-run rates whose variance WAS that startup
-                "streaming_rps_best": steady_rates[-1],
-                "streaming_rps_median": steady_rates[1],
-                "streaming_rps_spread": steady_rates[-1] - steady_rates[0],
-                "streaming_methodology": (
-                    "3 runs x 10 micro-batches; best/median/spread over "
-                    "per-run steady-state rates (batch-1 completion to "
-                    "last-batch completion); whole-run best kept as "
-                    "streaming_records_per_sec for rounds-1-5 continuity"
-                ),
-                "d05_signature_ab": signature_ab,
-                "incremental_admit_ab": admit_ab,
-                "sf": sf_dir,
-                # ambient 1-min load BEFORE the workload started (the
-                # normalization number) and at exit (dominated by the
-                # bench's own 32-core footprint; kept for continuity
-                # with rounds <=3 whose single loadavg was this one)
-                "loadavg_start": loadavg_start,
-                "loadavg": round(os.getloadavg()[0], 2),
-                "load_gate_wait_sec": int(load_gate_wait),
-                # seconds spent waiting for ambient quiet before
-                # requeued captures (run-wide budget: a machine that
-                # never quiets can't stall the bench for hours — the
-                # per-query ambient numbers then say which rows are
-                # noise-dominated)
-                "requeue_wait_sec": int(budget.spent),
-            }
-        )
+    out_path = out_path or os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", "BENCH_HEADLINE.json"
     )
+    # full artifact: everything, including the per-query ambient dict.
+    # Methodology prose lives in ARCHITECTURE.md §6.5 (moving it out of
+    # the JSON is half of what keeps the stdout line under the driver's
+    # 2000-char tail window; the other half is the compact-line builder)
+    doc = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # rounds 1-3 comparability: the original 16 headline
+        # queries, before d54/p04/d68/d79 joined the list
+        "legacy16_subtotal": round(
+            sum(timings[n] for n in HEADLINE[:16]), 3
+        ),
+        # external-process CPU cores burned during each query's
+        # capture window (total /proc/stat busy minus our own process
+        # tree) — definition + rationale: ARCHITECTURE.md §6.5.
+        # Captures above ambient_gate were waited out and re-run
+        # (bench_requeues).
+        "ambient_load_per_query": ambient,
+        "ambient_gate": gate,
+        "bench_requeues": requeued,
+        "pipeline_records_per_sec": int(
+            n_events / timings["p01_outcome_accounting"]
+        ),
+        "streaming_records_per_sec": streaming_rate,
+        # steady-state = batch-1 completion -> last-batch completion
+        # (startup excluded); spread stats over the 3 runs' steady
+        # rates — methodology: ARCHITECTURE.md §6.5
+        "streaming_steady_state_rps": streaming_steady,
+        "streaming_rps_best": steady_rates[-1],
+        "streaming_rps_median": steady_rates[1],
+        "streaming_rps_spread": steady_rates[-1] - steady_rates[0],
+        "d05_signature_ab": signature_ab,
+        "incremental_admit_ab": admit_ab,
+        "sf": sf_dir,
+        "loadavg_start": loadavg_start,
+        "loadavg": round(os.getloadavg()[0], 2),
+        "load_gate_wait_sec": int(load_gate_wait),
+        "requeue_wait_sec": int(budget.spent),
+        "detail_artifact": out_path,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    # the ONE stdout line, final and compact (driver tail = 2000 chars)
+    print(_compact_headline_line(doc), flush=True)
     # the A/B is a GUARD, not just telemetry: a family retune that
     # makes the explode->aggregate signature faster than the shipped
     # projection must fail the bench run, not hide in a JSON field.
@@ -661,10 +705,10 @@ def main() -> None:
 if __name__ == "__main__":
     import sys
 
+    out = None
+    if "--out" in sys.argv[1:]:
+        out = sys.argv[sys.argv.index("--out") + 1]
     if "--sweep" in sys.argv[1:]:
-        out = None
-        if "--out" in sys.argv[1:]:
-            out = sys.argv[sys.argv.index("--out") + 1]
         sweep(out)
     else:
-        main()
+        main(out)

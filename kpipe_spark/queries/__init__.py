@@ -49,74 +49,74 @@ def register(
 
 
 # The external driver grades the FIRST 50 registry entries against the
-# DuckDB oracle. After round 5 every oracle-backed query's latest
-# driver grade is a hash pass; the window is pure stalest-first
-# evidence rotation plus first-time grades for new ops. Round 6:
-# the four NEW PQ-ANN ops (d86-d89) lead, then ALL 37 remaining
-# round-2-era grades (the full relational spread the r4/r5 windows
-# displaced: joins, set ops, rollup/cube/grouping-sets, windows,
-# subqueries, sessionization, range/as-of), then the 6 stalest
-# round-3-era LLM-ops re-grades. The three cross-round sentinels
-# (q01, p01, d05) stay for comparability. All oracle-backed queries
-# run the identical DuckDB compare in pytest regardless of window
-# position. (Round-7 rotation note: continue stalest-first — the
-# remaining round-3-era grades: d51/d52/d53, m03/m04, and the
-# q41-q84 relational block, then round-4-era.)
+# DuckDB oracle. After round 6 every oracle-backed query's latest
+# driver grade is a hash pass (CORRECTNESS_r06: 50/50); the window is
+# pure stalest-first evidence rotation plus first-time grades for new
+# ops. Round 7: ALL 41 remaining round-3-era grades (the q41-q84
+# relational block, d49-d53 curation ops, m03/m04 multimodal), then
+# the stalest round-4-era entries in the leftover slots. The three
+# cross-round sentinels (q01, p01, d05) stay for comparability. All
+# oracle-backed queries run the identical DuckDB compare in pytest
+# regardless of window position. (Round-8 rotation note: continue
+# stalest-first with the round-4-era grades — d01/d08/d13/d17,
+# d54-d79, m01/m05-m07, p04, q06/q13/q26/q30/q34/q39/q40/q42/q46/
+# q51/q85.)
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",
     "p01_outcome_accounting",
     "d05_minhash_neardup",
-    # round-6 NEW ops: first-time driver grades outrank re-grades
-    "d86_pq_adc_topk",
-    "d87_pq_recall",
-    "d88_ivfpq_topk",
-    "d89_pq_codebook_health",
-    # round-2-era re-grades (stalest driver evidence, all 37)
-    "q03_shipping_priority",
-    "q04_order_priority",
-    "q05_local_supplier_volume",
-    "q07_join_left_outer",
-    "q08_join_anti",
-    "q09_join_semi",
-    "q10_join_full_outer",
-    "q12_window_running_total",
-    "q14_rollup",
-    "q15_cube",
-    "q16_union",
-    "q17_intersect",
-    "q18_except",
-    "q19_distinct_agg",
-    "q20_scalar_string_math",
-    "q21_date_functions",
-    "q22_events_hourly",
-    "q23_json_extract",
-    "q24_topk_orders",
-    "q25_grouping_sets",
-    "q27_conditional_agg_pivot",
-    "q28_range_join",
-    "q29_string_agg",
-    "q31_correlated_scalar_subquery",
-    "q32_in_subquery",
-    "q33_percentiles",
-    "q35_pivot",
-    "q36_unpivot",
-    "q37_sessionization",
-    "q38_asof_join",
-    "q44_range_frame_moving_sum",
-    "q45_array_map_functions",
-    "q49_exists_subquery",
-    "q56_exact_median",
-    "q68_argmax_aggregates",
-    "q70_lateness_priority_counts",
-    "q71_event_funnel",
-    # round-3-era re-grades: LLM-ops families first
-    "d37_semdedup_clusters",
-    "d44_temperature_sampling_weights",
-    "d45_sequence_length_histogram",
-    "d46_cross_source_overlap",
-    "d47_dedup_survivors",
-    "d48_minhash_estimator_calibration",
+    # round-3-era re-grades: LLM-ops + multimodal first
+    "d49_semantic_decontamination",
+    "d50_quality_weighted_sampling",
+    "d51_packing_efficiency",
+    "d52_leakage_safe_split",
+    "d53_cdc_chunk_dedup",
+    "m03_media_features",
+    "m04_resize_plan",
+    # round-3-era re-grades: the q41-q84 relational block (all 34)
+    "q41_sliding_window",
+    "q43_distribution_ranks",
+    "q47_time_bucket_window",
+    "q48_null_handling_and_editdist",
+    "q50_histogram_buckets",
+    "q52_posexplode_lateral",
+    "q53_large_volume_orders",
+    "q54_nation_volume_shipping",
+    "q55_inactive_rich_customers",
+    "q57_filtered_aggregates",
+    "q58_customer_order_distribution",
+    "q59_promo_revenue",
+    "q60_small_quantity_revenue",
+    "q61_disjunctive_part_revenue",
+    "q62_waiting_supplier",
+    "q63_market_share",
+    "q64_returned_item_revenue",
+    "q65_top_supplier",
+    "q66_stat_aggregates",
+    "q67_activity_streaks",
+    "q69_lateral_topk",
+    "q72_retention_cohorts",
+    "q73_event_transitions",
+    "q74_loyal_customers_by_nation",
+    "q75_boolean_aggregates",
+    "q76_error_rate_anomaly",
+    "q77_monthly_revenue_growth",
+    "q78_revenue_pareto",
+    "q79_gap_fill_locf",
+    "q80_nation_profit",
+    "q81_important_parts",
+    "q82_part_supplier_counts",
+    "q83_best_supplier_per_part",
+    "q84_excess_share_shippers",
+    # round-4-era stalest (leftover slots; swapped for first-time
+    # grades when a round ships new ops)
+    "d01_dedup_exact",
+    "d08_similarity_topk",
+    "d13_ivf_topk",
+    "d17_unigram_logprob",
+    "d54_incremental_dedup",
+    "d57_token_budget_selection",
 )
 
 

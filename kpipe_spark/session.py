@@ -57,6 +57,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
+        # console progress writes \r[Stage ...] lines to the terminal;
+        # harmless interactively but they pollute captured stdout/stderr
+        # (BENCH_r06.json was beheaded by them + a long JSON line
+        # overflowing the driver's 2000-char tail window)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
         # local[N] puts driver + all N task slots in ONE JVM; Spark's 1g
         # default heap thrashes GC at 32 threads (measured: GCLocker

@@ -95,3 +95,80 @@ def test_requeue_budget_bounds_waiting(monkeypatch):
     assert budget.remaining <= 0
     # a second call with the spent budget returns immediately
     assert bench._await_ambient_quiet(2.0, budget, max_wait=600.0) == 0.0
+
+
+def _headline_doc(n_queries: int, hot: int = 0) -> dict:
+    names = [f"d{i:02d}_some_reasonably_long_query_name" for i in range(n_queries)]
+    return {
+        "metric": "headline_queries_total_runtime",
+        "value": 25.123,
+        "unit": "sec",
+        "queries": {n: 1.234 for n in names},
+        "legacy16_subtotal": 9.876,
+        "ambient_load_per_query": {
+            n: (1.23 if i < hot else 0.0) for i, n in enumerate(names)
+        },
+        "ambient_gate": 2.0,
+        "bench_requeues": {n: 2 for n in names[:hot]},
+        "pipeline_records_per_sec": 267379,
+        "streaming_records_per_sec": 153179,
+        "streaming_steady_state_rps": 129048,
+        "streaming_rps_best": 153179,
+        "streaming_rps_median": 129048,
+        "streaming_rps_spread": 27600,
+        "d05_signature_ab": {
+            "projection_sec": 0.6,
+            "aggregate_sec": 1.2,
+            "shipped": "projection",
+            "shipped_is_faster": True,
+        },
+        "incremental_admit_ab": {
+            "stored_index_admit_sec": 1.02,
+            "inline_derivation_sec": 1.549,
+            "artifact_speedup": 1.52,
+        },
+        "sf": "/root/testdata/sf0.1",
+        "loadavg_start": 2.58,
+        "loadavg": 4.81,
+        "load_gate_wait_sec": 0,
+        "requeue_wait_sec": 0,
+        "detail_artifact": "BENCH_HEADLINE.json",
+    }
+
+
+def test_compact_headline_line_fits_driver_tail_window():
+    """BENCH_r06.json shipped parsed:null because the stdout JSON line
+    outgrew the driver's 2000-char tail capture. The compact line must
+    fit with margin at the real headline size (22 queries) AND keep the
+    contract fields (metric/value/unit/queries/sf) parseable."""
+    import json
+
+    line = bench._compact_headline_line(_headline_doc(len(bench.HEADLINE)))
+    assert len(line) <= 1900, len(line)
+    parsed = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in parsed, k
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
+    # quiet run: per-query ambient collapses to a max, not 22 zeros
+    assert parsed["ambient_max"] == 0.0
+    assert "ambient_hot" not in parsed
+    assert "ambient_load_definition" not in parsed
+
+
+def test_compact_headline_line_trims_before_overflowing():
+    """With every query hot + requeued (worst-case evidence size), the
+    line drops optional fields rather than overflow — contract fields
+    survive."""
+    import json
+
+    doc = _headline_doc(len(bench.HEADLINE), hot=len(bench.HEADLINE))
+    full = bench._compact_headline_line(doc, limit=10**6)
+    line = bench._compact_headline_line(doc, limit=1200)
+    parsed = json.loads(line)
+    assert len(line) < len(full)
+    # every droppable was sacrificed before touching contract fields
+    assert "ambient_hot" not in parsed and "bench_requeues" not in parsed
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in parsed, k
+    # the worst case still fits the REAL window once droppables go
+    assert len(line) <= 1900, len(line)
