@@ -114,7 +114,13 @@ def main() -> None:
     # tests/test_corpus_index.py)
     from kpipe_spark.functions.corpus_index import CorpusIndex
 
-    idx = CorpusIndex.build(spark, corpus, "corpus_bands_api")
+    import uuid
+
+    # uuid-suffixed so a killed run's leftover warehouse directory can
+    # never poison the next run (the bench-index discipline)
+    idx = CorpusIndex.build(
+        spark, corpus, f"corpus_bands_api_{uuid.uuid4().hex[:8]}"
+    )
     try:
         ledger = idx.admit(batch)
         admitted = batch.join(

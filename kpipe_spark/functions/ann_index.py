@@ -137,6 +137,13 @@ class AnnIndex:
         MLlib) — and the index stores THOSE; everything downstream
         (assignment, residuals, search) only reads the side table."""
         idx = cls(spark, table, **family)
+        from kpipe_spark.util import reclaim_orphaned_table_location
+
+        # a crashed prior build leaves managed directories with no
+        # catalog entry; saveAsTable would die with
+        # LOCATION_ALREADY_EXISTS on the first driver-OOM rerun
+        for t in (table, idx._centroids_table, idx._codebooks_table):
+            reclaim_orphaned_table_location(spark, t)
         v = idx._vectors(vectors)
         if centroids is not None:
             cents = centroids.select(
@@ -373,6 +380,9 @@ class AnnIndex:
         tmp = f"{self.table}__compacting"
         backup = f"{self.table}__precompact"
         self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        from kpipe_spark.util import reclaim_orphaned_table_location
+
+        reclaim_orphaned_table_location(self.spark, tmp)
         (
             self.spark.table(self.table)
             .repartition(self.n_cells, F.col("cell"))

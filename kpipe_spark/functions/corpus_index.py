@@ -341,6 +341,9 @@ class CorpusIndex:
         tmp = f"{self.table}__compacting"
         backup = f"{self.table}__precompact"
         self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        from kpipe_spark.util import reclaim_orphaned_table_location
+
+        reclaim_orphaned_table_location(self.spark, tmp)
         # reading the table AS bucketed makes the planner elide the
         # explicit repartition (the scan already claims the target
         # partitioning), leaving one output file per (input task,

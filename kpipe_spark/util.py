@@ -308,6 +308,50 @@ def _dataset_bytes(path: str) -> int:
     return total
 
 
+def reclaim_orphaned_table_location(spark, table: str) -> bool:
+    """Free a managed table's directory when the catalog has NO entry
+    for it — the dirt a crashed job leaves behind (driver OOM between
+    the filesystem write and the catalog commit; or, on an ephemeral
+    in-memory catalog, ANY leftover warehouse directory, since each
+    new session starts with an empty catalog). ``saveAsTable`` then
+    dies with LOCATION_ALREADY_EXISTS even in overwrite mode, because
+    overwrite only drops tables the catalog knows about — this exact
+    failure made the round-6 handover suite red on first run
+    (spark-warehouse/corpus_bands_api, orphaned mid-session).
+
+    Deleting is safe by construction: the directory is checked to be
+    the MANAGED location derived from the warehouse dir, and a
+    catalog-miss means no query can reach those files. Goes through
+    the Hadoop FileSystem API so it works on whatever store backs the
+    warehouse (HDFS/S3/local), not just the local fs. Returns True if
+    a directory was reclaimed."""
+    if spark.catalog.tableExists(table):
+        return False
+    parts = table.split(".")
+    db = parts[-2] if len(parts) >= 2 else spark.catalog.currentDatabase()
+    tbl = parts[-1].lower()
+    sub = tbl if db == "default" else f"{db}.db/{tbl}"
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), sub
+    )
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "reclaiming orphaned managed-table location %s for %s: the "
+        "directory exists with no catalog entry (a crashed prior "
+        "job's leftovers), so saveAsTable would die with "
+        "LOCATION_ALREADY_EXISTS",
+        path.toString(),
+        table,
+    )
+    fs.delete(path, True)
+    return True
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -324,6 +368,7 @@ def write_bucketed(
     with the same bucket count get a SortMergeJoin with no Exchange on
     either side (verified in tests against the physical plan).
     """
+    reclaim_orphaned_table_location(df.sparkSession, table)
     w = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
     if sort_by:
         w = w.sortBy(*sort_by)

@@ -157,6 +157,64 @@ def test_append_advisory_then_compact_preserves_search(spark):
         idx.drop()
 
 
+def _warehouse_path(spark) -> str:
+    import urllib.parse
+
+    return urllib.parse.urlparse(
+        spark.conf.get("spark.sql.warehouse.dir")
+    ).path
+
+
+def test_build_reclaims_orphaned_locations(spark):
+    """A crashed prior build leaves managed directories (code table
+    AND side tables) with no catalog entry; build() must reclaim all
+    three instead of dying with LOCATION_ALREADY_EXISTS on the rerun
+    (CorpusIndex's round-7 resilience rule, applied to the ANN
+    artifact's three-table layout)."""
+    import os
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    table = f"ann_orphan_{uuid.uuid4().hex[:8]}"
+    wh = _warehouse_path(spark)
+    for t in (table, f"{table}__centroids", f"{table}__codebooks"):
+        loc = os.path.join(wh, t)
+        os.makedirs(loc)
+        with open(os.path.join(loc, "leftover.parquet"), "w") as f:
+            f.write("junk from a crashed run")
+    idx = AnnIndex.build(spark, emb.filter("vec_id < 200"), table)
+    try:
+        hits = idx.search(emb.filter("vec_id = 100"), k=3).collect()
+        assert len(hits) == 3
+    finally:
+        idx.drop()
+    for t in (table, f"{table}__centroids", f"{table}__codebooks"):
+        assert not os.path.exists(os.path.join(wh, t)), t
+
+
+def test_append_returns_file_count_and_drop_leaves_no_orphan(spark):
+    """append()'s return value is the index's actual file count (the
+    contract the advisory is computed from — test_corpus_index.py's
+    discipline), and drop() removes every warehouse directory: a
+    lingering one IS the orphan the next build would have to
+    reclaim."""
+    import os
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    table = f"ann_files_{uuid.uuid4().hex[:8]}"
+    idx = AnnIndex.build(spark, emb.filter("vec_id < 300"), table)
+    wh = _warehouse_path(spark)
+    try:
+        n = idx.append(emb.filter("vec_id >= 300 AND vec_id < 350"))
+        assert isinstance(n, int)
+        assert n == len(spark.table(table).inputFiles())
+        assert n > 0
+    finally:
+        idx.drop()
+    assert not spark.catalog.tableExists(table)
+    for t in (table, f"{table}__centroids", f"{table}__codebooks"):
+        assert not os.path.exists(os.path.join(wh, t)), t
+
+
 def test_build_accepts_pretrained_centroids(spark):
     """Production passes real k-means centroids; the index stores and
     uses THOSE (n_cells adopts the centroid count, search assigns

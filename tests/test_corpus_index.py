@@ -105,6 +105,55 @@ def test_admit_append_lifecycle(spark, corpus_rows):
         idx.drop()
 
 
+def _warehouse_path(spark) -> str:
+    import urllib.parse
+
+    return urllib.parse.urlparse(
+        spark.conf.get("spark.sql.warehouse.dir")
+    ).path
+
+
+def test_build_reclaims_orphaned_location(spark, corpus_rows):
+    """A crashed prior job leaves a managed-table DIRECTORY with no
+    catalog entry (exactly the dirt that made the round-6 handover
+    suite red: spark-warehouse/corpus_bands_api). build() must detect
+    the orphan and reclaim it instead of dying with
+    LOCATION_ALREADY_EXISTS on the user's first rerun."""
+    import os
+
+    table = f"ci_orphan_{uuid.uuid4().hex[:8]}"
+    loc = os.path.join(_warehouse_path(spark), table)
+    os.makedirs(loc)
+    with open(os.path.join(loc, "leftover.parquet"), "w") as f:
+        f.write("junk from a crashed run")
+    idx = CorpusIndex.build(
+        spark, _df(spark, corpus_rows), table, num_buckets=2
+    )
+    try:
+        ledger = idx.admit(_df(spark, [(200, SPAM)])).collect()
+        assert len(ledger) == 1 and not ledger[0]["admitted"]
+    finally:
+        idx.drop()
+    assert not os.path.exists(loc), "drop left the directory behind"
+
+
+def test_drop_leaves_no_orphan(spark, corpus_rows):
+    """drop() must remove the warehouse directory along with the
+    catalog entry — a lingering directory IS the orphan the next
+    build has to reclaim."""
+    import os
+
+    table = f"ci_droporphan_{uuid.uuid4().hex[:8]}"
+    idx = CorpusIndex.build(
+        spark, _df(spark, corpus_rows), table, num_buckets=2
+    )
+    loc = os.path.join(_warehouse_path(spark), table)
+    assert os.path.exists(loc)
+    idx.drop()
+    assert not spark.catalog.tableExists(table)
+    assert not os.path.exists(loc)
+
+
 def test_attach_requires_existing_table(spark):
     with pytest.raises(ValueError, match="no such index"):
         CorpusIndex.attach(spark, f"ci_missing_{uuid.uuid4().hex[:8]}")
