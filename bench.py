@@ -70,6 +70,13 @@ HEADLINE = [
     # legacy16_subtotal keeps the rounds-1-3 comparison intact.
     "d86_pq_adc_topk",
     "d88_ivfpq_topk",
+    # round 7: the unigram-LM tokenizer trainer (two Viterbi-EM rounds
+    # on the distinct-word table — the driver-coordinated-loop cost)
+    # and its corpus application (the corpus-sized token explode +
+    # broadcast segmentation join). The headline TOTAL grows by their
+    # cost vs rounds <=6; legacy16_subtotal stays comparable.
+    "d90_unigram_train",
+    "d91_unigram_fertility",
 ]
 
 

@@ -1,0 +1,255 @@
+"""Unigram-LM tokenizer training (Kudo 2018, "Subword Regularization")
+as a distributed DataFrame loop — the unigram twin of ``bpe.py``'s
+merge trainer, with one extra property BPE training can't give the
+oracle contract: DETERMINISTIC, hash-gradeable output.
+
+The public algorithm: seed a candidate vocabulary with frequent
+substrings, then iterate EM — segment the corpus under the current
+piece probabilities, re-estimate probabilities from the resulting
+piece counts, prune the lowest-utility pieces — and tokenize new text
+with the Viterbi segmentation under the final model. This module
+implements the hard-EM (Viterbi-EM) variant: the E-step takes the
+single best segmentation instead of the forward-backward expectation,
+which keeps every corpus-sized aggregate an INTEGER count.
+
+Scale shape (the BPE discipline, ``bpe.py:25``): after ONE corpus
+pass builds the distinct-word frequency table, every training
+iteration runs on that vocabulary-shaped table (Zipf: millions of
+rows at 100 TB, not trillions); the only driver-side data is the
+piece-score table itself, bounded by the vocabulary budget
+(``VOCAB_MULTI`` + alphabet) — the same bounded-collect class as
+BPE's 1-row merge-rule collects.
+
+Determinism (what makes this hash-gradeable where ``d28_bpe_train``
+is rows-only): piece log-probabilities are quantized to 2^14
+fixed-point BIGINTs the moment they exist (llm_ops13's PQ rule), so
+Viterbi path scores are exact integer sums — order-independent,
+tie-broken by the segmentation string under a separator that sorts
+below the piece alphabet (prefix-stable, so the DP argmax equals
+full-path enumeration; the DuckDB oracle brute-forces paths with a
+recursive CTE and must agree bit-for-bit). The only floating step is
+``ln(count/total)`` on exact integer inputs, computed here in Python
+(glibc libm, the same library DuckDB calls) and absorbed by the
+quantizer: a last-ulp disagreement flips the BIGINT only if
+ln(c/N)·2^14 sits within ~2^-30 of a half-integer, which for
+transcendental values of rational inputs is a measure-zero
+coincidence.
+
+kpipe has no tokenizer-training surface (its text ops stop at field
+surgery, /root/reference/docs/FORMATS.md:27); this is north-star
+LLM-pipeline surface (SURVEY.md §2.4), the trainable counterpart of
+d18's fixed pre-tokenizer.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kpipe_spark.functions.text import bpe_ish_tokens
+
+# fixed-point scale for quantized log-probabilities: coarse enough
+# that a 1-ulp ln() disagreement between engines cannot flip the
+# floor, fine enough that distinct counts almost never collide (and a
+# genuine collision is SAFE — both engines compute the same integer
+# and break the tie on the segmentation string)
+QLN_SCALE = 1 << 14
+# longest candidate piece: substrings of length 1..4 seed the vocab
+MAX_PIECE_LEN = 4
+# seed keeps the SEED_MULTI most frequent multi-char substrings (all
+# single chars are always kept — they guarantee every word segments)
+SEED_MULTI = 24
+# the EM prune keeps the VOCAB_MULTI highest-usage multi-char pieces
+VOCAB_MULTI = 16
+
+
+def qln(p: float) -> int:
+    """floor(ln(p)·2^14 + 0.5) — the quantized log-prob, mirrored in
+    oracle SQL as ``CAST(floor(ln(p) * 16384.0 + 0.5) AS BIGINT)``."""
+    return math.floor(math.log(p) * QLN_SCALE + 0.5)
+
+
+def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus pass -> (word, wcount) over the BPE-ish pre-tok
+    (d18's boundary: maximal [a-z]+/[0-9]+ runs of lowercased text)."""
+    return (
+        docs.select(F.explode(bpe_ish_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+
+
+def seed_candidates(wf: DataFrame) -> DataFrame:
+    """(piece, cnt): every substring of length 1..MAX_PIECE_LEN of
+    every distinct word, occurrence-counted (overlaps included) and
+    weighted by word frequency. Vocab-table-sized work: the substring
+    explode runs on distinct words, never the corpus."""
+    pieces = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(MAX_PIECE_LEN), F.length("word") - i + 1
+                    ),
+                ),
+                lambda l: F.col("word").substr(i, l),
+            ),
+        )
+    )
+    return (
+        wf.select("wcount", F.explode(pieces).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcount").alias("cnt"))
+    )
+
+
+def select_seed(cands: DataFrame) -> DataFrame:
+    """All single chars + the top SEED_MULTI multi-char substrings by
+    (cnt desc, piece asc). The top-K compiles to
+    TakeOrderedAndProject (per-partition heap, no global sort)."""
+    singles = cands.filter(F.length("piece") == 1)
+    multi = (
+        cands.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(SEED_MULTI)
+    )
+    return singles.unionByName(multi)
+
+
+def segment_pieces(word: Column, scores: dict[str, int]) -> Column:
+    """Viterbi segmentation of ``word`` under quantized piece scores
+    -> array<string> of pieces.
+
+    Linear DP as a fold: the accumulator is the array of per-prefix
+    states ``struct(neg: BIGINT, seg: STRING)`` — ``neg`` the negated
+    (integer) path score, ``seg`` the ' '-joined pieces. At position
+    i, the MAX_PIECE_LEN candidate extensions (a static Python loop —
+    piece length is bounded, word length is not) are compared with
+    ``array_min`` over (neg asc, seg asc): maximum score, then the
+    lexicographically least segmentation. The ' ' separator sorts
+    below the [a-z0-9] piece alphabet, which makes the tie-break
+    prefix-stable — the property that lets this one-state-per-
+    position DP return exactly what full path enumeration (the DuckDB
+    oracle's recursive CTE) returns. Runs on the distinct-word table
+    (bpe.py's rule: the interpreted-HOF cost rides vocab-shaped rows,
+    never the corpus)."""
+    m = F.create_map(
+        *[
+            x
+            for piece, s in sorted(scores.items())
+            for x in (F.lit(piece), F.lit(s).cast("long"))
+        ]
+    )
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("neg"), F.lit("").alias("seg")
+        )
+    )
+
+    def step(acc: Column, i: Column) -> Column:
+        cands = []
+        for plen in range(1, MAX_PIECE_LEN + 1):
+            piece = word.substr(i - F.lit(plen) + 1, F.lit(plen))
+            s = F.try_element_at(m, piece)
+            prev = F.element_at(acc, i - F.lit(plen) + 1)
+            cands.append(
+                F.when(
+                    (F.lit(plen) <= i) & s.isNotNull(),
+                    F.struct(
+                        (prev["neg"] - s).alias("neg"),
+                        F.concat(
+                            prev["seg"], F.lit(" "), piece
+                        ).alias("seg"),
+                    ),
+                )
+            )
+        best = F.array_min(
+            F.filter(F.array(*cands), lambda c: c.isNotNull())
+        )
+        return F.concat(acc, F.array(best))
+
+    final = F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        init,
+        step,
+        lambda acc: F.element_at(acc, -1)["seg"],
+    )
+    return F.split(F.ltrim(final), " ")
+
+
+@dataclass(frozen=True)
+class UnigramModel:
+    """Trained model: the distinct-word table, the final piece scores
+    (post-prune, Laplace-smoothed from iteration-1 usage), and the
+    final segmentation of every distinct word under those scores."""
+
+    wf: DataFrame  # (word, wcount) — vocab-shaped, checkpointed
+    scores: dict[str, int]  # piece -> quantized log-prob
+    usage1: dict[str, int]  # piece -> iter-1 usage (the M-step input)
+    seg: DataFrame  # (word, wcount, pieces array<string>)
+
+
+def train_unigram(
+    spark: SparkSession, docs: DataFrame, text_col: str = "text"
+) -> UnigramModel | None:
+    """Two Viterbi-EM rounds: seed substring counts -> segment ->
+    prune + re-estimate -> segment. Returns None on a wordless corpus
+    (every text NULL/contentless) — callers emit an empty frame.
+
+    Driver-side data per round is ONE vocabulary-budget-sized collect
+    (piece, count) — ≤ alphabet + SEED_MULTI rows, the d28 merge-loop
+    class — because the Viterbi expression needs the current scores
+    as a literal map. Everything corpus-scaled stays distributed.
+    """
+    wf = word_freq(docs, text_col).localCheckpoint(eager=True)
+    # bounded collect #1: the seed vocabulary (≤ alphabet + SEED_MULTI)
+    seed_rows = select_seed(seed_candidates(wf)).collect()
+    if not seed_rows:
+        return None
+    total0 = sum(r["cnt"] for r in seed_rows)
+    scores = {r["piece"]: qln(r["cnt"] / total0) for r in seed_rows}
+
+    def segment(sc: dict[str, int]) -> DataFrame:
+        return wf.select(
+            "word",
+            "wcount",
+            segment_pieces(F.col("word"), sc).alias("pieces"),
+        )
+
+    def usage_of(seg: DataFrame) -> dict[str, int]:
+        # bounded collect #2/#3: per-piece usage (≤ seed size)
+        return {
+            r["piece"]: r["usage"]
+            for r in seg.select(
+                F.explode("pieces").alias("piece"), "wcount"
+            )
+            .groupBy("piece")
+            .agg(F.sum("wcount").alias("usage"))
+            .collect()
+        }
+
+    usage1 = usage_of(segment(scores))
+    # prune: every single char survives (segmentability invariant —
+    # Kudo §3.2 keeps all characters); multi-char pieces compete for
+    # VOCAB_MULTI slots by (usage desc, piece asc). Laplace +1 so the
+    # never-used single chars still carry a finite score.
+    kept = {p: usage1.get(p, 0) for p in scores if len(p) == 1}
+    kept.update(
+        sorted(
+            ((p, u) for p, u in usage1.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:VOCAB_MULTI]
+    )
+    total1 = sum(u + 1 for u in kept.values())
+    final_scores = {p: qln((u + 1) / total1) for p, u in kept.items()}
+    return UnigramModel(
+        wf=wf,
+        scores=final_scores,
+        usage1={p: kept[p] for p in kept},
+        seg=segment(final_scores),
+    )

@@ -109,14 +109,14 @@ FLAGSHIP_50: tuple[str, ...] = (
     "q82_part_supplier_counts",
     "q83_best_supplier_per_part",
     "q84_excess_share_shippers",
-    # round-4-era stalest (leftover slots; swapped for first-time
-    # grades when a round ships new ops)
+    # round-7 NEW ops: first-time driver grades outrank re-grades
+    "d90_unigram_train",
+    "d91_unigram_fertility",
+    "d92_unigram_piece_coverage",
+    # round-4-era stalest (leftover slots)
     "d01_dedup_exact",
     "d08_similarity_topk",
     "d13_ivf_topk",
-    "d17_unigram_logprob",
-    "d54_incremental_dedup",
-    "d57_token_budget_selection",
 )
 
 
@@ -136,6 +136,7 @@ def all_queries() -> dict[str, Query]:
         llm_ops11,
         llm_ops12,
         llm_ops13,
+        llm_ops14,
         pipeline_queries,
         relational,
         relational2,

@@ -1,0 +1,193 @@
+"""Unigram-LM tokenizer family (d90-d92): the semantic properties the
+oracle compare can't see by itself.
+
+The load-bearing claim is that Spark's one-state-per-position Viterbi
+DP (functions/unigram.py:segment_pieces) returns EXACTLY the
+(score desc, seg asc) winner over all segmentation paths — the oracle
+proves it against DuckDB's enumeration on the shipped corpus; these
+tests prove it against an independent Python brute force on crafted
+tie-heavy inputs, plus the training invariants (single-char
+completeness, budget bounds, exact char-coverage accounting)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kpipe_spark.functions.unigram import (
+    MAX_PIECE_LEN,
+    VOCAB_MULTI,
+    qln,
+    segment_pieces,
+    train_unigram,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _brute_force(word: str, scores: dict[str, int]) -> list[str]:
+    """All segmentation paths, best by (score desc, ' '-joined asc) —
+    the DuckDB oracle's enumeration, independently in Python."""
+    best: tuple[tuple[int, str], list[str]] | None = None
+
+    def rec(pos: int, pieces: list[str], sc: int) -> None:
+        nonlocal best
+        if pos == len(word):
+            key = (-sc, " ".join(pieces))
+            if best is None or key < best[0]:
+                best = (key, list(pieces))
+            return
+        for plen in range(1, MAX_PIECE_LEN + 1):
+            p = word[pos : pos + plen]
+            if len(p) == plen and p in scores:
+                pieces.append(p)
+                rec(pos + plen, pieces, sc + scores[p])
+                pieces.pop()
+
+    rec(0, [], 0)
+    assert best is not None, f"unsegmentable word {word!r}"
+    return best[1]
+
+
+def _segment_with(spark, words: list[str], scores: dict[str, int]):
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    rows = df.select(
+        "word", segment_pieces(F.col("word"), scores).alias("pieces")
+    ).collect()
+    return {r["word"]: list(r["pieces"]) for r in rows}
+
+
+def test_viterbi_dp_equals_bruteforce_with_ties(spark):
+    """Tie-heavy crafted vocab: 'abab' has a 4-way score tie whose
+    winner is decided purely by the seg-string tie-break; 'ab' tests
+    that a single expensive piece beats a cheap+ruinous pair; 'baaab'
+    mixes both. The DP must agree with enumeration on every word."""
+    scores = {
+        "a": -10,
+        "b": -10,
+        "ab": -20,
+        "ba": -20,
+        "aa": -15,
+        "aab": -60,
+        "bab": -25,
+        "abab": -80,
+    }
+    words = ["abab", "ab", "ba", "baaab", "aaaa", "babab", "a", "b"]
+    got = _segment_with(spark, words, scores)
+    for w in words:
+        assert got[w] == _brute_force(w, scores), (w, got[w])
+    # pure-tie vocab: every 'abab' path scores -40, so the winner is
+    # decided ONLY by the seg-string tie-break — the lexicographically
+    # least ' '-joined segmentation
+    ties = {"a": -10, "b": -10, "ab": -20, "ba": -20}
+    assert _segment_with(spark, ["abab"], ties)["abab"] == [
+        "a", "b", "a", "b",
+    ]
+    assert _brute_force("abab", ties) == ["a", "b", "a", "b"]
+
+
+def test_viterbi_prefers_higher_score_over_fewer_pieces(spark):
+    """Score dominates piece count: [ab] at -50 loses to [a,b] at -12
+    even though it is shorter — unigram LM semantics, not a
+    fewest-pieces heuristic."""
+    scores = {"a": -2, "b": -10, "ab": -50}
+    got = _segment_with(spark, ["ab"], scores)
+    assert got["ab"] == ["a", "b"]
+
+
+def test_training_invariants(spark):
+    """Budget, completeness, and exact coverage accounting on the real
+    corpus: every single char survives the prune; multi-char pieces
+    respect VOCAB_MULTI; every distinct word reconstructs from its
+    pieces; and the char-coverage identity holds — each corpus char is
+    covered exactly once, so sum(usage * len(piece)) equals the
+    corpus's word-weighted character total."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    model = train_unigram(spark, docs)
+    assert model is not None
+    singles = {p for p in model.scores if len(p) == 1}
+    multi = {p for p in model.scores if len(p) > 1}
+    assert len(multi) <= VOCAB_MULTI
+    # single-char completeness: every char of every word has a piece
+    chars = {
+        c
+        for r in model.wf.select("word").collect()
+        for c in r["word"]
+    }
+    assert chars <= singles
+    seg = model.seg.collect()
+    for r in seg:
+        assert "".join(r["pieces"]) == r["word"], r
+    covered = sum(
+        r["wcount"] * sum(len(p) for p in r["pieces"]) for r in seg
+    )
+    total_chars = sum(r["wcount"] * len(r["word"]) for r in seg)
+    assert covered == total_chars
+
+
+def test_train_returns_none_on_wordless_corpus(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "\t \n"), (4, "¡¿")],
+        "doc_id bigint, text string",
+    )
+    assert train_unigram(spark, docs) is None
+
+
+def test_qln_is_negative_and_monotone():
+    assert qln(0.5) < 0
+    assert qln(0.25) < qln(0.5) < qln(0.9)
+
+
+def test_fertility_grades_against_d63(spark):
+    """The d63 comparison the family exists for: per source, trained-
+    unigram fertility (d91) sits between 1 (whole-word pieces) and the
+    character baseline (pieces can't exceed chars), and on this corpus
+    the learned multi-char vocab genuinely compresses — fertility is
+    strictly below chars-per-word."""
+    from kpipe_spark.queries import all_queries
+
+    qs = all_queries()
+    d91 = {
+        r["source"]: r
+        for r in qs["d91_unigram_fertility"].build(spark, SF_SMALL).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    from kpipe_spark.functions.text import bpe_ish_tokens
+
+    chars = (
+        docs.select(
+            "source", F.explode(bpe_ish_tokens("text")).alias("w")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+        .collect()
+    )
+    for r in chars:
+        f = d91[r["source"]]
+        assert f["total_words"] == r["n_words"]
+        assert f["fertility"] >= 1.0
+        assert f["fertility"] < r["n_chars"] / r["n_words"], (
+            "learned vocab failed to beat the character baseline"
+        )
+
+
+def test_piece_coverage_multichar_mass(spark):
+    """The d75-style budget check: the trained vocabulary's multi-char
+    pieces carry real character mass (char_share of len>=2 rows > 0.3
+    on the clean corpus — a degenerate all-characters model would put
+    ~0 there), and the share columns sum to 1 within rounding."""
+    from kpipe_spark.queries import all_queries
+
+    rows = (
+        all_queries()["d92_unigram_piece_coverage"]
+        .build(spark, SF_SMALL)
+        .collect()
+    )
+    assert rows
+    assert abs(sum(r["occurrence_share"] for r in rows) - 1.0) < 0.001
+    assert abs(sum(r["char_share"] for r in rows) - 1.0) < 0.001
+    multi_mass = sum(r["char_share"] for r in rows if r["piece_len"] >= 2)
+    assert multi_mass > 0.3, rows

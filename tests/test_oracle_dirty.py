@@ -66,6 +66,9 @@ DIRTY_SENSITIVE = [
     "d82_doc_stitching",
     "d83_truncation_loss_curve",
     "d85_data_constrained_epochs",
+    "d90_unigram_train",
+    "d91_unigram_fertility",
+    "d92_unigram_piece_coverage",
     "p04_curation_composition",
 ]
 

@@ -117,6 +117,7 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         "qv",          # ann_index refine: the bounded query panel
         "hist",        # selection.py: <=10001-row quality histogram
         "freq",        # vocab-sized token document-frequency table
+        "wseg",        # llm_ops14 d91: vocab-sized word->pieces map
         "df",          # llm_ops3 tf-idf: vocab-sized doc-frequency
         "comp",        # dup-GRAPH-sized components (dedup.py docstring)
         "comp.agg",    # 1-row count over comp
