@@ -221,7 +221,16 @@ def _incremental_admit_ab(spark, sf_dir: str) -> dict:
     re-derives corpus signatures inline every run (what the headline
     d54 number measures, by design — the oracle needs it
     self-contained). The gap is what the artifact buys per batch; at
-    100 TB (a) stays batch-sized while (b) is a full corpus pass."""
+    100 TB (a) stays batch-sized while (b) is a full corpus pass.
+
+    Reading the ratio: ~1.3-1.7× at sf0.1 on a quiet machine (the
+    r5-era 3.18× was a contaminated inline numerator — adjudicated
+    ARCHITECTURE §5 round-7 note). The bench batch is 25% of the
+    corpus, so batch-side signature work + session fixed costs
+    dominate BOTH sides here; the dividend grows with the
+    corpus/batch ratio (measured: stored admit 1.76→0.99 s as the
+    batch shrinks 25%→0.4% while inline stays corpus-sized), so the
+    local ratio is a floor, not the claim."""
     from kpipe_spark.catalog import load_tables
     from kpipe_spark.functions.corpus_index import CorpusIndex
 

@@ -113,10 +113,10 @@ FLAGSHIP_50: tuple[str, ...] = (
     "d90_unigram_train",
     "d91_unigram_fertility",
     "d92_unigram_piece_coverage",
-    # round-4-era stalest (leftover slots)
+    "d93_adaptive_nprobe_topk",
+    "d94_adaptive_nprobe_recall",
+    # round-4-era stalest (leftover slot)
     "d01_dedup_exact",
-    "d08_similarity_topk",
-    "d13_ivf_topk",
 )
 
 

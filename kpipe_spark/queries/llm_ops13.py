@@ -624,3 +624,333 @@ def d89_pq_codebook_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d93/d94: cell-balance-aware (mass-targeted) adaptive nprobe — the
+# serving loop's feedback edge. d62 profiles cell balance; these ops
+# USE it: instead of a fixed nprobe, each query probes its
+# distance-ranked cells until their cumulative vector mass reaches the
+# mass a fixed nprobe would get on perfectly balanced cells
+# (budget/k_cells of the corpus). A query whose nearest cells are tiny
+# probes more cells; one whose nearest cell is fat stops early — the
+# standard probe-by-mass refinement of IVF search (the quantity FAISS
+# users tune via imbalance_factor, expressed as a per-query rule).
+# Deterministic: cell ranking is d13/d70's (cosine desc, centroid_id)
+# convention; everything after it — cell counts, cumulative mass, the
+# probe gate (cum_prev × k_cells < budget × total, pure integer
+# cross-multiplication, no ceil/float threshold) — is BIGINT exact.
+# ---------------------------------------------------------------------------
+
+_PROBE_BUDGET = _NPROBE  # same expected mass as the fixed d13/d70 config
+
+
+def _adaptive_ivf_frames(spark: SparkSession, sf_dir: str):
+    """(assigned, probes, probe_stats): the corpus cell assignment
+    (d13's max_by shape), each query's mass-adaptive probe set, and
+    per-query (n_probed, probed_mass). Panel-bounded frames stay
+    broadcast-sized: probes ≤ |panel|×k_cells rows BEFORE the gate and
+    typically ~2-3 cells per query after it."""
+    emb = load_tables(spark, sf_dir).embeddings
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    cents = v.filter(F.col("vec_id") < _NCELL).select(
+        F.col("vec_id").alias("centroid_id"), F.col("_e").alias("_ce")
+    )
+    # corpus assignment: argmax cell via max_by partial agg (d13)
+    key = F.struct(F.col("_csim"), (-F.col("centroid_id")).alias("_nc"))
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "_e",
+            "centroid_id",
+            S.cosine(F.col("_e"), F.col("_ce")).alias("_csim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("centroid_id", key).alias("centroid_id"),
+            F.any_value("_e").alias("_e"),
+        )
+    )
+    # cell-balance profile (d62's share column, as raw counts): 16
+    # rows; LEFT from cents so an empty cell counts 0, not missing
+    cellcnt = cents.select("centroid_id").join(
+        assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "centroid_id",
+        "left",
+    ).select("centroid_id", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    tot = cellcnt.agg(F.sum("n").alias("_total"))
+    q = v.filter(F.expr(_PANEL)).select(
+        F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), "centroid_id"
+    )
+    ranked = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "_qe",
+            "centroid_id",
+            S.cosine(F.col("_qe"), F.col("_ce")).alias("_csim"),
+        )
+        .withColumn("_crn", F.row_number().over(wr))
+    )
+    wm = (
+        Window.partitionBy("query_id")
+        .orderBy("_crn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_mass = ranked.join(F.broadcast(cellcnt), "centroid_id").select(
+        "query_id",
+        "_qe",
+        "centroid_id",
+        "_crn",
+        "n",
+        F.coalesce(F.sum("n").over(wm), F.lit(0).cast("long")).alias(
+            "_cum_prev"
+        ),
+    )
+    probes = with_mass.crossJoin(F.broadcast(tot)).filter(
+        F.col("_cum_prev") * _NCELL < F.lit(_PROBE_BUDGET) * F.col("_total")
+    )
+    probe_stats = probes.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum("n").alias("_probed_mass"),
+        F.any_value("_total").alias("_total"),
+    )
+    return assigned, probes, probe_stats
+
+
+_ADAPTIVE_CTES = f"""
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE {_PANEL.replace("vec_id", "vec_id")}
+    ), cents AS (
+      SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_NCELL}
+    ), assigned AS (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.centroid_id
+               ) AS crn
+        FROM v, cents c
+      ) WHERE crn = 1
+    ), cellcnt AS (
+      SELECT c.centroid_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+      FROM cents c LEFT JOIN (
+        SELECT centroid_id, count(*) AS n FROM assigned GROUP BY centroid_id
+      ) a USING (centroid_id)
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total FROM cellcnt
+    ), ranked AS (
+      SELECT q.query_id, q.qe, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.centroid_id
+             ) AS crn
+      FROM q, cents c
+    ), with_mass AS (
+      SELECT r.query_id, r.qe, r.centroid_id, r.crn, cc.n,
+             CAST(COALESCE(sum(cc.n) OVER (
+               PARTITION BY r.query_id ORDER BY r.crn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_prev
+      FROM ranked r JOIN cellcnt cc USING (centroid_id)
+    ), probes AS (
+      SELECT w.query_id, w.qe, w.centroid_id, w.crn, w.n
+      FROM with_mass w, tot
+      WHERE w.cum_prev * {_NCELL} < {_PROBE_BUDGET} * tot.total
+    ), probe_stats AS (
+      SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_probed,
+             CAST(sum(p.n) AS BIGINT) AS probed_mass,
+             CAST(any_value(tot.total) AS BIGINT) AS total
+      FROM probes p, tot GROUP BY p.query_id
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(p.qe, a.e) AS sim
+      FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+      WHERE a.vec_id <> p.query_id
+    )
+"""
+
+
+@register(
+    "d93_adaptive_nprobe_topk",
+    oracle=f"""
+    WITH {_ADAPTIVE_CTES.strip()}
+    SELECT c.query_id, c.neighbor_id,
+           round(c.sim, 4) AS cosine_sim, c.rn, ps.n_probed
+    FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM cand
+    ) c JOIN probe_stats ps USING (query_id)
+    WHERE c.rn <= {_TOPK}
+    """,
+    description="IVF top-k with cell-balance-aware adaptive nprobe: "
+    "each query probes its cosine-ranked cells until their cumulative "
+    "vector mass reaches budget/k_cells of the corpus (the mass a "
+    "fixed nprobe=2 gets on perfectly balanced cells) — probe MORE "
+    "cells when the nearest cells are tiny, stop early at a fat one. "
+    "The probe gate is pure integer cross-multiplication "
+    "(cum_prev×k_cells < budget×total); the returned n_probed makes "
+    "the per-query decision auditable (2-3 on this corpus's 20-42 "
+    "cell spread). Scale: identical to d13 plus a 16-row cell-count "
+    "broadcast — the adaptive gate costs one window over "
+    "panel×k_cells rows, nothing corpus-sized.",
+    tags=("llm", "similarity", "ivf"),
+)
+def d93_adaptive_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, probes, probe_stats = _adaptive_ivf_frames(spark, sf_dir)
+    scored = (
+        assigned.join(
+            F.broadcast(probes.select("query_id", "_qe", "centroid_id")),
+            "centroid_id",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("_qe"), F.col("_e")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .join(F.broadcast(probe_stats.select("query_id", "n_probed")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_sim", 4).alias("cosine_sim"),
+            "rn",
+            "n_probed",
+        )
+    )
+
+
+@register(
+    "d94_adaptive_nprobe_recall",
+    oracle=f"""
+    WITH {_ADAPTIVE_CTES.strip()},
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qe, v.e) DESC, v.vec_id
+               ) AS rn
+        FROM q JOIN v ON v.vec_id <> q.query_id
+      ) WHERE rn <= {_TOPK}
+    ), ncand AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY query_id
+    ), ivf AS (
+      SELECT query_id, neighbor_id, 1 AS hit FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM cand
+      ) WHERE rn <= {_TOPK}
+    )
+    SELECT exact.query_id,
+           CAST(count(ivf.hit) AS BIGINT) AS n_hits,
+           round(count(ivf.hit) / {_TOPK}.0, 4) AS recall,
+           CAST(any_value(ncand.n_candidates) AS BIGINT) AS n_candidates,
+           CAST(any_value(ps.n_probed) AS BIGINT) AS n_probed,
+           round(any_value(ps.probed_mass) * 1.0
+                 / any_value(ps.total), 4) AS probed_share
+    FROM exact
+    LEFT JOIN ivf USING (query_id, neighbor_id)
+    JOIN ncand USING (query_id)
+    JOIN probe_stats ps ON ps.query_id = exact.query_id
+    GROUP BY exact.query_id
+    """,
+    description="recall@10 of the adaptive-nprobe IVF against exact "
+    "brute-force top-10 on d70's fixed eval panel — the d70 "
+    "comparison row: same panel, same centroids, so (recall, "
+    "n_candidates) here vs d70 quantifies exactly what probing by "
+    "MASS instead of by COUNT buys on imbalanced cells, and "
+    "(n_probed, probed_share) shows what it paid. Scale: d70's "
+    "shape — exact side broadcasts only the bounded panel against "
+    "one corpus scan; the adaptive side adds a 16-row cell-count "
+    "broadcast and a panel-sized window.",
+    tags=("llm", "similarity", "eval"),
+)
+def d94_adaptive_nprobe_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_tables(spark, sf_dir).embeddings
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    assigned, probes, probe_stats = _adaptive_ivf_frames(spark, sf_dir)
+    q = v.filter(F.expr(_PANEL)).select(
+        F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
+    )
+    exact_w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), "neighbor_id"
+    )
+    exact = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("_qe"), F.col("_e")).alias("_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(exact_w))
+        .filter(F.col("_rn") <= _TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(probes.select("query_id", "_qe", "centroid_id")),
+            "centroid_id",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("_qe"), F.col("_e")).alias("_sim"),
+        )
+        # candidate set feeds BOTH the count and the top-k ranking;
+        # panel-bounded (|panel| × probed cells' vectors)
+        .localCheckpoint(eager=False)
+    )
+    ncand = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    ivf = (
+        cand.withColumn("_rn", F.row_number().over(exact_w))
+        .filter(F.col("_rn") <= _TOPK)
+        .select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").alias("n_hits"))
+        .join(ncand, "query_id")
+        .join(
+            probe_stats.select(
+                "query_id", "n_probed", "_probed_mass", "_total"
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / _TOPK, 4).alias("recall"),
+            "n_candidates",
+            "n_probed",
+            F.round(F.col("_probed_mass") / F.col("_total"), 4).alias(
+                "probed_share"
+            ),
+        )
+    )

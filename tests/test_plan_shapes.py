@@ -112,6 +112,8 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         "vocab16",     # llm_ops11 d76: top-16 vocab (LIMIT-bounded)
         # --- bounded-by-construction model artifacts ---
         "cents", "centroids", "probes",  # k centroids / n_probe cells
+        "cellcnt",      # llm_ops13 d93/d94: k_cells-row cell-count profile
+        "probe_stats",  # llm_ops13 d93/d94: one row per panel query
         "cb",          # llm_ops13 d86: m*k-row PQ codebook (1024 rows)
         "adc",         # llm_ops13 d86: panel*m*k ADC lookup table
         "qv",          # ann_index refine: the bounded query panel
