@@ -253,3 +253,198 @@ def train_unigram(
         usage1={p: kept[p] for p in kept},
         seg=segment(final_scores),
     )
+
+
+class UnigramTokenizer:
+    """Stored-artifact form of the trainer — the CorpusIndex/AnnIndex
+    lifecycle discipline applied to a tokenizer model: train ONCE,
+    persist the piece-score table, tokenize any number of later
+    corpora against the stored model without retraining (retraining
+    per batch would silently re-key every piece id/score the way
+    re-training PQ codebooks would re-key an AnnIndex).
+
+    Storage: one managed table ``(piece, score, usage)`` — vocabulary-
+    bounded (≤ alphabet + VOCAB_MULTI rows), trivially broadcast- and
+    collect-sized. The quantizer scale and max piece length persist as
+    TBLPROPERTIES; ``attach`` validates them against any explicit
+    kwargs, because segmenting with a different quantizer family than
+    the scores were trained under produces garbage rankings silently
+    (the AnnIndex PQ-family rule).
+
+    Reference parity: kpipe has no tokenizer surface
+    (/root/reference/docs/FORMATS.md:27); north-star LLM-pipeline
+    surface (SURVEY.md §2.4), the artifact form of d90's query shape.
+    """
+
+    _PROP_PREFIX = "kpipe.unigram."
+    _FAMILY_PROPS = ("qln_scale", "max_piece_len")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        qln_scale: int = QLN_SCALE,
+        max_piece_len: int = MAX_PIECE_LEN,
+    ) -> None:
+        self.spark = spark
+        self.table = table
+        self.qln_scale = qln_scale
+        self.max_piece_len = max_piece_len
+        self._scores: dict[str, int] | None = None
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        table: str,
+        text_col: str = "text",
+    ) -> "UnigramTokenizer":
+        """Train on a corpus and persist the model. Raises on a
+        wordless corpus — an empty tokenizer can't segment anything,
+        and persisting one would only defer the error to first use."""
+        model = train_unigram(spark, docs, text_col)
+        if model is None:
+            raise ValueError(
+                "cannot train a unigram tokenizer on a wordless corpus "
+                "(every document NULL/contentless)"
+            )
+        tok = cls(spark, table)
+        from kpipe_spark.util import reclaim_orphaned_table_location
+
+        reclaim_orphaned_table_location(spark, table)
+        usage = model.usage1
+        spark.createDataFrame(
+            [
+                (p, s, usage.get(p, 0))
+                for p, s in sorted(model.scores.items())
+            ],
+            "piece string, score bigint, usage bigint",
+        ).write.mode("overwrite").saveAsTable(table, format="parquet")
+        props = ", ".join(
+            f"'{cls._PROP_PREFIX}{k}' = '{getattr(tok, k)}'"
+            for k in cls._FAMILY_PROPS
+        )
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
+        tok._scores = dict(model.scores)
+        return tok
+
+    @classmethod
+    def attach(
+        cls, spark: SparkSession, table: str, **family: int
+    ) -> "UnigramTokenizer":
+        """Handle to a stored model. The quantizer family reads back
+        from TBLPROPERTIES and is validated against explicit kwargs."""
+        if not spark.catalog.tableExists(table):
+            raise ValueError(f"no such tokenizer table: {table}")
+        tok = cls(spark, table, **family)
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        stored = {
+            r["key"].removeprefix(cls._PROP_PREFIX): int(r["value"])
+            for r in rows
+            if r["key"].startswith(cls._PROP_PREFIX)
+        }
+        mismatched = {
+            p: (family[p], stored[p])
+            for p in cls._FAMILY_PROPS
+            if p in stored and p in family and family[p] != stored[p]
+        }
+        if mismatched:
+            detail = ", ".join(
+                f"{p}: caller {got} != table {want}"
+                for p, (got, want) in mismatched.items()
+            )
+            raise ValueError(
+                f"quantizer family mismatch attaching {table} "
+                f"({detail}) — segmenting under a different family "
+                "than the stored scores were trained with produces "
+                "garbage rankings silently"
+            )
+        for p in cls._FAMILY_PROPS:
+            if p in stored:
+                setattr(tok, p, stored[p])
+        return tok
+
+    @property
+    def scores(self) -> dict[str, int]:
+        """piece -> quantized log-prob, loaded once (vocab-bounded
+        collect: ≤ alphabet + VOCAB_MULTI rows by construction)."""
+        if self._scores is None:
+            self._scores = {
+                r["piece"]: r["score"]
+                for r in self.spark.table(self.table)
+                .select("piece", "score")
+                .collect()
+            }
+        return self._scores
+
+    @property
+    def vocab_df(self) -> DataFrame:
+        return self.spark.table(self.table)
+
+    def tokenize(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """(id, pieces array<string>, n_pieces) per document with any
+        content; contentless docs tokenize to an empty array.
+
+        Scale shape: the Viterbi HOF runs on the BATCH's DISTINCT
+        words (vocab-shaped — bpe.py's rule), results broadcast-join
+        back to the corpus explode, and per-doc arrays reassemble in
+        word order (apply_bpe's posexplode/array_sort discipline —
+        collect_list is arrival-ordered, not position-ordered). Docs
+        with unseen CHARACTERS still segment: every single character
+        of the training corpus is in the vocab, and a character the
+        training corpus never saw segments that word to NULL pieces —
+        surfaced as NULL, never a silent drop."""
+        sc = self.scores
+        per_word = docs.select(
+            F.col(id_col),
+            F.posexplode_outer(bpe_ish_tokens(text_col)).alias(
+                "pos", "word"
+            ),
+        )
+        wseg = (
+            per_word.filter(F.col("word").isNotNull())
+            .select("word")
+            .distinct()
+            .select(
+                "word",
+                segment_pieces(F.col("word"), sc).alias("_pieces"),
+            )
+        )
+        joined = per_word.join(F.broadcast(wseg), "word", "left")
+        # collect_list ignores NULL inputs, so wrapping the struct in
+        # when(word IS NOT NULL, ...) makes a contentless doc (whose
+        # posexplode_outer row has NULL word) aggregate to [] — while
+        # a word the training corpus couldn't segment keeps its NULL
+        # _pieces element and nulls the doc's array via flatten
+        return (
+            joined.groupBy(id_col)
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("word").isNotNull(),
+                                    F.struct("pos", "_pieces"),
+                                )
+                            )
+                        ),
+                        lambda s: s["_pieces"],
+                    )
+                ).alias("pieces")
+            )
+            .select(
+                id_col,
+                "pieces",
+                F.size("pieces").cast("long").alias("n_pieces"),
+            )
+        )
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")

@@ -174,6 +174,111 @@ def test_fertility_grades_against_d63(spark):
         )
 
 
+def test_unigram_tokenizer_artifact_lifecycle(spark):
+    """The stored-artifact form: build persists the model, attach
+    reads the family back from TBLPROPERTIES (and rejects a mismatch),
+    tokenize against the STORED scores reconstructs every document's
+    pre-tok words in order, contentless docs tokenize to [], and drop
+    leaves no warehouse orphan."""
+    import os
+    import urllib.parse
+    import uuid
+
+    from kpipe_spark.functions.text import bpe_ish_tokens
+    from kpipe_spark.functions.unigram import UnigramTokenizer
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    table = f"unigram_tok_{uuid.uuid4().hex[:8]}"
+    tok = UnigramTokenizer.build(spark, docs, table)
+    try:
+        # attach round-trips the family; a mismatch is rejected loudly
+        att = UnigramTokenizer.attach(spark, table)
+        assert att.scores == tok.scores
+        with pytest.raises(ValueError, match="family mismatch"):
+            UnigramTokenizer.attach(spark, table, qln_scale=4096)
+
+        probe = spark.createDataFrame(
+            [
+                (1, "spark merge window join"),
+                (2, None),
+                (3, "\t \n"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in att.tokenize(probe).collect()}
+        assert set(out) == {1, 2, 3}
+        # pieces reconstruct the pre-tok words, in order
+        words = probe.filter("doc_id = 1").select(
+            F.explode(bpe_ish_tokens("text")).alias("w")
+        ).collect()
+        assert "".join(out[1]["pieces"]) == "".join(r["w"] for r in words)
+        assert out[1]["n_pieces"] == len(out[1]["pieces"]) > 0
+        # contentless docs -> empty array, not NULL
+        for i in (2, 3):
+            assert out[i]["pieces"] == []
+            assert out[i]["n_pieces"] == 0
+        # a word with a character the training corpus never saw
+        # surfaces as NULL pieces, never a silent drop
+        weird = spark.createDataFrame(
+            [(9, "zzzürich9q")], "doc_id bigint, text string"
+        )
+        wrow = att.tokenize(weird).collect()[0]
+        assert wrow["pieces"] is None or all(
+            p is not None for p in wrow["pieces"]
+        )
+    finally:
+        tok.drop()
+    wh = urllib.parse.urlparse(
+        spark.conf.get("spark.sql.warehouse.dir")
+    ).path
+    assert not spark.catalog.tableExists(table)
+    assert not os.path.exists(os.path.join(wh, table))
+
+
+def test_unigram_tokenizer_build_rejects_wordless_corpus(spark):
+    import uuid
+
+    from kpipe_spark.functions.unigram import UnigramTokenizer
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "  ")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="wordless"):
+        UnigramTokenizer.build(
+            spark, docs, f"unigram_void_{uuid.uuid4().hex[:8]}"
+        )
+
+
+def test_unigram_tokenizer_matches_query_segmentation(spark):
+    """tokenize() under the stored model agrees word-for-word with the
+    d90 training run's final segmentation (the artifact is the API
+    form of the query shape — the AnnIndex≡d88 discipline)."""
+    import uuid
+
+    from kpipe_spark.functions.unigram import UnigramTokenizer
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    model = train_unigram(spark, docs)
+    table = f"unigram_par_{uuid.uuid4().hex[:8]}"
+    tok = UnigramTokenizer.build(spark, docs, table)
+    try:
+        assert tok.scores == model.scores
+        seg = {
+            r["word"]: list(r["pieces"]) for r in model.seg.collect()
+        }
+        # tokenize single-word docs: each must match the model's
+        # segmentation of that distinct word
+        probe = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(sorted(seg))],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: list(r["pieces"]) for r in tok.tokenize(probe).collect()}
+        for i, w in enumerate(sorted(seg)):
+            assert out[i] == seg[w], (w, out[i], seg[w])
+    finally:
+        tok.drop()
+
+
 def test_piece_coverage_multichar_mass(spark):
     """The d75-style budget check: the trained vocabulary's multi-char
     pieces carry real character mass (char_share of len>=2 rows > 0.3
