@@ -656,7 +656,10 @@ def _adaptive_ivf_frames(spark: SparkSession, sf_dir: str):
     cents = v.filter(F.col("vec_id") < _NCELL).select(
         F.col("vec_id").alias("centroid_id"), F.col("_e").alias("_ce")
     )
-    # corpus assignment: argmax cell via max_by partial agg (d13)
+    # corpus assignment: argmax cell via max_by partial agg (d13).
+    # Both the cell-count profile and the candidate join consume this
+    # aggregate; Catalyst's ReuseExchange shares the one exchange
+    # (verified: an explicit materialize() here moved d94 by <2%)
     key = F.struct(F.col("_csim"), (-F.col("centroid_id")).alias("_nc"))
     assigned = (
         v.crossJoin(F.broadcast(cents))
