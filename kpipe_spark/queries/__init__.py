@@ -115,8 +115,7 @@ FLAGSHIP_50: tuple[str, ...] = (
     "d92_unigram_piece_coverage",
     "d93_adaptive_nprobe_topk",
     "d94_adaptive_nprobe_recall",
-    # round-4-era stalest (leftover slot)
-    "d01_dedup_exact",
+    "d95_kneser_ney_logprob",
 )
 
 

@@ -355,3 +355,134 @@ def d92_unigram_piece_coverage(
             "char_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# d95: interpolated Kneser-Ney bigram scoring — the canonical smoothing
+# (Kneser & Ney 1995; Chen & Goodman 1998) between d17's raw unigram
+# and d69's fixed-weight interpolation. Absolute discount D = 0.75 —
+# exactly representable in binary, so the discount subtraction is
+# IEEE-identical in both engines; every other model quantity is an
+# integer count, and the per-bigram probability is one fixed-order
+# arithmetic expression mirrored verbatim in the oracle.
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+@register(
+    "d95_kneser_ney_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+      WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2)
+    ), cnt AS (
+      SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY doc_id, w1, w2
+    ), bigf AS (
+      SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cbg
+      FROM cnt GROUP BY w1, w2
+    ), left_ctx AS (
+      -- c(w1 .) and N1+(w1, .): the bigram-token denominator and the
+      -- distinct-continuation count that sizes the backoff mass
+      SELECT w1, CAST(sum(cbg) AS BIGINT) AS cw,
+             CAST(count(*) AS BIGINT) AS n1
+      FROM bigf GROUP BY w1
+    ), cont AS (
+      -- N1+(., w2): in how many distinct left contexts w2 continues
+      SELECT w2, CAST(count(*) AS BIGINT) AS cc FROM bigf GROUP BY w2
+    ), ttypes AS (
+      SELECT CAST(count(*) AS BIGINT) AS t FROM bigf
+    )
+    SELECT cnt.doc_id,
+           CAST(sum(cnt.c) AS BIGINT) AS n_bigrams,
+           round(sum(cnt.c * log10(
+                   (greatest(bigf.cbg - 0.75, 0.0)
+                    + 0.75 * left_ctx.n1 * cont.cc / ttypes.t)
+                   / left_ctx.cw))
+                 / sum(cnt.c), 4) AS avg_logprob
+    FROM cnt
+    JOIN bigf USING (w1, w2)
+    JOIN left_ctx USING (w1)
+    JOIN cont USING (w2)
+    CROSS JOIN ttypes
+    GROUP BY cnt.doc_id
+    """,
+    description="interpolated Kneser-Ney bigram LM score (Kneser & Ney "
+    "1995; Chen & Goodman 1998) — the canonical smoothing between "
+    "d17's raw unigram and d69's fixed-weight interpolation: "
+    "p = (max(c(w1 w2) - D, 0) + D * N1+(w1,.) * Pcont(w2)) / c(w1 .) "
+    "with Pcont(w2) = N1+(.,w2)/|bigram types| — the continuation "
+    "probability that scores 'Francisco' low outside 'San', the "
+    "property neither d17 nor d69 has. D = 0.75 is exactly binary-"
+    "representable, so the discount arithmetic is bit-identical in "
+    "both engines; all other model quantities are integer counts and "
+    "the probability is one fixed-order expression mirrored verbatim "
+    "in the oracle. Per-doc occurrence-weighted mean log10 p, d17's "
+    "report shape. Scale: the d69 discipline — per-doc bigram counts "
+    "materialized once (corpus-scaled, injectable strategy), the "
+    "model tables are bigram-type-sized and join gram-keyed (no "
+    "vocabulary-sized broadcast hint), only the 1-row type total "
+    "broadcasts.",
+    tags=("llm", "quality", "tokenize"),
+)
+def d95_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.util import materialize
+
+    docs = load_tables(spark, sf_dir).documents
+    content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
+    toks = docs.filter(content).select(
+        "doc_id", T.tokens("text").alias("t")
+    )
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = toks.select("doc_id", F.explode(bigrams).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    # consumed by the bigram-model aggregate AND the scoring join
+    # (d69's measured no-ReuseExchange case); doc_id-keyed =
+    # corpus-scaled, so the injectable strategy owns its placement
+    cnt = materialize(
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c")),
+        scale="corpus",
+    )
+    # bigram-type-sized; feeds the score join plus THREE model
+    # aggregates (left-context, continuation, type total)
+    bigf = (
+        cnt.groupBy("w1", "w2")
+        .agg(F.sum("c").alias("cbg"))
+        .localCheckpoint(eager=False)
+    )
+    left_ctx = bigf.groupBy("w1").agg(
+        F.sum("cbg").alias("cw"), F.count(F.lit(1)).alias("n1")
+    )
+    cont = bigf.groupBy("w2").agg(F.count(F.lit(1)).alias("cc"))
+    ttypes = bigf.agg(F.count(F.lit(1)).alias("t"))
+    # fixed-order arithmetic, mirrored verbatim in the oracle:
+    # (max(cbg - D, 0) + D * n1 * cc / t) / cw
+    p = (
+        F.greatest(F.col("cbg") - F.lit(_KN_D), F.lit(0.0))
+        + F.lit(_KN_D) * F.col("n1") * F.col("cc") / F.col("t")
+    ) / F.col("cw")
+    return (
+        cnt.join(bigf, ["w1", "w2"])
+        .join(left_ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(ttypes))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * F.log10(p)) / F.sum("c"), 4
+            ).alias("avg_logprob"),
+        )
+    )

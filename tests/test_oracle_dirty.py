@@ -69,6 +69,7 @@ DIRTY_SENSITIVE = [
     "d90_unigram_train",
     "d91_unigram_fertility",
     "d92_unigram_piece_coverage",
+    "d95_kneser_ney_logprob",
     "p04_curation_composition",
 ]
 

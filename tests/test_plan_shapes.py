@@ -104,6 +104,7 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         # --- 1-row / few-row aggregates (scalar stats, totals) ---
         "tot", "total", "stats", "denom", "m", "n", "top", "g",
         "ntot",        # llm_ops11 d69: 1-row corpus token total
+        "ttypes",      # llm_ops14 d95: 1-row bigram-type total
         "stot",        # llm_ops11 d72: per-source bigram totals (|sources| rows)
         "corp",        # llm_ops11 d72: 4096-bucket corpus histogram
         "vocab",       # llm_ops11 d73: 1-row vocab/token totals
