@@ -639,6 +639,12 @@ def main(out_path: str | None = None) -> None:
     # run), the shape the reference's minutes-long consumer benchmarks
     # report by construction; whole-run best is kept for continuity
     # with rounds 1-5.
+    # one UNCOUNTED warm-up run first: the session's first streaming
+    # query pays one-time costs the headline warmup never touches
+    # (file-source listing + streaming codegen JIT) — measured: a
+    # session's first run reads ~98k steady vs 134-153k for every
+    # later run, which is warmup, not pipeline variance
+    _streaming_pipeline_rate(spark, sf_dir, n_batches=3)
     stream_runs = [_streaming_pipeline_rate(spark, sf_dir) for _ in range(3)]
     whole_rates = sorted(r for r, _ in stream_runs)
     steady_rates = sorted(s for _, s in stream_runs)
