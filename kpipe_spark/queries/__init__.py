@@ -57,10 +57,12 @@ def register(
 # the stalest round-4-era entries in the leftover slots. The three
 # cross-round sentinels (q01, p01, d05) stay for comparability. All
 # oracle-backed queries run the identical DuckDB compare in pytest
-# regardless of window position. (Round-8 rotation note: continue
-# stalest-first with the round-4-era grades — d01/d08/d13/d17,
-# d54-d79, m01/m05-m07, p04, q06/q13/q26/q30/q34/q39/q40/q42/q46/
-# q51/q85.)
+# regardless of window position. (Round-8 rotation note: FIRST-TIME
+# grades for d96/d97 — registered late in round 7, after the window
+# had spent its 50 slots meeting the no-grade-older-than-r4 bar —
+# then continue stalest-first with the round-4-era grades:
+# d01/d08/d13/d17, d54-d79, m01/m05-m07, p04,
+# q06/q13/q26/q30/q34/q39/q40/q42/q46/q51/q85.)
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",
@@ -136,6 +138,7 @@ def all_queries() -> dict[str, Query]:
         llm_ops12,
         llm_ops13,
         llm_ops14,
+        llm_ops15,
         pipeline_queries,
         relational,
         relational2,

@@ -70,6 +70,8 @@ DIRTY_SENSITIVE = [
     "d91_unigram_fertility",
     "d92_unigram_piece_coverage",
     "d95_kneser_ney_logprob",
+    "d96_cms_heavy_hitters",
+    "d97_bloom_dedup_gate",
     "p04_curation_composition",
 ]
 

@@ -114,6 +114,8 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         # --- bounded-by-construction model artifacts ---
         "cents", "centroids", "probes",  # k centroids / n_probe cells
         "cellcnt",      # llm_ops13 d93/d94: k_cells-row cell-count profile
+        "cms",         # llm_ops15 d96: lanes*width-row sketch (4096, fixed)
+        "bits",        # llm_ops15 d97: <=2^14-row Bloom bit table (fixed)
         "probe_stats",  # llm_ops13 d93/d94: one row per panel query
         "cb",          # llm_ops13 d86: m*k-row PQ codebook (1024 rows)
         "adc",         # llm_ops13 d86: panel*m*k ADC lookup table
