@@ -869,8 +869,9 @@ def d93_adaptive_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(count(ivf.hit) / {_TOPK}.0, 4) AS recall,
            CAST(any_value(ncand.n_candidates) AS BIGINT) AS n_candidates,
            CAST(any_value(ps.n_probed) AS BIGINT) AS n_probed,
-           round(any_value(ps.probed_mass) * 1.0
-                 / any_value(ps.total), 4) AS probed_share
+           floor(any_value(ps.probed_mass) * 1.0
+                 / any_value(ps.total) * 10000.0 + 0.5)
+             / 10000.0 AS probed_share
     FROM exact
     LEFT JOIN ivf USING (query_id, neighbor_id)
     JOIN ncand USING (query_id)
@@ -952,8 +953,12 @@ def d94_adaptive_nprobe_recall(
             F.round(F.col("n_hits") / _TOPK, 4).alias("recall"),
             "n_candidates",
             "n_probed",
-            F.round(F.col("_probed_mass") / F.col("_total"), 4).alias(
-                "probed_share"
-            ),
+            # integer ratio -> exact-tie risk at other corpus sizes:
+            # ieee_round (floor(x*1e4+0.5)/1e4 mirrored in the oracle)
+            # per the repo's half-way rule; the transcendental-derived
+            # recall (n/10, one decimal digit) can't tie at 4 decimals
+            ieee_round(
+                F.col("_probed_mass") / F.col("_total"), 4
+            ).alias("probed_share"),
         )
     )

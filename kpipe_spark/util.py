@@ -308,6 +308,37 @@ def _dataset_bytes(path: str) -> int:
     return total
 
 
+def _table_owning_location(spark, qualified_path: str) -> str | None:
+    """Name of the catalog table (any database, any name) whose storage
+    LOCATION is ``qualified_path``, or None. Runs only on the rare
+    reclaim path (directory present, named table absent), so the full
+    catalog walk is acceptable; views and temp views have no location
+    and are skipped."""
+    target = qualified_path.rstrip("/")
+    for db in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(db.name):
+            if t.isTemporary or (t.tableType or "").upper() == "VIEW":
+                continue
+            qualified = f"`{t.database or db.name}`.`{t.name}`"
+            try:
+                rows = spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {qualified}"
+                ).collect()
+            except Exception:  # pragma: no cover - concurrent drop
+                continue
+            loc = next(
+                (
+                    r["data_type"]
+                    for r in rows
+                    if r["col_name"] == "Location"
+                ),
+                None,
+            )
+            if loc and loc.rstrip("/") == target:
+                return qualified
+    return None
+
+
 def reclaim_orphaned_table_location(spark, table: str) -> bool:
     """Free a managed table's directory when the catalog has NO entry
     for it — the dirt a crashed job leaves behind (driver OOM between
@@ -340,6 +371,25 @@ def reclaim_orphaned_table_location(spark, table: str) -> bool:
         return False
     import logging
 
+    # Safety gate: a catalog-miss under TABLE'S OWN name does not prove
+    # the directory is orphaned — an EXTERNAL table registered under a
+    # DIFFERENT name can point its LOCATION at the same path (or a
+    # shared persistent metastore can serve a stale tableExists).
+    # Deleting then loses live data silently, so refuse the reclaim if
+    # ANY catalog table resolves to this location.
+    owner = _table_owning_location(
+        spark, fs.makeQualified(path).toString()
+    )
+    if owner is not None:
+        logging.getLogger(__name__).warning(
+            "NOT reclaiming %s for %s: catalog table %s resolves to "
+            "that location (external table under a different name, or "
+            "a stale tableExists on a shared metastore)",
+            path.toString(),
+            table,
+            owner,
+        )
+        return False
     logging.getLogger(__name__).warning(
         "reclaiming orphaned managed-table location %s for %s: the "
         "directory exists with no catalog entry (a crashed prior "

@@ -497,3 +497,38 @@ def test_table_materializer_scoped_lifecycle(spark):
     ], "materializer leaked tables past its scope"
     assert mat.tables == []
     mat.drop_all()  # idempotent
+
+
+def test_reclaim_refuses_location_owned_by_other_table(spark, tmp_path):
+    """reclaim_orphaned_table_location must NOT delete a directory that
+    some OTHER catalog table resolves to as its LOCATION: tableExists
+    under the derived name is false, but an EXTERNAL table registered
+    under a different name can point at the same managed-style path —
+    deleting would lose live data silently. The guard walks the whole
+    catalog before fs.delete."""
+    import os
+    import urllib.parse
+    import uuid
+
+    from kpipe_spark.util import reclaim_orphaned_table_location
+
+    stem = f"reclaim_guard_{uuid.uuid4().hex[:8]}"
+    wh = urllib.parse.urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, stem)
+    spark.range(5).write.parquet(loc)
+    ext = f"{stem}_ext"
+    try:
+        spark.sql(f"CREATE TABLE {ext} USING parquet LOCATION '{loc}'")
+        # the derived name has no catalog entry, the directory exists —
+        # but ext owns it, so the reclaim must refuse and keep the data
+        assert not spark.catalog.tableExists(stem)
+        assert reclaim_orphaned_table_location(spark, stem) is False
+        assert os.path.exists(loc)
+        assert spark.table(ext).count() == 5
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ext}")
+    # with the external owner gone the same directory IS an orphan:
+    # the reclaim proceeds (DROP TABLE on an external table keeps files)
+    assert os.path.exists(loc)
+    assert reclaim_orphaned_table_location(spark, stem) is True
+    assert not os.path.exists(loc)
