@@ -15,6 +15,9 @@ kpipe has none of these — they're the data-pipeline capabilities a
 - ``prefix``: range-parallel exclusive prefix sums
 - ``profiling``: column profiles, skew diagnostics
 - ``multimodal``: binary media columns with typed metadata
+- ``unigram``: unigram-LM tokenizer training + stored artifact
+- ``sketches``: md5 hash lanes + the BloomGate stored artifact
+  (fixed-memory admission gate, streaming-maintained)
 
 All are driver-collect-free and expressed with built-in functions where
 possible (JVM codegen); Python appears only as Arrow-batched pandas UDFs.

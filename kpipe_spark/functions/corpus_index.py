@@ -184,6 +184,19 @@ class CorpusIndex:
         joins on (band, bucket) plan no Exchange on this side."""
         return self.spark.table(self.table)
 
+    def band_keys(self, docs: DataFrame | None = None) -> DataFrame:
+        """(id, key) — one row per (doc, band) with the band-join key
+        as a single string, for sketch gates in FRONT of the stored
+        index (``functions/sketches.BloomGate``): collisions happen
+        exactly on key equality, so a doc whose EVERY key misses the
+        corpus key set cannot collide and need never touch the index.
+        ``docs=None`` keys the STORED table (the gate's build input)."""
+        frame = self.bands_df if docs is None else self._bands_of(docs)
+        return frame.select(
+            self.id_col,
+            F.concat_ws(":", "band", "bucket").alias("key"),
+        )
+
     # -- the admission loop ---------------------------------------------------
 
     def admit(self, batch: DataFrame) -> DataFrame:

@@ -40,6 +40,18 @@ from pyspark.sql import functions as F
 
 from kpipe_spark.catalog import load_tables
 from kpipe_spark.functions import text as T
+
+# lane hashing + Bloom geometry live in functions/sketches.py (shared
+# with the BloomGate stored artifact — the streaming-maintained form
+# of d97); the queries here stay the self-contained oracle-graded
+# derivations
+from kpipe_spark.functions.sketches import (
+    BLOOM_K as _BLOOM_K,
+    BLOOM_M as _BLOOM_M,
+    bloom_bits,
+    md5_lane as _md5_lane,
+    md5_lane_sql as _md5_lane_sql,
+)
 from kpipe_spark.queries import register
 
 # CMS geometry: 4 independent lanes × 1024 cells = 4096 counters —
@@ -49,31 +61,6 @@ from kpipe_spark.queries import register
 _CMS_LANES = 4
 _CMS_WIDTH = 1024
 _CMS_TOPK = 20
-
-# Bloom geometry: m = 2^14 bits, k = 3 lanes. At the sf0.1 corpus
-# (~11k bit insertions) the fill is ~50% and the measured FP rate
-# ~0.12 — deliberately non-negligible so the false_positive column
-# exercises real collisions at oracle scale.
-_BLOOM_M = 1 << 14
-_BLOOM_K = 3
-
-
-def _md5_lane(col, lane: int, mod: int):
-    """Integer hash lane ``lane``: 8 hex chars of the md5 digest at
-    offset 8·lane, hex→decimal, mod ``mod``. Cross-engine exact."""
-    return (
-        F.conv(F.substring(F.md5(col), 1 + 8 * lane, 8), 16, 10).cast(
-            "long"
-        )
-        % mod
-    )
-
-
-def _md5_lane_sql(expr: str, lane: int, mod: int) -> str:
-    return (
-        f"CAST(concat('0x', substr(md5({expr}), {1 + 8 * lane}, 8)) "
-        f"AS BIGINT) % {mod}"
-    )
 
 
 @register(
@@ -243,13 +230,6 @@ def d97_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(has_text & (F.col("doc_id") % 4 == 0)).select(
         "doc_id", T.fingerprint("text").alias("fp")
     )
-
-    def bloom_bits(fp_col):
-        # bits derive from the FP STRING's md5 (one more digest, so
-        # the oracle's CASE arms stay plain column expressions)
-        return F.array(
-            *[_md5_lane(fp_col, i, _BLOOM_M) for i in range(_BLOOM_K)]
-        )
 
     bits = (
         corpus.select(F.explode(bloom_bits(F.col("fp"))).alias("bit"))

@@ -33,7 +33,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("examples/corpus_monitoring.py", "corpus health invariants hold = True"),
         ("examples/ann_serving.py", "search == oracle-checked d88 rows = True"),
         ("examples/tokenizer_training.py", "stored vocab == oracle-checked d90 rows = True"),
-        ("examples/streaming_admission.py", "replay admitted 0 and left the index unchanged = True"),
+        ("examples/streaming_admission.py", "replay admitted 0, gate sound, index and bitmap unchanged = True"),
     ],
 )
 def test_example_runs(script, expect):
