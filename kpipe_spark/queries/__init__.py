@@ -62,8 +62,9 @@ def register(
 # twin d91 (same fertility metric keyed to the trained tokenizer) was
 # hash-graded in round 7, making it the best-covered deferral. All
 # oracle-backed queries run the identical DuckDB compare in pytest
-# regardless of window position. (Round-9 rotation note: d63 first,
-# then the round-7-era grades become the stalest block.)
+# regardless of window position. (Round-9 rotation note: FIRST-TIME
+# grades for d98/d99 — registered after this window was committed —
+# then d63, then the round-7-era grades become the stalest block.)
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",

@@ -1,26 +1,30 @@
 """LLM-pipeline operators, part 15: fixed-memory sketch primitives —
-count-min heavy-hitters and a Bloom-filter dedup gate. The two
-classic streaming/monitoring sketches re-expressed as DataFrame ops
-with DETERMINISTIC md5-lane hashing, so both are oracle-checkable
-bit-for-bit (unlike library sketches, whose seeds/implementations
-differ across engines).
+count-min heavy-hitters, a Bloom-filter dedup gate, and a HyperLogLog
+cardinality estimate. The classic streaming/monitoring sketches
+re-expressed as DataFrame ops with DETERMINISTIC md5-lane hashing, so
+all are oracle-checkable bit-for-bit (unlike library sketches, whose
+seeds/implementations differ across engines).
 
 Public literature: Cormode & Muthukrishnan, "An improved data stream
 summary: the count-min sketch and its applications" (J. Algorithms
 2005); Bloom, "Space/time trade-offs in hash coding with allowable
-errors" (CACM 1970).
+errors" (CACM 1970); Flajolet, Fusy, Gandouet & Meunier,
+"HyperLogLog: the analysis of a near-optimal cardinality estimation
+algorithm" (AofA 2007).
 
-Why these matter at 100 TB: both sketches are FIXED-SIZE regardless
-of corpus size — the CMS table is lanes×width rows and the Bloom bit
-table is ≤ m rows, so the "model" side of every join is broadcastable
-forever, where the exact alternatives (a vocabulary count table, a
-corpus fingerprint set) grow with the data. The CMS is the
+Why these matter at 100 TB: all three sketches are FIXED-SIZE
+regardless of corpus size — the CMS table is lanes×width rows, the
+Bloom bit table is ≤ m rows, the HLL register table is m rows — so
+the "model" side of every join is broadcastable forever, where the
+exact alternatives (a vocabulary count table, a corpus fingerprint
+set, a corpus-wide distinct) grow with the data. The CMS is the
 heavy-hitter monitor a streaming ingest keeps when the vocab table
 won't fit; the Bloom gate is the cheap admission pre-filter in front
 of CorpusIndex's band join — most NOVEL documents are rejected by a
 broadcast bitmap probe without ever touching the stored index, and
 only Bloom-positive docs (true dups + the measured false-positive
-fraction) pay the join.
+fraction) pay the join; the HLL registers merge across
+shards/micro-batches by pairwise max.
 
 Reference parity note: kpipe declares analytics out of scope
 (/root/reference/README.md:190-208); north-star LLM surface
@@ -29,8 +33,11 @@ Reference parity note: kpipe declares analytics out of scope
 Determinism discipline: every hash lane is a substring of the md5
 hex digest (identical in Spark/DuckDB/Python for identical UTF-8
 bytes) cast through hex→decimal and reduced mod a power of two —
-integer arithmetic end to end; counts are integer sums. There is no
-floating point anywhere in either op.
+integer arithmetic end to end; counts are integer sums. d96/d97
+contain no floating point at all; d98's floats are confined to
+dyadic-exact register sums (order-independent by exact
+representability) and one final transcendental estimate, ieee_round
+-ed under the repo's half-way rule.
 """
 
 from __future__ import annotations
@@ -53,6 +60,7 @@ from kpipe_spark.functions.sketches import (
     md5_lane_sql as _md5_lane_sql,
 )
 from kpipe_spark.queries import register
+from kpipe_spark.util import ieee_round
 
 # CMS geometry: 4 independent lanes × 1024 cells = 4096 counters —
 # fixed, whatever the corpus. Width trades overestimate for memory:
@@ -265,3 +273,200 @@ def d97_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("false_positive"),
         )
     )
+
+
+# HLL geometry: m = 256 registers (8 bucket bits from md5 lane 0); the
+# rho source is lane 1's 32-bit value. Standard error 1.04/sqrt(m) ≈
+# 6.5% — coarse on purpose so the rel_error column exercises a real
+# estimation gap at oracle scale. A production monitor sizes m up
+# (2^14 registers ≈ 0.8%); the register table stays broadcast-sized
+# through any m that fits a task.
+_HLL_M = 256
+
+
+@register(
+    "d98_hll_distinct_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                         x -> x <> '')) AS t
+      FROM documents
+      WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
+    ), hashed AS (
+      SELECT {_md5_lane_sql('t', 0, _HLL_M)} AS bucket,
+             {_md5_lane_sql('t', 1, 1 << 32)} AS x
+      FROM tok
+    ), regs AS (
+      SELECT bucket,
+             max(CASE WHEN x = 0 THEN 33
+                      ELSE 33 - length(bin(x)) END) AS mrho
+      FROM hashed GROUP BY bucket
+    ), summary AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM tok) AS n_exact,
+             CAST(count(*) AS BIGINT) AS n_registers_hit,
+             sum(pow(2.0, -mrho)) AS s_hit
+      FROM regs
+    ), raws AS (
+      SELECT n_exact, n_registers_hit,
+             0.7213 / (1 + 1.079 / {_HLL_M}.0) * {_HLL_M} * {_HLL_M}
+               / (s_hit + ({_HLL_M} - n_registers_hit)) AS raw,
+             {_HLL_M} - n_registers_hit AS zeros
+      FROM summary
+    ), final AS (
+      SELECT n_exact, n_registers_hit,
+             CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+                  THEN {_HLL_M} * ln({_HLL_M} * 1.0 / zeros)
+                  ELSE raw END AS est
+      FROM raws
+    )
+    SELECT n_exact, n_registers_hit,
+           floor(est * 10000.0 + 0.5) / 10000.0 AS hll_estimate,
+           floor((est - n_exact) / n_exact * 10000.0 + 0.5) / 10000.0
+             AS rel_error
+    FROM final
+    """,
+    description="HyperLogLog distinct-token estimate (Flajolet, Fusy, "
+    "Gandouet & Meunier 2007): each distinct token hashes to one of "
+    "256 registers (md5 lane 0) which keeps the max leading-zero rank "
+    "rho of a second 32-bit lane; the harmonic-mean estimate (with the "
+    "standard small-range linear-counting correction) is reported "
+    "against the exact distinct count with its relative error. The "
+    "distinct-counting member of the fixed-memory monitor family "
+    "(d96 CMS = frequencies, d97 Bloom = membership, d98 = "
+    "cardinality): at 100 TB the register table is still 256 rows — "
+    "mergeable across shards/micro-batches by pairwise max, "
+    "broadcastable forever — where the exact count needs a "
+    "corpus-wide distinct. Deterministic md5 lanes + integer rho "
+    "(33 - length(bin(x)), no float log2) + dyadic-exact register "
+    "sums (every 2^-rho term and their 256-term sum is exactly "
+    "representable, so partial-agg order cannot flicker) make it "
+    "hash-gradeable. Scale: ONE corpus explode into a distinct "
+    "(vocab-shaped, the d96 discipline), then a 256-row aggregate; "
+    "the exact side shares the same distinct.",
+    tags=("llm", "monitoring", "sketch"),
+)
+def d98_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir).documents
+    content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
+    tok = (
+        docs.filter(content)
+        .select(F.explode(T.tokens("text")).alias("t"))
+        .distinct()
+        # two consumers (registers + exact count); materialize the
+        # vocab-shaped distinct once instead of re-running the corpus
+        # explode per branch (the round-4 broadcast-branch lesson)
+        .localCheckpoint(eager=False)
+    )
+    m = _HLL_M
+    hashed = tok.select(
+        _md5_lane(F.col("t"), 0, m).alias("bucket"),
+        _md5_lane(F.col("t"), 1, 1 << 32).alias("x"),
+    )
+    rho = F.when(F.col("x") == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin("x"))
+    )
+    regs = (
+        hashed.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    summary = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers_hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mrho"))).alias("s_hit"),
+    )
+    n_exact = tok.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    # 1-row × 1-row: broadcast nested loop, never a CartesianProduct
+    raw = (
+        F.lit(0.7213)
+        / (F.lit(1) + F.lit(1.079) / F.lit(float(m)))
+        * m
+        * m
+        / (F.col("s_hit") + (F.lit(m) - F.col("n_registers_hit")))
+    )
+    zeros = F.lit(m) - F.col("n_registers_hit")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return (
+        n_exact.crossJoin(F.broadcast(summary))
+        .select(
+            "n_exact",
+            "n_registers_hit",
+            ieee_round(est, 4).alias("hll_estimate"),
+            ieee_round(
+                (est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_error"),
+        )
+    )
+
+
+from kpipe_spark.queries.llm_ops10 import _QUALITY_SQL as _QUALITY_SQL_D99
+
+# A-ES reservoir size
+_RES_K = 100
+# key quantizer: 2^20 fixed point on ln(u)/w — the unigram qln rule
+# (a 1-ulp libm disagreement flips the BIGINT only on a ~2^-32
+# half-integer coincidence; a genuine collision is SAFE, both engines
+# compute the same integer and break the tie on doc_id)
+_RES_SCALE = 1 << 20
+
+
+@register(
+    "d99_weighted_reservoir_sample",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             {{quality}} AS quality
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source, quality,
+             CAST(floor(
+               ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 4294967296 + 1) / 4294967296.0)
+               / (quality * quality) * {_RES_SCALE}.0) AS BIGINT) AS es_key
+      FROM q WHERE quality > 0
+    )
+    SELECT doc_id, source, quality, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT {_RES_K}
+    """.replace("{quality}", _QUALITY_SQL_D99),
+    description="weighted reservoir sample without replacement "
+    "(Efraimidis & Spirakis 2006, A-ES): each doc draws a "
+    "deterministic uniform u from its id's md5 lane and ranks by "
+    "ln(u)/w — the log form of the paper's u^(1/w) key (order-"
+    "equivalent by monotonicity; avoids pow(), whose last ulp differs "
+    "across libms where d50's docstring already refuses it), with "
+    "w = quality² (d50's sharpened weight; zero-weight docs are never "
+    "sampled, per the estimator). The top-k by key IS an exact-size-k "
+    "sample ∝ weights — the companion to d50's Bernoulli thinning "
+    "(which only controls the EXPECTED size). Keys quantize to 2^20 "
+    "fixed-point BIGINTs (the unigram qln rule) so the driver hash "
+    "compare is integer-exact; ties break on doc_id. Scale: one "
+    "projection + TakeOrderedAndProject (per-partition heaps, no "
+    "global sort, no shuffle beyond k rows per partition) — the "
+    "sample is computable in one pass at any corpus size, and the "
+    "A-ES key is mergeable across shards by keeping each shard's "
+    "top-k and re-ranking (k·shards rows).",
+    tags=("llm", "sampling", "sketch"),
+)
+def d99_weighted_reservoir_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kpipe_spark.functions.text import quality_score
+
+    docs = load_tables(spark, sf_dir).documents
+    q = docs.select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    ).filter(F.col("quality") > 0)
+    x = _md5_lane(F.col("doc_id").cast("string"), 0, 1 << 32)
+    u = (x + F.lit(1)) / F.lit(4294967296.0)
+    w = F.col("quality") * F.col("quality")
+    keyed = q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.floor(F.log(u) / w * F.lit(float(_RES_SCALE)))
+        .cast("long")
+        .alias("es_key"),
+    )
+    return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(_RES_K)

@@ -87,3 +87,82 @@ def test_bloom_gate_flags_planted_duplicate(spark):
     }
     assert out[4]["exact_dup"] == 1 and out[4]["bloom_positive"] == 1
     assert out[8]["exact_dup"] == 0
+
+
+def test_hll_estimate_within_theory_bounds(spark):
+    """HLL with m=256 registers has standard error 1.04/sqrt(m) ≈ 6.5%;
+    the estimate must land within ~4σ of the exact distinct count on
+    both fixture sizes, and the register count can never exceed m or
+    the exact count."""
+    for sf in (SF_SMALL, SF_MID):
+        row = (
+            all_queries()["d98_hll_distinct_tokens"]
+            .build(spark, sf)
+            .collect()[0]
+        )
+        assert 0 < row["n_registers_hit"] <= min(256, row["n_exact"])
+        assert abs(row["rel_error"]) < 0.26, row
+        assert abs(row["hll_estimate"] - row["n_exact"]) <= (
+            0.26 * row["n_exact"]
+        )
+
+
+def test_hll_registers_merge_by_pairwise_max(spark):
+    """The 100 TB merge story: registers of a UNION of corpora equal
+    the pairwise max of per-corpus registers — deterministic md5 lanes
+    make this exact, so shard/micro-batch HLLs combine without
+    re-reading data."""
+    from kpipe_spark.catalog import load_tables
+    from kpipe_spark.functions.sketches import md5_lane
+    from kpipe_spark.functions import text as T
+
+    docs = load_tables(spark, SF_SMALL).documents
+    content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
+
+    def regs(frame):
+        tok = frame.filter(content).select(
+            F.explode(T.tokens("text")).alias("t")
+        ).distinct()
+        hashed = tok.select(
+            md5_lane(F.col("t"), 0, 256).alias("bucket"),
+            md5_lane(F.col("t"), 1, 1 << 32).alias("x"),
+        )
+        rho = F.when(F.col("x") == 0, F.lit(33)).otherwise(
+            F.lit(33) - F.length(F.bin("x"))
+        )
+        return {
+            r["bucket"]: r["mrho"]
+            for r in hashed.select("bucket", rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("mrho"))
+            .collect()
+        }
+
+    a = regs(docs.filter("doc_id % 2 = 0"))
+    b = regs(docs.filter("doc_id % 2 = 1"))
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == regs(docs)
+
+
+def test_weighted_reservoir_prefers_high_quality(spark):
+    """A-ES sample properties: exactly k rows, no zero-weight docs,
+    deterministic across runs, and the quality²-weighted sample's mean
+    quality exceeds the eligible corpus mean (the point of weighting)."""
+    from kpipe_spark.catalog import load_tables
+    from kpipe_spark.functions.text import quality_score
+
+    q = all_queries()["d99_weighted_reservoir_sample"]
+    s1 = q.build(spark, SF_MID).collect()
+    s2 = q.build(spark, SF_MID).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+    assert len(s1) == 100
+    assert all(r["quality"] > 0 for r in s1)
+    docs = load_tables(spark, SF_MID).documents
+    corpus_mean = (
+        docs.select(quality_score("text").alias("q"))
+        .filter("q > 0")
+        .agg(F.avg("q"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r["quality"] for r in s1) / len(s1)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)

@@ -72,6 +72,8 @@ DIRTY_SENSITIVE = [
     "d95_kneser_ney_logprob",
     "d96_cms_heavy_hitters",
     "d97_bloom_dedup_gate",
+    "d98_hll_distinct_tokens",
+    "d99_weighted_reservoir_sample",
     "p04_curation_composition",
 ]
 

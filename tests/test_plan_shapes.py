@@ -116,6 +116,7 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         "cellcnt",      # llm_ops13 d93/d94: k_cells-row cell-count profile
         "cms",         # llm_ops15 d96: lanes*width-row sketch (4096, fixed)
         "bits",        # llm_ops15 d97: <=2^14-row Bloom bit table (fixed)
+        "summary",     # llm_ops15 d98: 1-row HLL register summary
         "probe_stats",  # llm_ops13 d93/d94: one row per panel query
         "cb",          # llm_ops13 d86: m*k-row PQ codebook (1024 rows)
         "adc",         # llm_ops13 d86: panel*m*k ADC lookup table
@@ -123,6 +124,9 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         "hist",        # selection.py: <=10001-row quality histogram
         "freq",        # vocab-sized token document-frequency table
         "wseg",        # llm_ops14 d91: vocab-sized word->pieces map
+        "score_df",    # unigram segment_pieces_joined: the stored
+                       # piece-score table (vocab-BUDGET-bounded; the
+                       # broadcast replaces a 2·|vocab| plan literal)
         "df",          # llm_ops3 tf-idf: vocab-sized doc-frequency
         "comp",        # dup-GRAPH-sized components (dedup.py docstring)
         "comp.agg",    # 1-row count over comp
