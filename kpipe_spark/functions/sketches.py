@@ -1,27 +1,35 @@
-"""Fixed-memory sketch primitives shared by the d96/d97 queries and
-the streaming maintenance path: md5-derived integer hash lanes and the
-``BloomGate`` stored artifact — a Bloom bitmap (Bloom 1970) persisted
-as a managed table and UPDATED per micro-batch, the "fixed-size model
-side" the d97 docstring promises.
+"""Fixed-memory sketch primitives shared by the d96-d98 queries and
+the streaming maintenance path: md5-derived integer hash lanes plus
+two stored artifacts — ``BloomGate`` (a Bloom bitmap, Bloom 1970) and
+``CmsSketch`` (count-min counters, Cormode & Muthukrishnan 2005) —
+persisted as managed tables and UPDATED per micro-batch, the
+"fixed-size model side" the d96/d97 docstrings promise.
 
-Why a stored artifact: d97 derives the corpus bit table inline per
-query (the oracle contract needs it self-contained), but the 100 TB
-admission story is a bitmap that already exists when a batch arrives —
-≤ m rows whatever the corpus, broadcastable forever — probed in front
-of CorpusIndex's band join so novel documents never pay it.
+Why stored artifacts: the d96/d97 queries derive their sketch inline
+per run (the oracle contract needs them self-contained), but the
+100 TB story is a sketch that already exists when a batch arrives —
+≤ geometry-bounded rows whatever the corpus, broadcastable forever —
+probed in front of the corpus-sized work (BloomGate gates
+CorpusIndex's band join; CmsSketch answers frequency probes without a
+vocab table).
 
-At-least-once safety: Structured Streaming's foreachBatch re-delivers
-a batch (same batchId) after a crash. The gate is safe twice over —
-``update_batch`` skips batch ids it has already applied (recorded in
-TBLPROPERTIES), and even when the skip marker itself is lost to a
-crash between the bit append and the property write, re-applying is
-harmless because a Bloom update is SET UNION: inserting the same bits
-twice is the identity. The probe reads bits through ``distinct()`` so
-a duplicate row from that crash window can never double-count a lane.
+At-least-once safety — two different mechanisms for two different
+algebras. Structured Streaming's foreachBatch re-delivers a batch
+(same batchId) after a crash. The Bloom update is SET UNION —
+naturally idempotent — so BloomGate needs only a skip marker for
+cheapness, and even a marker lost to a crash between the bit append
+and the property write is harmless (re-inserting the same bits is the
+identity; ``probe`` reads bits through ``distinct()`` so a duplicate
+row can never double-count a lane). Counter ADDITION is NOT
+idempotent, so CmsSketch instead lands each batch's delta in its own
+``batch_id`` partition with a static INSERT OVERWRITE — the replay
+REPLACES its previous delta instead of adding (the
+IdempotentDlqParquet discipline applied to state), closing the crash
+window a marker cannot.
 
 kpipe parity: the reference has no sketch surface; this is north-star
-LLM-pipeline admission machinery (SURVEY.md §2.4), the streaming
-companion of d97 (`queries/llm_ops15.py`).
+LLM-pipeline admission/monitoring machinery (SURVEY.md §2.4), the
+streaming companion of d96/d97 (`queries/llm_ops15.py`).
 """
 
 from __future__ import annotations
@@ -336,3 +344,232 @@ class BloomGate:
             for r in rows
             if r["key"].startswith(self._PROP_PREFIX)
         }
+
+
+# CMS geometry: 4 independent lanes × 1024 cells = 4096 counters —
+# fixed, whatever the corpus. Width trades overestimate for memory:
+# E[overestimate] ≤ total_occurrences / width per lane, and the min
+# over 4 lanes concentrates sharply. (The d96 query imports these.)
+CMS_LANES = 4
+CMS_WIDTH = 1024
+
+
+class CmsSketch:
+    """Stored-artifact count-min sketch — the COUNTER-state member of
+    the sketch family, whose streaming maintenance is strictly harder
+    than BloomGate's: counter addition is NOT idempotent (replaying a
+    micro-batch under at-least-once delivery would double-count every
+    token), so the batch-id skip marker alone is not enough — a crash
+    between the counter merge and the marker write re-adds the batch.
+
+    The fix is the repo's IdempotentDlqParquet discipline applied to
+    STATE (`pipeline/sinks.py:80`): each micro-batch's counter DELTA
+    lands in its own ``batch_id=<id>`` partition via a STATIC
+    ``INSERT OVERWRITE ... PARTITION (batch_id = N)``, and Structured
+    Streaming replays a failed batch under the SAME batch id, so the
+    replay REPLACES its previous delta instead of adding to it —
+    idempotent by construction, with no marker and no crash window.
+    Serving reads ``sketch_df``: sum over partitions grouped by
+    (lane, cell) — ≤ lanes×width rows out, whatever the corpus.
+
+    Partition count grows one per micro-batch (bounded by batch
+    cadence, prunable by batch_id); a maintenance job merges history
+    into the base partition offline the way CorpusIndex.compact()
+    rewrites band files — with streams stopped, since the merge moves
+    rows across the partitions that carry the idempotency.
+
+    Geometry (lanes, width) persists as TBLPROPERTIES; ``attach``
+    validates against explicit kwargs (the BloomGate/AnnIndex family
+    rule — probing cells hashed under a different width silently
+    reads the wrong counters).
+    """
+
+    _PROP_PREFIX = "kpipe.cms."
+    _FAMILY_PROPS = ("lanes", "width")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        lanes: int = CMS_LANES,
+        width: int = CMS_WIDTH,
+    ) -> None:
+        self.spark = spark
+        self.table = table
+        self.lanes = lanes
+        self.width = width
+
+    # -- lifecycle ---------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        table: str,
+        text_col: str = "text",
+        lanes: int = CMS_LANES,
+        width: int = CMS_WIDTH,
+    ) -> "CmsSketch":
+        """Count the base corpus into the ``batch_id=-1`` partition."""
+        from kpipe_spark.util import reclaim_orphaned_table_location
+
+        sk = cls(spark, table, lanes=lanes, width=width)
+        reclaim_orphaned_table_location(spark, table)
+        sk._cells_of(docs, text_col).withColumn(
+            "batch_id", F.lit(-1).cast("long")
+        ).write.mode("overwrite").partitionBy("batch_id").saveAsTable(
+            table, format="parquet"
+        )
+        props = ", ".join(
+            f"'{cls._PROP_PREFIX}{k}' = '{getattr(sk, k)}'"
+            for k in cls._FAMILY_PROPS
+        )
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
+        return sk
+
+    @classmethod
+    def attach(
+        cls, spark: SparkSession, table: str, **family: int
+    ) -> "CmsSketch":
+        if not spark.catalog.tableExists(table):
+            raise ValueError(f"no such cms-sketch table: {table}")
+        sk = cls(spark, table, **family)
+        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        stored = {
+            r["key"].removeprefix(cls._PROP_PREFIX): int(r["value"])
+            for r in rows
+            if r["key"].startswith(cls._PROP_PREFIX)
+        }
+        mismatched = {
+            p: (family[p], stored[p])
+            for p in cls._FAMILY_PROPS
+            if p in stored and p in family and family[p] != stored[p]
+        }
+        if mismatched:
+            detail = ", ".join(
+                f"{p}: caller {got} != table {want}"
+                for p, (got, want) in mismatched.items()
+            )
+            raise ValueError(
+                f"cms geometry mismatch attaching {table} ({detail}) — "
+                "probing cells hashed under a different geometry than "
+                "the stored counters silently reads the wrong cells"
+            )
+        for p in cls._FAMILY_PROPS:
+            if p in stored:
+                setattr(sk, p, stored[p])
+        return sk
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+
+    # -- streaming maintenance -----------------------------------------
+
+    def update_batch(
+        self, docs: DataFrame, batch_id: int, text_col: str = "text"
+    ) -> None:
+        """Land the batch's counter delta in its own partition. A
+        replay of the same batch id overwrites the SAME partition with
+        the SAME delta — the no-marker, no-crash-window idempotency
+        (docstring above). Safe to call with an all-contentless batch:
+        the static partition spec overwrites unconditionally, so an
+        empty delta is the tombstone that clears a stale pre-crash
+        attempt (the DLQ tombstone rule)."""
+        view = f"kpipe_cms_delta_{abs(hash((self.table, batch_id))) % 10**8}"
+        self._cells_of(docs, text_col).createOrReplaceTempView(view)
+        try:
+            self.spark.sql(
+                f"INSERT OVERWRITE TABLE {self.table} "
+                f"PARTITION (batch_id = {int(batch_id)}) "
+                f"SELECT lane, cell, c FROM {view}"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
+
+    def applied_batches(self) -> list[int]:
+        return sorted(
+            r["batch_id"]
+            for r in self.spark.table(self.table)
+            .select("batch_id")
+            .distinct()
+            .collect()
+        )
+
+    # -- serving -----------------------------------------------------
+
+    @property
+    def sketch_df(self) -> DataFrame:
+        """(lane, cell, c): counters summed across the base + every
+        applied batch — ≤ lanes×width rows whatever the corpus."""
+        return (
+            self.spark.table(self.table)
+            .groupBy("lane", "cell")
+            .agg(F.sum("c").alias("c"))
+        )
+
+    def estimate(
+        self, tokens: DataFrame, token_col: str = "t"
+    ) -> DataFrame:
+        """(token, cms_estimate) for the DISTINCT tokens of ``tokens``:
+        min over lanes of the token's cell counters (a never-counted
+        cell reads 0, so an unseen token estimates 0 — the CMS never
+        underestimates, pinned in tests)."""
+        probe = (
+            tokens.select(F.col(token_col).alias("t"))
+            .filter(F.col("t").isNotNull())
+            .distinct()
+            .select(
+                "t",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("lane"),
+                                md5_lane(F.col("t"), i, self.width).alias(
+                                    "cell"
+                                ),
+                            )
+                            for i in range(self.lanes)
+                        ]
+                    )
+                ).alias("lc"),
+            )
+            .select("t", "lc.lane", "lc.cell")
+        )
+        sketch = self.sketch_df
+        return (
+            probe.join(F.broadcast(sketch), ["lane", "cell"], "left")
+            .groupBy("t")
+            .agg(
+                F.min(F.coalesce("c", F.lit(0)))
+                .cast("long")
+                .alias("cms_estimate")
+            )
+            .withColumnRenamed("t", token_col)
+        )
+
+    # -- internals ----------------------------------------------------
+
+    def _cells_of(self, docs: DataFrame, text_col: str) -> DataFrame:
+        content = F.col(text_col).isNotNull() & F.col(text_col).rlike(
+            r"\S"
+        )
+        tok = docs.filter(content).select(
+            F.explode(T.tokens(text_col)).alias("t")
+        )
+        lanes = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("lane"),
+                    md5_lane(F.col("t"), i, self.width).alias("cell"),
+                )
+                for i in range(self.lanes)
+            ]
+        )
+        return (
+            tok.select(F.explode(lanes).alias("lc"))
+            .select("lc.lane", "lc.cell")
+            .groupBy("lane", "cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )

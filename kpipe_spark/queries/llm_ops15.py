@@ -55,6 +55,8 @@ from kpipe_spark.functions import text as T
 from kpipe_spark.functions.sketches import (
     BLOOM_K as _BLOOM_K,
     BLOOM_M as _BLOOM_M,
+    CMS_LANES as _CMS_LANES,
+    CMS_WIDTH as _CMS_WIDTH,
     bloom_bits,
     md5_lane as _md5_lane,
     md5_lane_sql as _md5_lane_sql,
@@ -62,12 +64,6 @@ from kpipe_spark.functions.sketches import (
 from kpipe_spark.queries import register
 from kpipe_spark.util import ieee_round
 
-# CMS geometry: 4 independent lanes × 1024 cells = 4096 counters —
-# fixed, whatever the corpus. Width trades overestimate for memory:
-# E[overestimate] ≤ total_occurrences / width per lane, and the min
-# over 4 lanes concentrates sharply.
-_CMS_LANES = 4
-_CMS_WIDTH = 1024
 _CMS_TOPK = 20
 
 

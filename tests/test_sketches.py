@@ -190,3 +190,111 @@ def test_bloom_gate_band_keys_front_door(spark):
     finally:
         gate.drop()
         idx.drop()
+
+
+# --- CmsSketch: counter state under at-least-once delivery ----------
+
+
+def test_cms_sketch_lifecycle_and_d96_parity(spark):
+    """build/attach/family-validation/drop, plus the artifact≡query
+    discipline: a sketch built on the full corpus answers d96's top-20
+    tokens with exactly d96's cms_estimate values."""
+    import os
+    import urllib.parse
+
+    from kpipe_spark.catalog import load_tables
+    from kpipe_spark.functions.sketches import CmsSketch
+    from kpipe_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sf).documents
+    table = f"cms_sk_{uuid.uuid4().hex[:8]}"
+    sk = CmsSketch.build(spark, docs, table)
+    try:
+        att = CmsSketch.attach(spark, table)
+        assert (att.lanes, att.width) == (sk.lanes, sk.width)
+        with pytest.raises(ValueError, match="geometry mismatch"):
+            CmsSketch.attach(spark, table, width=512)
+        d96 = all_queries()["d96_cms_heavy_hitters"].build(spark, sf)
+        tokens = d96.select(F.col("token").alias("t"))
+        mine = {
+            r["t"]: r["cms_estimate"]
+            for r in sk.estimate(tokens).collect()
+        }
+        theirs = {
+            r["token"]: r["cms_estimate"] for r in d96.collect()
+        }
+        assert mine == theirs
+        # unseen token estimates 0 (never-counted cells read 0)
+        ghost = spark.createDataFrame(
+            [("zzzzunseenzzzz",)], "t string"
+        )
+        assert sk.estimate(ghost).collect()[0]["cms_estimate"] == 0
+    finally:
+        sk.drop()
+    wh = urllib.parse.urlparse(
+        spark.conf.get("spark.sql.warehouse.dir")
+    ).path
+    assert not spark.catalog.tableExists(table)
+    assert not os.path.exists(os.path.join(wh, table))
+
+
+def test_cms_sketch_replay_overwrites_not_doubles(spark):
+    """THE counter-state property: replaying a micro-batch (same
+    batchId — at-least-once's worst case, including the crash window
+    no skip-marker can close) must leave every counter EXACTLY as one
+    application did, because the delta overwrites its own partition
+    instead of adding. A marker-based design would double-count here."""
+    from kpipe_spark.functions.sketches import CmsSketch
+
+    base = _docs(spark, [(1, "alpha beta alpha")])
+    batch = _docs(spark, [(2, "alpha gamma gamma gamma")])
+    table = f"cms_replay_{uuid.uuid4().hex[:8]}"
+    sk = CmsSketch.build(spark, base, table)
+    try:
+        sk.update_batch(batch, batch_id=0)
+        probe = spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",)], "t string"
+        )
+        once = {
+            r["t"]: r["cms_estimate"] for r in sk.estimate(probe).collect()
+        }
+        # exact on this tiny corpus: no cell collisions at 4x1024
+        assert once == {"alpha": 3, "beta": 1, "gamma": 3}
+        # worst-case replay: same batch id, twice more
+        sk.update_batch(batch, batch_id=0)
+        sk.update_batch(batch, batch_id=0)
+        again = {
+            r["t"]: r["cms_estimate"] for r in sk.estimate(probe).collect()
+        }
+        assert again == once
+        assert sk.applied_batches() == [-1, 0]
+        # a DISTINCT batch id does add (it is new data, not a replay)
+        sk.update_batch(batch, batch_id=1)
+        assert sk.estimate(probe).filter("t = 'gamma'").collect()[0][
+            "cms_estimate"
+        ] == 6
+    finally:
+        sk.drop()
+
+
+def test_cms_sketch_empty_replay_clears_stale_delta(spark):
+    """The tombstone rule (the DLQ empty-write discipline): a replay
+    whose delta is EMPTY (e.g. the batch's docs were all filtered
+    upstream on the second attempt) must CLEAR the pre-crash attempt's
+    counters, not leave them stranded — static partition overwrite is
+    unconditional."""
+    from kpipe_spark.functions.sketches import CmsSketch
+
+    base = _docs(spark, [(1, "alpha")])
+    table = f"cms_tomb_{uuid.uuid4().hex[:8]}"
+    sk = CmsSketch.build(spark, base, table)
+    try:
+        sk.update_batch(_docs(spark, [(2, "delta delta")]), batch_id=0)
+        probe = spark.createDataFrame([("delta",)], "t string")
+        assert sk.estimate(probe).collect()[0]["cms_estimate"] == 2
+        # replayed batch 0 now carries no content
+        sk.update_batch(_docs(spark, [(2, None)]), batch_id=0)
+        assert sk.estimate(probe).collect()[0]["cms_estimate"] == 0
+    finally:
+        sk.drop()
