@@ -117,6 +117,8 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         "cms",         # llm_ops15 d96: lanes*width-row sketch (4096, fixed)
         "bits",        # llm_ops15 d97: <=2^14-row Bloom bit table (fixed)
         "summary",     # llm_ops15 d98: 1-row HLL register summary
+        "sketch",      # sketches.CmsSketch.estimate: <= lanes*width
+                       # aggregated counters (4096, fixed forever)
         "probe_stats",  # llm_ops13 d93/d94: one row per panel query
         "cb",          # llm_ops13 d86: m*k-row PQ codebook (1024 rows)
         "adc",         # llm_ops13 d86: panel*m*k ADC lookup table
