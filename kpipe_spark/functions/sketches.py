@@ -1,21 +1,23 @@
 """Fixed-memory sketch primitives shared by the d96-d98 queries and
 the streaming maintenance path: md5-derived integer hash lanes plus
-two stored artifacts — ``BloomGate`` (a Bloom bitmap, Bloom 1970) and
-``CmsSketch`` (count-min counters, Cormode & Muthukrishnan 2005) —
+three stored artifacts — ``BloomGate`` (a Bloom bitmap, Bloom 1970),
+``CmsSketch`` (count-min counters, Cormode & Muthukrishnan 2005) and
+``HllSketch`` (HyperLogLog registers, Flajolet et al. 2007) —
 persisted as managed tables and UPDATED per micro-batch, the
-"fixed-size model side" the d96/d97 docstrings promise.
+"fixed-size model side" the d96-d98 docstrings promise.
 
-Why stored artifacts: the d96/d97 queries derive their sketch inline
+Why stored artifacts: the d96-d98 queries derive their sketch inline
 per run (the oracle contract needs them self-contained), but the
 100 TB story is a sketch that already exists when a batch arrives —
 ≤ geometry-bounded rows whatever the corpus, broadcastable forever —
 probed in front of the corpus-sized work (BloomGate gates
 CorpusIndex's band join; CmsSketch answers frequency probes without a
-vocab table).
+vocab table; HllSketch tracks distinct cardinality without a
+corpus-wide distinct).
 
-At-least-once safety — two different mechanisms for two different
-algebras. Structured Streaming's foreachBatch re-delivers a batch
-(same batchId) after a crash. The Bloom update is SET UNION —
+At-least-once safety — three different mechanisms for three different
+merge algebras. Structured Streaming's foreachBatch re-delivers a
+batch (same batchId) after a crash. The Bloom update is SET UNION —
 naturally idempotent — so BloomGate needs only a skip marker for
 cheapness, and even a marker lost to a crash between the bit append
 and the property write is harmless (re-inserting the same bits is the
@@ -25,11 +27,13 @@ idempotent, so CmsSketch instead lands each batch's delta in its own
 ``batch_id`` partition with a static INSERT OVERWRITE — the replay
 REPLACES its previous delta instead of adding (the
 IdempotentDlqParquet discipline applied to state), closing the crash
-window a marker cannot.
+window a marker cannot. Register MAX is idempotent even over
+duplicate rows, so HllSketch appends freely and serves through a
+max-merge — the cheapest of the three.
 
 kpipe parity: the reference has no sketch surface; this is north-star
 LLM-pipeline admission/monitoring machinery (SURVEY.md §2.4), the
-streaming companion of d96/d97 (`queries/llm_ops15.py`).
+streaming companion of d96-d98 (`queries/llm_ops15.py`).
 """
 
 from __future__ import annotations
@@ -573,3 +577,189 @@ class CmsSketch:
             .groupBy("lane", "cell")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+
+
+# HLL geometry: m = 256 registers. Matches llm_ops15.d98 (the
+# oracle-graded query form) so the artifact can be audited against it.
+HLL_M = 256
+
+
+class HllSketch:
+    """Stored-artifact HyperLogLog registers — the CARDINALITY member
+    of the sketch trio, and the third distinct at-least-once mechanism,
+    matched to its merge algebra:
+
+    - BloomGate: set UNION → naturally idempotent (marker is an
+      optimization; crash window harmless).
+    - CmsSketch: counter ADD → not idempotent → per-batch partition
+      overwrite (replay replaces).
+    - HllSketch: register MAX → append-only is safe EVEN WITH
+      DUPLICATE ROWS, because serving takes the max over everything —
+      a crash between the append and the skip marker re-appends the
+      same registers and changes no maximum. The cheapest of the
+      three: no partition bookkeeping, no distinct() needed.
+
+    Storage: one managed table ``(bucket, mrho)`` — ≤ m rows per
+    applied batch, aggregated to ≤ m rows at serve time; geometry (m)
+    persists as TBLPROPERTIES with attach-time validation (bucket ids
+    hashed under a different m read the wrong registers silently).
+
+    The register derivation is bit-identical to the oracle-graded
+    ``d98_hll_distinct_tokens`` (same md5 lanes, same integer rho), so
+    an artifact built on a corpus reproduces d98's estimate exactly —
+    pinned in tests.
+    """
+
+    _PROP_PREFIX = "kpipe.hll."
+    _FAMILY_PROPS = ("m",)
+
+    def __init__(
+        self, spark: SparkSession, table: str, m: int = HLL_M
+    ) -> None:
+        self.spark = spark
+        self.table = table
+        self.m = m
+
+    # -- lifecycle ---------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        table: str,
+        text_col: str = "text",
+        m: int = HLL_M,
+    ) -> "HllSketch":
+        from kpipe_spark.util import reclaim_orphaned_table_location
+
+        sk = cls(spark, table, m=m)
+        reclaim_orphaned_table_location(spark, table)
+        sk._registers_of(docs, text_col).write.mode(
+            "overwrite"
+        ).saveAsTable(table, format="parquet")
+        sk._set_props(last_batch_id=-1)
+        return sk
+
+    @classmethod
+    def attach(
+        cls, spark: SparkSession, table: str, **family: int
+    ) -> "HllSketch":
+        if not spark.catalog.tableExists(table):
+            raise ValueError(f"no such hll-sketch table: {table}")
+        sk = cls(spark, table, **family)
+        stored = sk._read_props()
+        if (
+            "m" in stored
+            and "m" in family
+            and family["m"] != stored["m"]
+        ):
+            raise ValueError(
+                f"hll geometry mismatch attaching {table} (caller m "
+                f"{family['m']} != table m {stored['m']}) — buckets "
+                "hashed under a different m read the wrong registers "
+                "silently"
+            )
+        if "m" in stored:
+            sk.m = stored["m"]
+        return sk
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+
+    # -- streaming maintenance -----------------------------------------
+
+    def last_batch_id(self) -> int:
+        return int(self._read_props().get("last_batch_id", -1))
+
+    def update_batch(
+        self, docs: DataFrame, batch_id: int, text_col: str = "text"
+    ) -> bool:
+        """Append the batch's registers; returns False on an already-
+        applied batch id. The marker is purely a cost saver — a crash
+        between the append and the marker write re-appends identical
+        rows, and MAX over duplicates is the same MAX."""
+        if batch_id <= self.last_batch_id():
+            return False
+        regs = self._registers_of(docs, text_col).localCheckpoint(
+            eager=True
+        )
+        regs.write.mode("append").saveAsTable(self.table)
+        self._set_props(last_batch_id=batch_id)
+        return True
+
+    # -- serving -----------------------------------------------------
+
+    @property
+    def registers_df(self) -> DataFrame:
+        """(bucket, mrho): pairwise-max merged over the base corpus
+        and every applied batch — ≤ m rows out."""
+        return (
+            self.spark.table(self.table)
+            .groupBy("bucket")
+            .agg(F.max("mrho").alias("mrho"))
+        )
+
+    def distinct_estimate(self) -> float:
+        """The HLL estimate (Flajolet et al. 2007) with the standard
+        small-range linear-counting correction — computed from the ≤ m
+        merged registers (a bounded collect, the monitor read path).
+        Mirrors d98's arithmetic exactly."""
+        rows = self.registers_df.collect()
+        m = self.m
+        n_hit = len(rows)
+        s_hit = sum(2.0 ** (-r["mrho"]) for r in rows)
+        raw = (
+            0.7213 / (1 + 1.079 / float(m)) * m * m
+            / (s_hit + (m - n_hit))
+        )
+        zeros = m - n_hit
+        if raw <= 2.5 * m and zeros > 0:
+            import math
+
+            return m * math.log(float(m) / zeros)
+        return raw
+
+    # -- internals ----------------------------------------------------
+
+    def _registers_of(self, docs: DataFrame, text_col: str) -> DataFrame:
+        content = F.col(text_col).isNotNull() & F.col(text_col).rlike(
+            r"\S"
+        )
+        tok = (
+            docs.filter(content)
+            .select(F.explode(T.tokens(text_col)).alias("t"))
+            .distinct()
+        )
+        hashed = tok.select(
+            md5_lane(F.col("t"), 0, self.m).alias("bucket"),
+            md5_lane(F.col("t"), 1, 1 << 32).alias("x"),
+        )
+        rho = F.when(F.col("x") == 0, F.lit(33)).otherwise(
+            F.lit(33) - F.length(F.bin("x"))
+        )
+        return (
+            hashed.select("bucket", rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("mrho"))
+        )
+
+    def _set_props(self, **extra: int) -> None:
+        props = {"m": self.m}
+        props.update(extra)
+        joined = ", ".join(
+            f"'{self._PROP_PREFIX}{k}' = '{v}'" for k, v in props.items()
+        )
+        self.spark.sql(
+            f"ALTER TABLE {self.table} SET TBLPROPERTIES ({joined})"
+        )
+
+    def _read_props(self) -> dict[str, int]:
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self.table}"
+        ).collect()
+        return {
+            r["key"].removeprefix(self._PROP_PREFIX): int(r["value"])
+            for r in rows
+            if r["key"].startswith(self._PROP_PREFIX)
+        }

@@ -298,3 +298,77 @@ def test_cms_sketch_empty_replay_clears_stale_delta(spark):
         assert sk.estimate(probe).collect()[0]["cms_estimate"] == 0
     finally:
         sk.drop()
+
+
+# --- HllSketch: max-merge register state -----------------------------
+
+
+def test_hll_sketch_matches_d98_estimate(spark):
+    """Artifact≡query: registers built on the corpus reproduce the
+    oracle-graded d98 estimate exactly (same lanes, same integer rho,
+    same correction arithmetic)."""
+    from kpipe_spark.catalog import load_tables
+    from kpipe_spark.functions.sketches import HllSketch
+    from kpipe_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_tables(spark, sf).documents
+    table = f"hll_sk_{uuid.uuid4().hex[:8]}"
+    sk = HllSketch.build(spark, docs, table)
+    try:
+        att = HllSketch.attach(spark, table)
+        assert att.m == sk.m
+        with pytest.raises(ValueError, match="geometry mismatch"):
+            HllSketch.attach(spark, table, m=1024)
+        d98 = (
+            all_queries()["d98_hll_distinct_tokens"]
+            .build(spark, sf)
+            .collect()[0]
+        )
+        import math
+
+        assert (
+            math.floor(sk.distinct_estimate() * 10000.0 + 0.5) / 10000.0
+            == d98["hll_estimate"]
+        )
+        assert sk.registers_df.count() == d98["n_registers_hit"]
+    finally:
+        sk.drop()
+
+
+def test_hll_sketch_update_merges_by_max_and_survives_replay(spark):
+    """Split-build-then-update equals whole-corpus build (the merge
+    exactness d98's pytest pins, here via the artifact), and the
+    worst-case replay — same batch id re-applied after the skip marker
+    is wound back, i.e. the crash window — changes no register,
+    because MAX over duplicate appended rows is the same MAX."""
+    from kpipe_spark.functions.sketches import HllSketch
+
+    half_a = _docs(
+        spark, [(i, f"alpha{i} beta{i} shared") for i in range(20)]
+    )
+    half_b = _docs(
+        spark, [(100 + i, f"gamma{i} shared") for i in range(20)]
+    )
+    t_inc = f"hll_inc_{uuid.uuid4().hex[:8]}"
+    t_full = f"hll_full_{uuid.uuid4().hex[:8]}"
+    inc = HllSketch.build(spark, half_a, t_inc)
+    full = HllSketch.build(spark, half_a.unionByName(half_b), t_full)
+    try:
+        assert inc.update_batch(half_b, batch_id=0) is True
+        regs = lambda s: {  # noqa: E731
+            r["bucket"]: r["mrho"] for r in s.registers_df.collect()
+        }
+        assert regs(inc) == regs(full)
+        assert inc.distinct_estimate() == full.distinct_estimate()
+        # replay skipped by marker
+        assert inc.update_batch(half_b, batch_id=0) is False
+        # crash window: marker lost, batch re-applies — duplicates
+        # append but every max is unchanged
+        inc._set_props(last_batch_id=-1)
+        assert inc.update_batch(half_b, batch_id=0) is True
+        assert regs(inc) == regs(full)
+        assert inc.distinct_estimate() == full.distinct_estimate()
+    finally:
+        inc.drop()
+        full.drop()
