@@ -241,11 +241,49 @@ def _sweep_delta(cur_doc: dict, prev_path: str) -> dict | None:
         "quiet_subtotal_cur": round(sum(cq[n] for n in quiet), 1),
         "movers": dict(sorted(movers.items())),
         "note": (
-            "quiet rows = ambient under gate in BOTH artifacts; "
-            "sweep rows are single captures — confirm movers "
-            "best-of-3 before acting (CLAUDE.md bench discipline)"
+            "quiet rows = ambient under gate in BOTH artifacts; sweep "
+            "rows are single captures — regression-direction movers "
+            "are auto-adjudicated best-of-3 in movers_confirmation "
+            "when a live bench session computed this delta (sweep "
+            "runs); a delta recomputed from committed artifacts "
+            "(headline) inherits the sweep artifact's confirmations"
         ),
     }
+
+
+def _confirm_movers(spark, sf_dir, queries, movers: dict) -> dict:
+    """Machine adjudication of the sweep_delta movers that point in
+    the REGRESSION direction (cur > prev): each gets an automatic
+    best-of-3 re-run in the same warmed session, because a sweep row
+    is a single timed capture and can eat a GC pause worth 2x+ on a
+    sub-2 s query. Rounds 6-8 adjudicated these by hand in prose every
+    round (r8: m05 2.43 s single vs 0.584 best-of-3, d47 5.65 vs 3.74
+    — both capture flakes); this embeds the verdict in the artifact.
+
+    verdict per mover: ``capture_flake`` if the best-of-3 lands back
+    within the mover threshold (1.5x) of the prior round — the single
+    capture was the outlier, not the code; ``confirmed_regression`` if
+    the re-run still exceeds it — investigate before round end.
+    Improvement-direction movers are left alone (a too-good single
+    capture overstates a win but flags nothing to fix; the next
+    round's delta self-corrects against it)."""
+    out: dict[str, dict] = {}
+    for name, mv in sorted(movers.items()):
+        if mv["cur"] <= mv["prev"] or name not in queries:
+            continue
+        q = queries[name]
+        best3, ext = _timed_capture(lambda: q.build(spark, sf_dir), runs=3)
+        confirmed = best3 > 1.5 * max(mv["prev"], 1e-9)
+        out[name] = {
+            "prev": mv["prev"],
+            "cur_single": mv["cur"],
+            "cur_best3": round(best3, 3),
+            "ambient_during_best3": round(ext, 2),
+            "verdict": (
+                "confirmed_regression" if confirmed else "capture_flake"
+            ),
+        }
+    return out
 
 
 def _d05_signature_ab(spark, sf_dir: str) -> dict:
@@ -451,7 +489,17 @@ def sweep(out_path: str | None = None) -> None:
         if os.path.abspath(p) != os.path.abspath(out_path)
     ]
     if prev:
-        doc["sweep_delta"] = _sweep_delta(doc, prev[0])
+        delta = _sweep_delta(doc, prev[0])
+        if delta and delta["movers"]:
+            # regression-direction movers get an automatic best-of-3
+            # re-run while the warmed session is still alive, so the
+            # artifact ships its own adjudication (capture flake vs
+            # confirmed regression) instead of leaving two phantom
+            # regressions in every round's delta for a reader to chase
+            delta["movers_confirmation"] = _confirm_movers(
+                spark, sf_dir, queries, delta["movers"]
+            )
+        doc["sweep_delta"] = delta
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=False)
         f.write("\n")
@@ -468,6 +516,13 @@ def sweep(out_path: str | None = None) -> None:
             f"{sorted(delta['movers']) or 'none'}",
             file=sys.stderr,
         )
+        for name, c in delta.get("movers_confirmation", {}).items():
+            print(
+                f"  mover {name}: single {c['cur_single']}s vs prev "
+                f"{c['prev']}s -> best-of-3 {c['cur_best3']}s = "
+                f"{c['verdict']}",
+                file=sys.stderr,
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -683,9 +738,15 @@ def _compact_headline_line(doc: dict, limit: int = 1900) -> str:
         ]
         if delta["movers"]:
             compact["sweep_movers"] = sorted(delta["movers"])
+        conf = delta.get("movers_confirmation", {})
+        if conf:
+            compact["sweep_movers_verdicts"] = {
+                n: c["verdict"] for n, c in sorted(conf.items())
+            }
     compact["detail"] = doc.get("detail_artifact", "BENCH_HEADLINE.json")
     # drop order: evidence summaries first, never the contract fields
     droppable = (
+        "sweep_movers_verdicts",
         "sweep_movers",
         "sweep_quiet_subtotals",
         "ambient_hot",
@@ -722,7 +783,18 @@ def _headline_sweep_delta() -> dict | None:
             cur = json.load(f)
     except (OSError, json.JSONDecodeError):
         return None
-    delta = _sweep_delta(cur, sweeps[1])
+    # prefer the delta the sweep run embedded: it carries the
+    # machine-made movers_confirmation (best-of-3 adjudication of
+    # regression-direction movers), which a recompute from committed
+    # artifacts cannot reproduce without a live session
+    embedded = cur.get("sweep_delta")
+    if (
+        isinstance(embedded, dict)
+        and embedded.get("prev_artifact") == os.path.basename(sweeps[1])
+    ):
+        delta = dict(embedded)
+    else:
+        delta = _sweep_delta(cur, sweeps[1])
     if delta is not None:
         delta["cur_artifact"] = os.path.basename(sweeps[0])
     return delta
@@ -882,6 +954,11 @@ def main(out_path: str | None = None) -> None:
         # headline value keeps the streaming convention (best); median/
         # spread make a host-state swing visible inside ONE artifact
         "pipeline_records_per_sec": pipe_stats["best"],
+        # methodology break marker (ADVICE r8): rounds <=7 derived this
+        # key from a SINGLE best-of-3 p01 timing; r8+ is best-of-5
+        # warmed dedicated captures, which systematically reads higher.
+        # Do not diff the key across the break without this caveat.
+        "pipeline_rps_method": "best-of-5-warmed (r8+; rounds<=7 single-capture — not comparable)",
         "pipeline_rps_best": pipe_stats["best"],
         "pipeline_rps_median": pipe_stats["median"],
         "pipeline_rps_spread": pipe_stats["spread"],

@@ -31,6 +31,11 @@ window a marker cannot. Register MAX is idempotent even over
 duplicate rows, so HllSketch appends freely and serves through a
 max-merge — the cheapest of the three.
 
+The shared catalog lifecycle (existence check, geometry persistence
+and attach-time validation, batch marker, warehouse reclaim, drop)
+lives once in ``_StoredSketch``; each artifact class carries only its
+geometry, state derivation, merge algebra and serving path.
+
 kpipe parity: the reference has no sketch surface; this is north-star
 LLM-pipeline admission/monitoring machinery (SURVEY.md §2.4), the
 streaming companion of d96-d98 (`queries/llm_ops15.py`).
@@ -46,9 +51,10 @@ from kpipe_spark.functions import text as T
 # Bloom geometry: m = 2^14 bits, k = 3 lanes. At the sf0.1 corpus
 # (~11k bit insertions) the fill is ~50% and the measured FP rate
 # ~0.12 — deliberately non-negligible so the d97 false_positive column
-# exercises real collisions at oracle scale. A production gate sizes m
-# from the expected distinct-fingerprint count (m ≈ 10·n gives ~1% FP
-# at k=3); the table stays broadcast-sized through m = 2^27.
+# exercises real collisions at oracle scale. A production gate sizes
+# its geometry from the expected distinct-key count instead:
+# ``BloomGate.sized_for(n_expected, fp_target)`` — do NOT copy this
+# oracle-tuned default into a real admission gate.
 BLOOM_M = 1 << 14
 BLOOM_K = 3
 
@@ -81,7 +87,108 @@ def bloom_bits(fp_col: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
     return F.array(*[md5_lane(fp_col, i, m) for i in range(k)])
 
 
-class BloomGate:
+class _StoredSketch:
+    """Shared catalog lifecycle of the stored sketch artifacts.
+
+    Subclasses own the parts that differ: geometry attributes (named
+    by ``_FAMILY_PROPS``), the state derivation (bits / counter cells /
+    registers), the merge algebra, serving, and the at-least-once
+    update mechanism matched to that algebra (module docstring). The
+    base owns what would otherwise be triplicated: the existence check
+    and geometry validation on ``attach`` (probing state written under
+    a different geometry returns garbage silently — the consequence
+    clause is per-class, ``_MISMATCH_HINT``), TBLPROPERTIES
+    read/write, the last-applied-batch marker, warehouse reclaim on
+    (re)build, and ``drop``.
+    """
+
+    # subclass contract
+    _PROP_PREFIX: str  # TBLPROPERTIES namespace, e.g. "kpipe.bloom."
+    _FAMILY_PROPS: tuple[str, ...]  # geometry attribute names
+    _KIND: str  # human table kind for "no such ..." errors
+    _FAMILY: str  # short family name for mismatch errors
+    _MISMATCH_HINT: str  # why a geometry mismatch is dangerous
+
+    spark: SparkSession
+    table: str
+
+    # -- lifecycle -----------------------------------------------------
+
+    @classmethod
+    def attach(cls, spark: SparkSession, table: str, **family: int):
+        """Handle to a stored artifact; geometry reads back from
+        TBLPROPERTIES and is validated against explicit kwargs."""
+        if not spark.catalog.tableExists(table):
+            raise ValueError(f"no such {cls._KIND} table: {table}")
+        sk = cls(spark, table, **family)
+        stored = sk._read_props()
+        mismatched = {
+            p: (family[p], stored[p])
+            for p in cls._FAMILY_PROPS
+            if p in stored and p in family and family[p] != stored[p]
+        }
+        if mismatched:
+            detail = ", ".join(
+                f"{p}: caller {got} != table {want}"
+                for p, (got, want) in mismatched.items()
+            )
+            raise ValueError(
+                f"{cls._FAMILY} geometry mismatch attaching {table} "
+                f"({detail}) — {cls._MISMATCH_HINT}"
+            )
+        for p in cls._FAMILY_PROPS:
+            if p in stored:
+                setattr(sk, p, stored[p])
+        return sk
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+
+    def last_batch_id(self) -> int:
+        return int(self._read_props().get("last_batch_id", -1))
+
+    # -- internals -----------------------------------------------------
+
+    def _replace_table(
+        self,
+        state: DataFrame,
+        partition_by: str | None = None,
+        **marker: int,
+    ) -> None:
+        """(Re)build the artifact table from ``state`` and persist the
+        geometry properties (plus any ``marker``, e.g. the initial
+        last_batch_id)."""
+        from kpipe_spark.util import reclaim_orphaned_table_location
+
+        reclaim_orphaned_table_location(self.spark, self.table)
+        writer = state.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.saveAsTable(self.table, format="parquet")
+        self._set_props(**marker)
+
+    def _set_props(self, **extra: int) -> None:
+        props = {p: getattr(self, p) for p in self._FAMILY_PROPS}
+        props.update(extra)
+        joined = ", ".join(
+            f"'{self._PROP_PREFIX}{k}' = '{v}'" for k, v in props.items()
+        )
+        self.spark.sql(
+            f"ALTER TABLE {self.table} SET TBLPROPERTIES ({joined})"
+        )
+
+    def _read_props(self) -> dict[str, int]:
+        rows = self.spark.sql(
+            f"SHOW TBLPROPERTIES {self.table}"
+        ).collect()
+        return {
+            r["key"].removeprefix(self._PROP_PREFIX): int(r["value"])
+            for r in rows
+            if r["key"].startswith(self._PROP_PREFIX)
+        }
+
+
+class BloomGate(_StoredSketch):
     """Stored-artifact Bloom admission gate — the CorpusIndex/AnnIndex
     lifecycle discipline applied to a sketch: build ONCE from the
     corpus, persist the bit table (≤ m rows, FIXED whatever the
@@ -105,6 +212,12 @@ class BloomGate:
 
     _PROP_PREFIX = "kpipe.bloom."
     _FAMILY_PROPS = ("m", "k")
+    _KIND = "bloom-gate"
+    _FAMILY = "bloom"
+    _MISMATCH_HINT = (
+        "probing under a different (m, k) than the stored bits were "
+        "written with returns garbage verdicts silently"
+    )
 
     def __init__(
         self,
@@ -119,6 +232,35 @@ class BloomGate:
         self.k = k
 
     # -- lifecycle ---------------------------------------------------
+
+    @classmethod
+    def sized_for(cls, n_expected: int, fp_target: float = 0.01) -> dict:
+        """Geometry kwargs for an expected distinct-key count and a
+        target false-positive rate at full fill: the classical optimum
+        m = ceil(n·ln(1/fp)/ln(2)²), k = round((m/n)·ln 2) (Bloom
+        1970). The module-default (m=2^14, k=3) is ORACLE-TUNED to
+        show real collisions at sf0.1 — a production gate should size
+        from its corpus instead::
+
+            BloomGate.build(spark, docs, tbl,
+                            **BloomGate.sized_for(2_000_000_000, 0.01))
+
+        At fp=1% the table is ~9.6 bits/key — 2e9 keys is a ~2.4 GB
+        bitmap as raw bits but ≤ m DISTINCT-bigint rows here, of which
+        at most n·k are ever set; still join-table-sized, and the
+        probe side stays k rows per batch key regardless of m.
+        """
+        import math
+
+        if n_expected <= 0:
+            raise ValueError("n_expected must be positive")
+        if not 0.0 < fp_target < 1.0:
+            raise ValueError("fp_target must be in (0, 1)")
+        m = math.ceil(
+            -n_expected * math.log(fp_target) / (math.log(2) ** 2)
+        )
+        k = max(1, round(m / n_expected * math.log(2)))
+        return {"m": m, "k": k}
 
     @classmethod
     def build(
@@ -155,49 +297,11 @@ class BloomGate:
         key probes negative has certainly no corpus collision (no
         false negatives per key ⇒ none per doc) and never touches the
         stored index (`examples/streaming_admission.py`)."""
-        from kpipe_spark.util import reclaim_orphaned_table_location
-
         gate = cls(spark, table, m=m, k=k)
-        reclaim_orphaned_table_location(spark, table)
-        gate._bits_of_keys(keys, key_col).write.mode(
-            "overwrite"
-        ).saveAsTable(table, format="parquet")
-        gate._set_props(last_batch_id=-1)
+        gate._replace_table(
+            gate._bits_of_keys(keys, key_col), last_batch_id=-1
+        )
         return gate
-
-    @classmethod
-    def attach(
-        cls, spark: SparkSession, table: str, **family: int
-    ) -> "BloomGate":
-        """Handle to a stored gate; geometry reads back from
-        TBLPROPERTIES and is validated against explicit kwargs."""
-        if not spark.catalog.tableExists(table):
-            raise ValueError(f"no such bloom-gate table: {table}")
-        gate = cls(spark, table, **family)
-        stored = gate._read_props()
-        mismatched = {
-            p: (family[p], stored[p])
-            for p in cls._FAMILY_PROPS
-            if p in stored and p in family and family[p] != stored[p]
-        }
-        if mismatched:
-            detail = ", ".join(
-                f"{p}: caller {got} != table {want}"
-                for p, (got, want) in mismatched.items()
-            )
-            raise ValueError(
-                f"bloom geometry mismatch attaching {table} ({detail})"
-                " — probing under a different (m, k) than the stored "
-                "bits were written with returns garbage verdicts "
-                "silently"
-            )
-        for p in cls._FAMILY_PROPS:
-            if p in stored:
-                setattr(gate, p, stored[p])
-        return gate
-
-    def drop(self) -> None:
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
 
     # -- serving -----------------------------------------------------
 
@@ -264,9 +368,6 @@ class BloomGate:
 
     # -- streaming maintenance ----------------------------------------
 
-    def last_batch_id(self) -> int:
-        return int(self._read_props().get("last_batch_id", -1))
-
     def update_batch(
         self,
         docs: DataFrame,
@@ -329,26 +430,6 @@ class BloomGate:
             .distinct()
         )
 
-    def _set_props(self, **extra: int) -> None:
-        props = {p: getattr(self, p) for p in self._FAMILY_PROPS}
-        props.update(extra)
-        joined = ", ".join(
-            f"'{self._PROP_PREFIX}{k}' = '{v}'" for k, v in props.items()
-        )
-        self.spark.sql(
-            f"ALTER TABLE {self.table} SET TBLPROPERTIES ({joined})"
-        )
-
-    def _read_props(self) -> dict[str, int]:
-        rows = self.spark.sql(
-            f"SHOW TBLPROPERTIES {self.table}"
-        ).collect()
-        return {
-            r["key"].removeprefix(self._PROP_PREFIX): int(r["value"])
-            for r in rows
-            if r["key"].startswith(self._PROP_PREFIX)
-        }
-
 
 # CMS geometry: 4 independent lanes × 1024 cells = 4096 counters —
 # fixed, whatever the corpus. Width trades overestimate for memory:
@@ -358,7 +439,7 @@ CMS_LANES = 4
 CMS_WIDTH = 1024
 
 
-class CmsSketch:
+class CmsSketch(_StoredSketch):
     """Stored-artifact count-min sketch — the COUNTER-state member of
     the sketch family, whose streaming maintenance is strictly harder
     than BloomGate's: counter addition is NOT idempotent (replaying a
@@ -377,10 +458,10 @@ class CmsSketch:
     (lane, cell) — ≤ lanes×width rows out, whatever the corpus.
 
     Partition count grows one per micro-batch (bounded by batch
-    cadence, prunable by batch_id); a maintenance job merges history
-    into the base partition offline the way CorpusIndex.compact()
-    rewrites band files — with streams stopped, since the merge moves
-    rows across the partitions that carry the idempotency.
+    cadence, prunable by batch_id); ``compact()`` is the maintenance
+    job that merges history into the base partition — run it with
+    streams stopped, since the merge moves rows across the partitions
+    that carry the idempotency.
 
     Geometry (lanes, width) persists as TBLPROPERTIES; ``attach``
     validates against explicit kwargs (the BloomGate/AnnIndex family
@@ -390,6 +471,12 @@ class CmsSketch:
 
     _PROP_PREFIX = "kpipe.cms."
     _FAMILY_PROPS = ("lanes", "width")
+    _KIND = "cms-sketch"
+    _FAMILY = "cms"
+    _MISMATCH_HINT = (
+        "probing cells hashed under a different geometry than the "
+        "stored counters silently reads the wrong cells"
+    )
 
     def __init__(
         self,
@@ -416,57 +503,14 @@ class CmsSketch:
         width: int = CMS_WIDTH,
     ) -> "CmsSketch":
         """Count the base corpus into the ``batch_id=-1`` partition."""
-        from kpipe_spark.util import reclaim_orphaned_table_location
-
         sk = cls(spark, table, lanes=lanes, width=width)
-        reclaim_orphaned_table_location(spark, table)
-        sk._cells_of(docs, text_col).withColumn(
-            "batch_id", F.lit(-1).cast("long")
-        ).write.mode("overwrite").partitionBy("batch_id").saveAsTable(
-            table, format="parquet"
+        sk._replace_table(
+            sk._cells_of(docs, text_col).withColumn(
+                "batch_id", F.lit(-1).cast("long")
+            ),
+            partition_by="batch_id",
         )
-        props = ", ".join(
-            f"'{cls._PROP_PREFIX}{k}' = '{getattr(sk, k)}'"
-            for k in cls._FAMILY_PROPS
-        )
-        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
         return sk
-
-    @classmethod
-    def attach(
-        cls, spark: SparkSession, table: str, **family: int
-    ) -> "CmsSketch":
-        if not spark.catalog.tableExists(table):
-            raise ValueError(f"no such cms-sketch table: {table}")
-        sk = cls(spark, table, **family)
-        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-        stored = {
-            r["key"].removeprefix(cls._PROP_PREFIX): int(r["value"])
-            for r in rows
-            if r["key"].startswith(cls._PROP_PREFIX)
-        }
-        mismatched = {
-            p: (family[p], stored[p])
-            for p in cls._FAMILY_PROPS
-            if p in stored and p in family and family[p] != stored[p]
-        }
-        if mismatched:
-            detail = ", ".join(
-                f"{p}: caller {got} != table {want}"
-                for p, (got, want) in mismatched.items()
-            )
-            raise ValueError(
-                f"cms geometry mismatch attaching {table} ({detail}) — "
-                "probing cells hashed under a different geometry than "
-                "the stored counters silently reads the wrong cells"
-            )
-        for p in cls._FAMILY_PROPS:
-            if p in stored:
-                setattr(sk, p, stored[p])
-        return sk
-
-    def drop(self) -> None:
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
 
     # -- streaming maintenance -----------------------------------------
 
@@ -481,15 +525,24 @@ class CmsSketch:
         empty delta is the tombstone that clears a stale pre-crash
         attempt (the DLQ tombstone rule)."""
         view = f"kpipe_cms_delta_{abs(hash((self.table, batch_id))) % 10**8}"
-        self._cells_of(docs, text_col).createOrReplaceTempView(view)
+        delta = self._cells_of(docs, text_col)
+        # run view + INSERT on the BATCH's session, not the sketch's: a
+        # foreachBatch df belongs to a cloned session, and temp views
+        # are session-local (the table catalog is shared) — registering
+        # the view there and INSERTing here reads TABLE_OR_VIEW_NOT_FOUND
+        sess = delta.sparkSession
+        delta.createOrReplaceTempView(view)
         try:
-            self.spark.sql(
+            sess.sql(
                 f"INSERT OVERWRITE TABLE {self.table} "
                 f"PARTITION (batch_id = {int(batch_id)}) "
                 f"SELECT lane, cell, c FROM {view}"
             )
         finally:
-            self.spark.catalog.dropTempView(view)
+            sess.catalog.dropTempView(view)
+        # a cloned-session write refreshes ITS relation cache; serving
+        # reads through the sketch's own session
+        self.spark.sql(f"REFRESH TABLE {self.table}")
 
     def applied_batches(self) -> list[int]:
         return sorted(
@@ -499,6 +552,68 @@ class CmsSketch:
             .distinct()
             .collect()
         )
+
+    def compact(self) -> None:
+        """Merge every per-batch delta partition into the base
+        partition (``batch_id = -1``) and drop the rest — the offline
+        maintenance job that stops the partition count growing with
+        stream lifetime. One sketch-sized job: the input is ≤
+        partitions×lanes×width counter rows, never the corpus.
+
+        Run with streams STOPPED and their checkpoints INTACT: the
+        merge moves rows across the partitions that carry the replay
+        idempotency, so a batch id replayed AFTER compaction would
+        re-add a delta that is already inside the base (Structured
+        Streaming only replays uncommitted batch ids, so an intact
+        checkpoint never does this; a checkpoint reset after
+        compaction requires a fresh sketch too).
+
+        Failure containment (CorpusIndex.compact()'s park-then-swap
+        idea, adapted because a RENAME chain breaks on PARTITIONED
+        managed tables — each partition's catalog entry keeps its
+        pre-rename location and the live name reads empty): the full
+        merged state is first PARKED in a ``__compacting`` side table,
+        then the live table is replaced in one whole-table INSERT
+        OVERWRITE reading from the park. A crash mid-overwrite can
+        leave the live table partial, but the complete merged state
+        still exists under the park name — recovery is re-running the
+        same INSERT from ``__compacting`` (or calling compact() again,
+        which rebuilds the park from base+deltas only if the park was
+        also lost). The live table is never dropped or recreated, so
+        the geometry TBLPROPERTIES survive untouched.
+        """
+        from kpipe_spark.util import reclaim_orphaned_table_location
+
+        tmp = f"{self.table}__compacting"
+        self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        reclaim_orphaned_table_location(self.spark, tmp)
+        (
+            self.sketch_df.withColumn(
+                "batch_id", F.lit(-1).cast("long")
+            )
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .saveAsTable(tmp, format="parquet")
+        )
+        # the overwrite must replace EVERY partition: under dynamic
+        # partitionOverwriteMode it would only replace batch_id=-1 and
+        # leave the already-merged deltas to double-count. A cloned
+        # session (shared catalog, private SQLConf — the
+        # CorpusIndex.compact() trick) pins static mode without
+        # touching the caller's conf.
+        replacer = self.spark.newSession()
+        replacer.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        replacer.sql(
+            f"INSERT OVERWRITE TABLE {self.table} "
+            f"SELECT lane, cell, c, batch_id FROM {tmp}"
+        )
+        # the overwrite refreshed the CLONE's relation cache, not the
+        # caller session's — without this the caller still lists the
+        # pre-compaction files and reads FILE_NOT_EXIST
+        self.spark.sql(f"REFRESH TABLE {self.table}")
+        self.spark.sql(f"DROP TABLE {tmp}")
 
     # -- serving -----------------------------------------------------
 
@@ -584,7 +699,7 @@ class CmsSketch:
 HLL_M = 256
 
 
-class HllSketch:
+class HllSketch(_StoredSketch):
     """Stored-artifact HyperLogLog registers — the CARDINALITY member
     of the sketch trio, and the third distinct at-least-once mechanism,
     matched to its merge algebra:
@@ -612,6 +727,12 @@ class HllSketch:
 
     _PROP_PREFIX = "kpipe.hll."
     _FAMILY_PROPS = ("m",)
+    _KIND = "hll-sketch"
+    _FAMILY = "hll"
+    _MISMATCH_HINT = (
+        "buckets hashed under a different m read the wrong registers "
+        "silently"
+    )
 
     def __init__(
         self, spark: SparkSession, table: str, m: int = HLL_M
@@ -631,46 +752,13 @@ class HllSketch:
         text_col: str = "text",
         m: int = HLL_M,
     ) -> "HllSketch":
-        from kpipe_spark.util import reclaim_orphaned_table_location
-
         sk = cls(spark, table, m=m)
-        reclaim_orphaned_table_location(spark, table)
-        sk._registers_of(docs, text_col).write.mode(
-            "overwrite"
-        ).saveAsTable(table, format="parquet")
-        sk._set_props(last_batch_id=-1)
+        sk._replace_table(
+            sk._registers_of(docs, text_col), last_batch_id=-1
+        )
         return sk
-
-    @classmethod
-    def attach(
-        cls, spark: SparkSession, table: str, **family: int
-    ) -> "HllSketch":
-        if not spark.catalog.tableExists(table):
-            raise ValueError(f"no such hll-sketch table: {table}")
-        sk = cls(spark, table, **family)
-        stored = sk._read_props()
-        if (
-            "m" in stored
-            and "m" in family
-            and family["m"] != stored["m"]
-        ):
-            raise ValueError(
-                f"hll geometry mismatch attaching {table} (caller m "
-                f"{family['m']} != table m {stored['m']}) — buckets "
-                "hashed under a different m read the wrong registers "
-                "silently"
-            )
-        if "m" in stored:
-            sk.m = stored["m"]
-        return sk
-
-    def drop(self) -> None:
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
 
     # -- streaming maintenance -----------------------------------------
-
-    def last_batch_id(self) -> int:
-        return int(self._read_props().get("last_batch_id", -1))
 
     def update_batch(
         self, docs: DataFrame, batch_id: int, text_col: str = "text"
@@ -743,23 +831,3 @@ class HllSketch:
             .groupBy("bucket")
             .agg(F.max("rho").alias("mrho"))
         )
-
-    def _set_props(self, **extra: int) -> None:
-        props = {"m": self.m}
-        props.update(extra)
-        joined = ", ".join(
-            f"'{self._PROP_PREFIX}{k}' = '{v}'" for k, v in props.items()
-        )
-        self.spark.sql(
-            f"ALTER TABLE {self.table} SET TBLPROPERTIES ({joined})"
-        )
-
-    def _read_props(self) -> dict[str, int]:
-        rows = self.spark.sql(
-            f"SHOW TBLPROPERTIES {self.table}"
-        ).collect()
-        return {
-            r["key"].removeprefix(self._PROP_PREFIX): int(r["value"])
-            for r in rows
-            if r["key"].startswith(self._PROP_PREFIX)
-        }

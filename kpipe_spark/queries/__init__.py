@@ -49,78 +49,76 @@ def register(
 
 
 # The external driver grades the FIRST 50 registry entries against the
-# DuckDB oracle. Every oracle-backed query's latest driver grade is a
-# hash pass (CORRECTNESS_r07: 50/50, second consecutive all-hash
-# window); the window is pure stalest-first evidence rotation plus
-# first-time grades for new ops. Round 8: FIRST-TIME grades for
-# d96/d97 (registered late in round 7, after that window's 50 slots
-# were committed), then the round-4-era stalest grades: d01/d08/d13/
-# d17, d54-d79, m01/m05-m07, p04, q06/q13/q26/q30/q34/q39/q40/q42/
-# q46/q51/q85. That list is 46 entries; with the three cross-round
-# sentinels (q01, p01, d05) and d96/d97 the window would hold 51, so
-# d63_tokenizer_fertility is deferred to round 9 — its learned-vocab
-# twin d91 (same fertility metric keyed to the trained tokenizer) was
-# hash-graded in round 7, making it the best-covered deferral. All
-# oracle-backed queries run the identical DuckDB compare in pytest
-# regardless of window position. (Round-9 rotation note: FIRST-TIME
-# grades for d98/d99 — registered after this window was committed —
-# then d63, then the round-7-era grades become the stalest block.)
+# DuckDB oracle. This window is NO LONGER hand-reasoned: it is the
+# output of `python -m kpipe_spark.queries.rotation`, which computes
+# stalest-first evidence rotation (sentinels -> first-time grades ->
+# ascending latest-grade round, registry-order ties) over the committed
+# CORRECTNESS_r0*.json artifacts — see rotation.py's docstring for the
+# rule, including why rows-only queries (d23/d27/d28) don't occupy
+# hash-pass slots. tests/test_rotation_window.py asserts this literal
+# equals the computation, so a drifted list fails CI instead of
+# silently aging a grade (that drift happened once: round 8's
+# hand-typed list dropped d24_dup_clusters from its own count).
+# Round 9 = FIRST-TIME d98/d99, both round-4-era grades (d24, d63),
+# then the round-5-era block; q11_window_topk_per_customer is the one
+# deferral (registry-order tail) and sorts first automatically in r10.
+# All oracle-backed queries run the identical DuckDB compare in pytest
+# regardless of window position.
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",
     "p01_outcome_accounting",
     "d05_minhash_neardup",
-    # first-time driver grades (registered after the r7 window filled)
-    "d96_cms_heavy_hitters",
-    "d97_bloom_dedup_gate",
-    # round-4-era re-grades: LLM-ops core
-    "d01_dedup_exact",
-    "d08_similarity_topk",
-    "d13_ivf_topk",
-    "d17_unigram_logprob",
-    "d54_incremental_dedup",
-    "d55_dedup_adjusted_mixture",
-    "d56_contamination_spans",
-    "d57_token_budget_selection",
-    "d58_shard_plan",
-    "d59_priority_source_dedup",
-    "d60_curation_funnel",
-    "d61_dup_substring_spans",
-    "d62_ivf_cell_profile",
-    "d64_blocklist_gate",
-    "d65_cluster_size_histogram",
-    "d66_shared_prefix_templates",
-    "d67_passage_chunks",
-    "d68_dsir_importance",
-    "d69_bigram_interp_logprob",
-    "d70_ann_recall_eval",
-    "d71_ngram_novelty",
-    "d72_source_kl_drift",
-    "d73_zipf_fit",
-    "d74_embedding_drift",
-    "d75_vocab_coverage",
-    "d76_oov_rate",
-    "d77_snapshot_diff",
-    "d78_source_dup_rate",
-    "d79_text_normalization",
-    # round-4-era re-grades: multimodal + pipeline
-    "m01_media_metadata",
-    "m05_audio_frame_energy",
-    "m06_image_patch_stats",
-    "m07_multimodal_packing",
-    "p04_curation_composition",
-    # round-4-era re-grades: relational block
-    "q06_revenue_forecast",
-    "q13_window_rank",
-    "q26_having_filter",
-    "q30_events_top_users",
-    "q34_explode_token_freq",
-    "q39_first_last_per_group",
-    "q40_regexp_extract",
-    "q42_distinct_projection",
-    "q46_union_by_name",
-    "q51_date_arithmetic",
-    "q85_mode_per_group",
+    # first-time driver grades (registered after the r8 window filled)
+    "d98_hll_distinct_tokens",
+    "d99_weighted_reservoir_sample",
+    # round-4-era re-grades (the two the r8 window couldn't fit)
+    "d24_dup_clusters",
+    "d63_tokenizer_fertility",
+    # round-5-era re-grades, registry order
+    "d02_token_stats",
+    "d03_quality_score",
+    "d04_lang_id",
+    "d06_simhash",
+    "d07_ngram_jaccard_pairs",
+    "d09_lsh_similarity_topk",
+    "d10_embedding_norms",
+    "d11_embedding_neardup",
+    "d12_doc_fingerprint",
+    "m02_frame_sample",
+    "d14_doc_embedding_quality",
+    "d15_simhash_neardup",
+    "d16_pii_scrub",
+    "d18_bpe_token_stats",
+    "d19_stratified_sample",
+    "d20_dataset_split",
+    "d21_embedding_quantize",
+    "d22_repetition_score",
+    "d25_vocab_build",
+    "d26_tfidf_keywords",
+    "d29_column_profile",
+    "d30_k_anonymity",
+    "d31_contamination_check",
+    "d32_source_mixing_weights",
+    "d33_boilerplate_ngrams",
+    "d34_gopher_quality_rules",
+    "d35_source_document_cap",
+    "d36_lm_quality_buckets",
+    "d38_key_skew_profile",
+    "d39_sequence_packing",
+    "d40_corpus_card",
+    "d41_word_entropy",
+    "d42_lexical_diversity",
+    "d43_srp_near_dup",
+    "d80_block_dedup_retention",
+    "d81_intradoc_dup_grams",
+    "d82_doc_stitching",
+    "d83_truncation_loss_curve",
+    "d84_ivf_cell_purity",
+    "d85_data_constrained_epochs",
+    "p02_passed_enriched",
+    "p03_field_surgery",
+    "q02_revenue_by_nation",
 )
 
 

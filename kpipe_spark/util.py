@@ -308,13 +308,23 @@ def _dataset_bytes(path: str) -> int:
     return total
 
 
-def _table_owning_location(spark, qualified_path: str) -> str | None:
+def _table_owning_location(spark, fs, target_path) -> str | None:
     """Name of the catalog table (any database, any name) whose storage
-    LOCATION is ``qualified_path``, or None. Runs only on the rare
-    reclaim path (directory present, named table absent), so the full
-    catalog walk is acceptable; views and temp views have no location
-    and are skipped."""
-    target = qualified_path.rstrip("/")
+    LOCATION resolves to the Hadoop path ``target_path``, or None. Runs
+    only on the rare reclaim path (directory present, named table
+    absent), so the full catalog walk is acceptable; views and temp
+    views have no location and are skipped.
+
+    Locations compare as QUALIFIED URIs, both sides through the same
+    ``Path`` parser + ``fs.makeQualified`` — a raw string compare
+    misses the owner on scheme-form (``file:/`` vs ``file:///``) or
+    percent-encoding differences between DESCRIBE's stored string and
+    the derived path, and a missed owner fails in the unsafe direction
+    (deleting live data). A location string that won't parse is
+    likewise treated as the owner: refusing the reclaim is the cheap
+    failure (saveAsTable errors loudly), deleting is not."""
+    jvm = spark._jvm
+    target_uri = fs.makeQualified(target_path).toUri()
     for db in spark.catalog.listDatabases():
         for t in spark.catalog.listTables(db.name):
             if t.isTemporary or (t.tableType or "").upper() == "VIEW":
@@ -334,7 +344,15 @@ def _table_owning_location(spark, qualified_path: str) -> str | None:
                 ),
                 None,
             )
-            if loc and loc.rstrip("/") == target:
+            if not loc:
+                continue
+            try:
+                loc_uri = fs.makeQualified(
+                    jvm.org.apache.hadoop.fs.Path(loc)
+                ).toUri()
+            except Exception:  # pragma: no cover - exotic location
+                return qualified  # unparseable: assume owner, refuse
+            if loc_uri.equals(target_uri):
                 return qualified
     return None
 
@@ -377,9 +395,7 @@ def reclaim_orphaned_table_location(spark, table: str) -> bool:
     # shared persistent metastore can serve a stale tableExists).
     # Deleting then loses live data silently, so refuse the reclaim if
     # ANY catalog table resolves to this location.
-    owner = _table_owning_location(
-        spark, fs.makeQualified(path).toString()
-    )
+    owner = _table_owning_location(spark, fs, path)
     if owner is not None:
         logging.getLogger(__name__).warning(
             "NOT reclaiming %s for %s: catalog table %s resolves to "

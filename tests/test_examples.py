@@ -31,6 +31,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("examples/passage_retrieval.py", "copied chunk retrieves its source at cosine ~1.0 = True"),
         ("examples/data_selection.py", "DSIR + novelty + budget admission invariant holds = True"),
         ("examples/corpus_monitoring.py", "corpus health invariants hold = True"),
+        ("examples/corpus_monitoring.py", "streaming monitors match oracle queries, replay-safe = True"),
         ("examples/ann_serving.py", "search == oracle-checked d88 rows = True"),
         ("examples/tokenizer_training.py", "stored vocab == oracle-checked d90 rows = True"),
         ("examples/streaming_admission.py", "replay admitted 0, gate sound, index and bitmap unchanged = True"),

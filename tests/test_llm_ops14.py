@@ -502,9 +502,30 @@ def test_tokenize_production_vocab_no_plan_blowup(spark):
         out_df.schema  # force full analysis
         analyze_sec = time.perf_counter() - t0
         out = {r["doc_id"]: r for r in out_df.collect()}
-        # literal analysis alone measures ~35 s at this vocab; 15 s
-        # bounds the join path with generous headroom for a loaded CI
-        assert analyze_sec < 15, f"plan analysis took {analyze_sec:.1f}s"
+        # STRUCTURAL check first (host-speed independent): the join
+        # path's plan must not embed the vocab as a literal. Sample
+        # vocab pieces that cannot occur any other way (multi-char,
+        # absent from the probe text and from identifiers) and assert
+        # none appear in the analyzed plan; the literal path inlines
+        # every one of the 10k.
+        plan = out_df._jdf.queryExecution().analyzed().toString()
+        markers = [
+            p
+            for p in pieces
+            if len(p) >= 3 and p not in "sparkstream tokenizer training abc123 xyz"
+        ][:25]
+        assert len(markers) == 25
+        inlined = [p for p in markers if p in plan]
+        assert not inlined, (
+            f"vocab pieces inlined into the plan (literal path leaked "
+            f"through): {inlined[:5]}"
+        )
+        # soft wall-clock canary: literal analysis alone measures ~35 s
+        # at this vocab. Generous bound because a saturated host can
+        # stretch even the join path; the structural assertion above is
+        # the real gate (ADVICE r8: timing-only checks flake on busy
+        # hosts).
+        assert analyze_sec < 60, f"plan analysis took {analyze_sec:.1f}s"
         # reconstruction: every char is in the vocab, so every word
         # segments and pieces concatenate back to the pre-tok words
         assert "".join(out[1]["pieces"]) == "sparkstreamtokenizertraining"

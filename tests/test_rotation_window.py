@@ -1,0 +1,73 @@
+"""The FLAGSHIP_50 driver window must equal the machine computation.
+
+Round 8's verdict caught the hand-maintained window silently dropping
+d24_dup_clusters from its own rationale comment. This test makes that
+class of drift a CI failure: the literal in queries/__init__.py must
+equal `rotation.compute_window` over the committed CORRECTNESS
+artifacts and the live registry. No Spark session needed — the
+computation is pure registry + JSON.
+"""
+
+from __future__ import annotations
+
+from kpipe_spark.queries import FLAGSHIP_50, QUERIES, all_queries
+from kpipe_spark.queries.rotation import (
+    SENTINELS,
+    WINDOW_SIZE,
+    compute_window,
+    current_window,
+    latest_grades,
+)
+
+
+def test_flagship_matches_computation():
+    assert FLAGSHIP_50 == current_window()
+
+
+def test_window_shape():
+    all_queries()
+    assert len(FLAGSHIP_50) == WINDOW_SIZE
+    assert len(set(FLAGSHIP_50)) == WINDOW_SIZE
+    assert FLAGSHIP_50[: len(SENTINELS)] == SENTINELS
+    # every windowed entry exists and (sentinels aside) is oracle-backed
+    for name in FLAGSHIP_50:
+        assert name in QUERIES, name
+        assert QUERIES[name].oracle is not None, (
+            f"{name} is rows-only; it would spend a hash-pass slot on an "
+            f"err=no_oracle row — see rotation.py"
+        )
+
+
+def test_first_time_grades_lead_the_rotation():
+    """New ops (never driver-graded) must precede every re-grade."""
+    all_queries()
+    grades = latest_grades()
+    tail = FLAGSHIP_50[len(SENTINELS):]
+    seen_regrade = False
+    for name in tail:
+        if name in grades:
+            seen_regrade = True
+        else:
+            assert not seen_regrade, (
+                f"first-time grade {name} appears after a re-grade slot"
+            )
+
+
+def test_regrades_are_stalest_first():
+    all_queries()
+    grades = latest_grades()
+    rounds = [grades[n] for n in FLAGSHIP_50[len(SENTINELS):] if n in grades]
+    assert rounds == sorted(rounds)
+
+
+def test_compute_window_rejects_oversubscription():
+    import pytest
+
+    with pytest.raises(ValueError):
+        compute_window(
+            registry_order=[f"n{i}" for i in range(10)],
+            oracle_backed={f"n{i}" for i in range(10)},
+            grades={},
+            size=4,
+            sentinels=(),
+        )

@@ -532,3 +532,35 @@ def test_reclaim_refuses_location_owned_by_other_table(spark, tmp_path):
     assert os.path.exists(loc)
     assert reclaim_orphaned_table_location(spark, stem) is True
     assert not os.path.exists(loc)
+
+
+def test_reclaim_owner_match_survives_uri_scheme_form(spark):
+    """The ownership guard compares locations as qualified URIs, not
+    strings: an external table whose LOCATION was declared in a
+    different scheme form (explicit ``file://`` authority vs the
+    catalog-stored ``file:/`` shorthand) must still be recognized as
+    the owner — a string compare misses it and deletes live data."""
+    import os
+    import urllib.parse
+    import uuid
+
+    from kpipe_spark.util import reclaim_orphaned_table_location
+
+    stem = f"reclaim_uri_{uuid.uuid4().hex[:8]}"
+    wh = urllib.parse.urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, stem)
+    spark.range(3).write.parquet(loc)
+    ext = f"{stem}_ext"
+    try:
+        # triple-slash authority form — textually != DESCRIBE's usual
+        # file:/ rendering, same filesystem path
+        spark.sql(
+            f"CREATE TABLE {ext} USING parquet LOCATION 'file://{loc}'"
+        )
+        assert not spark.catalog.tableExists(stem)
+        assert reclaim_orphaned_table_location(spark, stem) is False
+        assert os.path.exists(loc)
+        assert spark.table(ext).count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ext}")
+        assert reclaim_orphaned_table_location(spark, stem)

@@ -300,6 +300,92 @@ def test_cms_sketch_empty_replay_clears_stale_delta(spark):
         sk.drop()
 
 
+def test_cms_sketch_compact_merges_history_into_base(spark):
+    """compact() collapses every per-batch delta partition into
+    batch_id=-1 with IDENTICAL estimates before and after (the merge
+    is the same sum serving already computes), preserves the geometry
+    TBLPROPERTIES through the rename swap, and leaves no side tables."""
+    from kpipe_spark.functions.sketches import CmsSketch
+
+    base = _docs(spark, [(1, "alpha beta alpha")])
+    table = f"cms_cpt_{uuid.uuid4().hex[:8]}"
+    sk = CmsSketch.build(spark, base, table)
+    try:
+        sk.update_batch(_docs(spark, [(2, "alpha gamma")]), batch_id=0)
+        sk.update_batch(_docs(spark, [(3, "gamma gamma")]), batch_id=1)
+        probe = spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",)], "t string"
+        )
+        before = {
+            r["t"]: r["cms_estimate"] for r in sk.estimate(probe).collect()
+        }
+        assert before == {"alpha": 3, "beta": 1, "gamma": 3}
+        sk.compact()
+        assert sk.applied_batches() == [-1]
+        after = {
+            r["t"]: r["cms_estimate"] for r in sk.estimate(probe).collect()
+        }
+        assert after == before
+        # geometry survives the rewrite: attach validates against it
+        att = CmsSketch.attach(spark, table)
+        assert (att.lanes, att.width) == (sk.lanes, sk.width)
+        # no side table left behind
+        assert not spark.catalog.tableExists(f"{table}__compacting")
+        # post-compaction NEW batches keep working
+        sk.update_batch(_docs(spark, [(4, "beta")]), batch_id=2)
+        assert sk.estimate(probe).filter("t = 'beta'").collect()[0][
+            "cms_estimate"
+        ] == 2
+    finally:
+        sk.drop()
+
+
+def test_cms_sketch_update_from_cloned_session(spark):
+    """foreachBatch hands the sink a DataFrame owned by a CLONED
+    session (shared table catalog, PRIVATE temp views + relation
+    cache). update_batch must register its delta view and run the
+    INSERT on the batch's session — and serving through the sketch's
+    original session must see the new counters (round-9 regression:
+    the example's streaming path read TABLE_OR_VIEW_NOT_FOUND, then a
+    stale relation cache)."""
+    from kpipe_spark.functions.sketches import CmsSketch
+
+    table = f"cms_clone_{uuid.uuid4().hex[:8]}"
+    sk = CmsSketch.build(spark, _docs(spark, [(1, "alpha")]), table)
+    try:
+        clone = spark.newSession()
+        batch = clone.createDataFrame(
+            [(2, "alpha beta beta")], "doc_id bigint, text string"
+        )
+        sk.update_batch(batch, batch_id=0)
+        probe = spark.createDataFrame([("alpha",), ("beta",)], "t string")
+        got = {
+            r["t"]: r["cms_estimate"] for r in sk.estimate(probe).collect()
+        }
+        assert got == {"alpha": 2, "beta": 2}
+    finally:
+        sk.drop()
+
+
+def test_bloom_gate_sized_for():
+    """The classical geometry optimum: ~9.59 bits/key and k=7 at 1%
+    FP, k clamped to >= 1, bad inputs rejected — the helper that stops
+    the oracle-tuned module default being copied into a real gate."""
+    import pytest as _pytest
+
+    from kpipe_spark.functions.sketches import BloomGate
+
+    g = BloomGate.sized_for(1000, 0.01)
+    assert g["m"] == 9586  # ceil(1000 * ln(100) / ln(2)^2)
+    assert g["k"] == 7  # round(m/n * ln 2)
+    # a huge corpus at a loose target still yields a sane k
+    assert BloomGate.sized_for(10**9, 0.5)["k"] == 1
+    with _pytest.raises(ValueError, match="n_expected"):
+        BloomGate.sized_for(0)
+    with _pytest.raises(ValueError, match="fp_target"):
+        BloomGate.sized_for(1000, 1.5)
+
+
 # --- HllSketch: max-merge register state -----------------------------
 
 
