@@ -1,0 +1,82 @@
+"""Overlapped per-record blocking I/O — the Spark-idiomatic answer to
+kpipe's virtual-thread dispatchers.
+
+The reference's throughput benchmarks inject ``workMicros`` of blocking
+work into every record and still sustain tens of thousands of rec/s
+(BASELINE.md: KPipe PARALLEL 57,563 rec/s @ 10 ms work, KEY_ORDERED
+34,465 — i.e. hundreds of records in flight), because its dispatchers
+run records on virtual threads that overlap the blocking wait
+(reference semantics: ParallelDispatcher.java / KeyOrderedDispatcher.java
+unbounded-executor dispatch). A Spark task thread does NOT overlap: a
+row-at-a-time blocking call caps throughput at cores/wait (32 cores at
+10 ms = 3,200 rec/s — 18× under the reference).
+
+``blocking_enrich`` restores the overlap the Spark way: an
+Arrow-batched ``mapInPandas`` whose worker fans each batch across a
+per-partition thread pool. Python threads overlap exactly the blocking
+waits that matter (network I/O, ``time.sleep`` — anything that
+releases the GIL); with P partitions and C threads each the in-flight
+ceiling is P×C records (32×64 = 2,048 here — the same order as the
+reference's virtual-thread fleet).
+
+Semantics:
+- Result ORDER is the input order within every partition
+  (``Executor.map`` yields in submission order), so a KEY_ORDERED
+  stream keeps its per-key row order through the enrichment.
+  COMPLETION overlaps across rows — the same relaxation kpipe makes
+  across keys; a side-effecting ``fn`` that requires strict per-key
+  serialization needs the un-overlapped path (plain UDF), not this.
+- A raising ``fn`` fails the task (and the batch, and retries under
+  the runner's policy) — errors are not swallowed.
+- CPU-bound ``fn`` gains nothing (GIL): keep compute in native
+  expressions and reserve this for genuine I/O (embedding-API calls,
+  vocabulary services, external scoring).
+
+At 100 TB this is the shape that keeps an external-service enrichment
+off the critical path: concurrency is per-partition and bounded, no
+driver-side loop, and backpressure stays with the source (a slow
+service lengthens tasks, which the streaming trigger observes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def blocking_enrich(
+    df: DataFrame,
+    fn: Callable[[dict], Any],
+    result_col: str,
+    result_type: str = "string",
+    concurrency: int = 64,
+) -> DataFrame:
+    """Append ``result_col`` = ``fn(row_as_dict)`` to every row,
+    overlapping the blocking waits across a per-partition thread pool
+    of ``concurrency`` threads (module docstring for semantics)."""
+    if concurrency < 1:
+        raise ValueError("concurrency must be >= 1")
+    # DDL string keeps the type-name surface DDL-wide ("bigint",
+    # "array<float>", ...); StructType.add only accepts JSON-style
+    # primitive names
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{result_col} {result_type}"]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            for pdf in batches:
+                if len(pdf):
+                    pdf[result_col] = list(
+                        pool.map(fn, pdf.to_dict("records"))
+                    )
+                else:
+                    pdf[result_col] = []
+                yield pdf
+
+    return df.mapInPandas(run, out_schema)

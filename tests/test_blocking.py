@@ -1,0 +1,83 @@
+"""blocking_enrich: correctness (values + order), genuine overlap of
+blocking waits, and error propagation."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kpipe_spark.functions.blocking import blocking_enrich
+
+
+def test_blocking_enrich_values_and_order(spark):
+    """fn sees each row as a dict; the result column lines up with its
+    row (ordering inside every partition is the input order — the
+    KEY_ORDERED guarantee the docstring makes)."""
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    out = blocking_enrich(
+        df, lambda r: r["id"] * 1000 + r["v"], "tag", "bigint"
+    )
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r["tag"] == r["id"] * 1000 + r["v"] for r in rows)
+    # within-partition order preserved (compare against the un-enriched
+    # per-partition sequence)
+    base = [
+        [r["id"] for r in part]
+        for part in df.rdd.glom().collect()
+    ]
+    enriched = [
+        [r["id"] for r in part]
+        for part in out.rdd.glom().collect()
+    ]
+    assert sorted(map(tuple, enriched)) == sorted(map(tuple, base))
+
+
+def test_blocking_enrich_overlaps_waits(spark):
+    """The point of the operator: 128 rows x 50 ms of blocking wait on
+    ONE partition is 6.4 s serial; with a 64-thread pool it must
+    complete in a small multiple of two wait-rounds. (time.sleep
+    releases the GIL — the same class as network I/O.)"""
+    df = spark.range(128).coalesce(1)
+    out = blocking_enrich(
+        df,
+        lambda r: time.sleep(0.05) or int(r["id"]),
+        "io",
+        "bigint",
+        concurrency=64,
+    )
+    t0 = time.perf_counter()
+    n = out.count()
+    elapsed = time.perf_counter() - t0
+    assert n == 128
+    # 2 rounds x 50 ms = 0.1 s ideal; generous 3 s bound still rules
+    # out anything close to the 6.4 s serial floor
+    assert elapsed < 3.0, f"no overlap: {elapsed:.2f}s for 6.4s of waits"
+
+
+def test_blocking_enrich_propagates_errors(spark):
+    df = spark.range(4)
+
+    def boom(r):
+        raise RuntimeError("external service said no")
+
+    with pytest.raises(Exception, match="external service said no"):
+        blocking_enrich(df, boom, "x").collect()
+
+
+def test_blocking_enrich_rejects_bad_concurrency(spark):
+    with pytest.raises(ValueError, match="concurrency"):
+        blocking_enrich(spark.range(1), lambda r: 1, "x", concurrency=0)
+
+
+def test_blocking_enrich_empty_partitions(spark):
+    """Empty Arrow batches still carry the result column (schema must
+    hold even when no row flows)."""
+    df = spark.range(2).repartition(8)  # most partitions empty
+    out = blocking_enrich(df, lambda r: "ok", "tag")
+    assert out.count() == 2
+    assert out.schema["tag"].dataType.simpleString() == "string"
