@@ -267,12 +267,15 @@ def _sweep_delta(cur_doc: dict, prev_path: str) -> dict | None:
         if abs(cq[n] - pq[n]) > 0.3
         and max(cq[n], pq[n]) > 1.5 * max(min(cq[n], pq[n]), 1e-9)
     }
-    return {
+    sub_prev = round(sum(pq[n] for n in quiet), 1)
+    sub_cur = round(sum(cq[n] for n in quiet), 1)
+    out = {
         "prev_artifact": os.path.basename(prev_path),
         "n_common": len(common),
         "n_quiet_compared": len(quiet),
-        "quiet_subtotal_prev": round(sum(pq[n] for n in quiet), 1),
-        "quiet_subtotal_cur": round(sum(cq[n] for n in quiet), 1),
+        "quiet_subtotal_prev": sub_prev,
+        "quiet_subtotal_cur": sub_cur,
+        "quiet_subtotal_ratio": round(sub_cur / max(sub_prev, 1e-9), 3),
         "movers": dict(sorted(movers.items())),
         "note": (
             "quiet rows = ambient under gate in BOTH artifacts; sweep "
@@ -283,6 +286,21 @@ def _sweep_delta(cur_doc: dict, prev_path: str) -> dict | None:
             "(headline) inherits the sweep artifact's confirmations"
         ),
     }
+    # broad host drift poisons even same-session best-of-3
+    # confirmations: when ~200 UNTOUCHED queries all read slower, a
+    # 'confirmed_regression' verdict usually confirms the session, not
+    # the code (measured r9: a sweep started minutes after a 20-min
+    # test-suite run read +14% across the board and 'confirmed' three
+    # movers that a fresh session put back near their r8 levels)
+    if out["quiet_subtotal_ratio"] > 1.1 or out["quiet_subtotal_ratio"] < 0.9:
+        out["host_drift_caveat"] = (
+            f"quiet subtotal moved {out['quiet_subtotal_ratio']}x across "
+            f"{len(quiet)} common rows — session/host-level drift; read "
+            "movers_confirmation verdicts against it (a confirmed "
+            "regression under broad drift needs a FRESH-session check "
+            "before acting)"
+        )
+    return out
 
 
 def _confirm_movers(spark, sf_dir, queries, movers: dict) -> dict:
