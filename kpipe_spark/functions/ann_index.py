@@ -46,6 +46,8 @@ import logging
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kpipe_spark.functions.stored_artifact import StoredArtifact
+
 log = logging.getLogger(__name__)
 
 _FP = float(1 << 24)
@@ -71,9 +73,15 @@ def _fixed_sq_l2(a, b, dim: int):
     return F.floor(total * F.lit(_FP) + F.lit(0.5)).cast("long")
 
 
-class AnnIndex:
+class AnnIndex(StoredArtifact):
     _PROP_PREFIX = "kpipe.ann."
     _FAMILY_PROPS = ("m", "sub_dim", "k_codes", "n_cells")
+    _KIND = "ANN index"
+    _FAMILY_LABEL = "PQ family"
+    _MISMATCH_HINT = (
+        "searching with a different family than the index was "
+        "encoded with returns meaningless distances"
+    )
 
     def __init__(
         self,
@@ -175,52 +183,7 @@ class AnnIndex:
         idx._encode(rsubs, cb).write.mode("overwrite").partitionBy(
             "cell"
         ).saveAsTable(table, format="parquet")
-        idx._write_properties()
-        return idx
-
-    def _write_properties(self) -> None:
-        kv = ", ".join(
-            f"'{self._PROP_PREFIX}{p}' = '{getattr(self, p)}'"
-            for p in self._FAMILY_PROPS
-        )
-        self.spark.sql(f"ALTER TABLE {self.table} SET TBLPROPERTIES ({kv})")
-
-    def _properties(self) -> dict[str, int]:
-        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
-        return {
-            r["key"].removeprefix(self._PROP_PREFIX): int(r["value"])
-            for r in rows
-            if r["key"].startswith(self._PROP_PREFIX)
-        }
-
-    @classmethod
-    def attach(cls, spark: SparkSession, table: str, **family) -> "AnnIndex":
-        """Handle to an existing index. The quantization family reads
-        back from TBLPROPERTIES and is validated against any explicit
-        kwargs — a family mismatch would make every ADC distance
-        garbage, silently."""
-        if not spark.catalog.tableExists(table):
-            raise ValueError(f"no such ANN index table: {table}")
-        idx = cls(spark, table, **family)
-        stored = idx._properties()
-        mismatched = {
-            p: (family[p], stored[p])
-            for p in cls._FAMILY_PROPS
-            if p in stored and p in family and family[p] != stored[p]
-        }
-        if mismatched:
-            detail = ", ".join(
-                f"{p}: caller {got} != table {want}"
-                for p, (got, want) in mismatched.items()
-            )
-            raise ValueError(
-                f"PQ family mismatch attaching {table} ({detail}) — "
-                "searching with a different family than the index was "
-                "encoded with returns meaningless distances"
-            )
-        for p in cls._FAMILY_PROPS:
-            if p in stored:
-                setattr(idx, p, stored[p])
+        idx._set_props()
         return idx
 
     # -- shared encode plumbing ----------------------------------------
@@ -392,7 +355,7 @@ class AnnIndex:
         )
         live, self.table = self.table, tmp
         try:
-            self._write_properties()
+            self._set_props()
         finally:
             self.table = live
 

@@ -45,9 +45,10 @@ from kpipe_spark.functions.dedup import (
     minhash_bands_df,
     minhash_signature_df,
 )
+from kpipe_spark.functions.stored_artifact import StoredArtifact
 
 
-class CorpusIndex:
+class CorpusIndex(StoredArtifact):
     """Handle to a stored, bucketed MinHash band table.
 
     The MinHash family (num_hashes, bands, shingle_k) is part of the
@@ -55,6 +56,13 @@ class CorpusIndex:
     the index was built with would silently miss every collision, so
     the parameters travel with the handle and ``append`` re-uses them.
     """
+
+    _KIND = "index"
+    _FAMILY_LABEL = "MinHash family"
+    _MISMATCH_HINT = (
+        "admitting with a different family than the index was built "
+        "with would silently miss every collision"
+    )
 
     def __init__(
         self,
@@ -112,56 +120,7 @@ class CorpusIndex:
             keys=["band", "bucket"],
             num_buckets=num_buckets,
         )
-        idx._write_properties(num_buckets)
-        return idx
-
-    def _write_properties(self, num_buckets: int) -> None:
-        props = {
-            "num_buckets": num_buckets,
-            **{p: getattr(self, p) for p in self._FAMILY_PROPS},
-        }
-        kv = ", ".join(
-            f"'{self._PROP_PREFIX}{k}' = '{v}'" for k, v in props.items()
-        )
-        self.spark.sql(f"ALTER TABLE {self.table} SET TBLPROPERTIES ({kv})")
-
-    def _properties(self) -> dict[str, int]:
-        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
-        return {
-            r["key"].removeprefix(self._PROP_PREFIX): int(r["value"])
-            for r in rows
-            if r["key"].startswith(self._PROP_PREFIX)
-        }
-
-    @classmethod
-    def attach(cls, spark: SparkSession, table: str, **family) -> "CorpusIndex":
-        """Handle to an existing band table (built in a prior session
-        or by another job). The MinHash family is read back from the
-        table's properties and VALIDATED against any family kwargs the
-        caller passes — a silent mismatch would make every admit report
-        zero collisions."""
-        if not spark.catalog.tableExists(table):
-            raise ValueError(f"no such index table: {table}")
-        idx = cls(spark, table, **family)
-        stored = idx._properties()
-        mismatched = {
-            p: (family[p], stored[p])
-            for p in cls._FAMILY_PROPS
-            if p in stored and p in family and family[p] != stored[p]
-        }
-        if mismatched:
-            detail = ", ".join(
-                f"{p}: caller {got} != table {want}"
-                for p, (got, want) in mismatched.items()
-            )
-            raise ValueError(
-                f"MinHash family mismatch attaching {table} ({detail}) — "
-                "admitting with a different family than the index was "
-                "built with would silently miss every collision"
-            )
-        for p in cls._FAMILY_PROPS:  # adopt the table's stored family
-            if p in stored:
-                setattr(idx, p, stored[p])
+        idx._set_props(num_buckets=num_buckets)
         return idx
 
     def _bands_of(self, docs: DataFrame) -> DataFrame:
@@ -263,7 +222,7 @@ class CorpusIndex:
         )
 
     def _num_buckets(self) -> int:
-        props = self._properties()
+        props = self._read_props()
         if "num_buckets" in props:
             return props["num_buckets"]
         # Legacy fallback: a band table bucketed by a prior version of
@@ -274,7 +233,7 @@ class CorpusIndex:
         for r in self.spark.sql(f"DESCRIBE FORMATTED {self.table}").collect():
             if (r["col_name"] or "").strip() == "Num Buckets":
                 n = int(str(r["data_type"]).strip())
-                self._write_properties(n)
+                self._set_props(num_buckets=n)
                 return n
         raise ValueError(
             f"{self.table} carries no {self._PROP_PREFIX}num_buckets "
@@ -380,7 +339,7 @@ class CorpusIndex:
         )
         live, self.table = self.table, tmp
         try:
-            self._write_properties(n_buckets)
+            self._set_props(num_buckets=n_buckets)
         finally:
             self.table = live
         # swap: the pre-compaction rows stay reachable (as backup)
@@ -396,5 +355,3 @@ class CorpusIndex:
             raise
         self.spark.sql(f"DROP TABLE {backup}")
 
-    def drop(self) -> None:
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")

@@ -33,8 +33,9 @@ max-merge — the cheapest of the three.
 
 The shared catalog lifecycle (existence check, geometry persistence
 and attach-time validation, batch marker, warehouse reclaim, drop)
-lives once in ``_StoredSketch``; each artifact class carries only its
-geometry, state derivation, merge algebra and serving path.
+lives once in ``stored_artifact.StoredArtifact`` (shared with
+CorpusIndex / AnnIndex / UnigramTokenizer); each sketch class carries
+only its geometry, state derivation, merge algebra and serving path.
 
 kpipe parity: the reference has no sketch surface; this is north-star
 LLM-pipeline admission/monitoring machinery (SURVEY.md §2.4), the
@@ -47,6 +48,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kpipe_spark.functions import text as T
+from kpipe_spark.functions.stored_artifact import StoredArtifact
 
 # Bloom geometry: m = 2^14 bits, k = 3 lanes. At the sf0.1 corpus
 # (~11k bit insertions) the fill is ~50% and the measured FP rate
@@ -87,108 +89,7 @@ def bloom_bits(fp_col: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
     return F.array(*[md5_lane(fp_col, i, m) for i in range(k)])
 
 
-class _StoredSketch:
-    """Shared catalog lifecycle of the stored sketch artifacts.
-
-    Subclasses own the parts that differ: geometry attributes (named
-    by ``_FAMILY_PROPS``), the state derivation (bits / counter cells /
-    registers), the merge algebra, serving, and the at-least-once
-    update mechanism matched to that algebra (module docstring). The
-    base owns what would otherwise be triplicated: the existence check
-    and geometry validation on ``attach`` (probing state written under
-    a different geometry returns garbage silently — the consequence
-    clause is per-class, ``_MISMATCH_HINT``), TBLPROPERTIES
-    read/write, the last-applied-batch marker, warehouse reclaim on
-    (re)build, and ``drop``.
-    """
-
-    # subclass contract
-    _PROP_PREFIX: str  # TBLPROPERTIES namespace, e.g. "kpipe.bloom."
-    _FAMILY_PROPS: tuple[str, ...]  # geometry attribute names
-    _KIND: str  # human table kind for "no such ..." errors
-    _FAMILY: str  # short family name for mismatch errors
-    _MISMATCH_HINT: str  # why a geometry mismatch is dangerous
-
-    spark: SparkSession
-    table: str
-
-    # -- lifecycle -----------------------------------------------------
-
-    @classmethod
-    def attach(cls, spark: SparkSession, table: str, **family: int):
-        """Handle to a stored artifact; geometry reads back from
-        TBLPROPERTIES and is validated against explicit kwargs."""
-        if not spark.catalog.tableExists(table):
-            raise ValueError(f"no such {cls._KIND} table: {table}")
-        sk = cls(spark, table, **family)
-        stored = sk._read_props()
-        mismatched = {
-            p: (family[p], stored[p])
-            for p in cls._FAMILY_PROPS
-            if p in stored and p in family and family[p] != stored[p]
-        }
-        if mismatched:
-            detail = ", ".join(
-                f"{p}: caller {got} != table {want}"
-                for p, (got, want) in mismatched.items()
-            )
-            raise ValueError(
-                f"{cls._FAMILY} geometry mismatch attaching {table} "
-                f"({detail}) — {cls._MISMATCH_HINT}"
-            )
-        for p in cls._FAMILY_PROPS:
-            if p in stored:
-                setattr(sk, p, stored[p])
-        return sk
-
-    def drop(self) -> None:
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
-
-    def last_batch_id(self) -> int:
-        return int(self._read_props().get("last_batch_id", -1))
-
-    # -- internals -----------------------------------------------------
-
-    def _replace_table(
-        self,
-        state: DataFrame,
-        partition_by: str | None = None,
-        **marker: int,
-    ) -> None:
-        """(Re)build the artifact table from ``state`` and persist the
-        geometry properties (plus any ``marker``, e.g. the initial
-        last_batch_id)."""
-        from kpipe_spark.util import reclaim_orphaned_table_location
-
-        reclaim_orphaned_table_location(self.spark, self.table)
-        writer = state.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(partition_by)
-        writer.saveAsTable(self.table, format="parquet")
-        self._set_props(**marker)
-
-    def _set_props(self, **extra: int) -> None:
-        props = {p: getattr(self, p) for p in self._FAMILY_PROPS}
-        props.update(extra)
-        joined = ", ".join(
-            f"'{self._PROP_PREFIX}{k}' = '{v}'" for k, v in props.items()
-        )
-        self.spark.sql(
-            f"ALTER TABLE {self.table} SET TBLPROPERTIES ({joined})"
-        )
-
-    def _read_props(self) -> dict[str, int]:
-        rows = self.spark.sql(
-            f"SHOW TBLPROPERTIES {self.table}"
-        ).collect()
-        return {
-            r["key"].removeprefix(self._PROP_PREFIX): int(r["value"])
-            for r in rows
-            if r["key"].startswith(self._PROP_PREFIX)
-        }
-
-
-class BloomGate(_StoredSketch):
+class BloomGate(StoredArtifact):
     """Stored-artifact Bloom admission gate — the CorpusIndex/AnnIndex
     lifecycle discipline applied to a sketch: build ONCE from the
     corpus, persist the bit table (≤ m rows, FIXED whatever the
@@ -213,7 +114,7 @@ class BloomGate(_StoredSketch):
     _PROP_PREFIX = "kpipe.bloom."
     _FAMILY_PROPS = ("m", "k")
     _KIND = "bloom-gate"
-    _FAMILY = "bloom"
+    _FAMILY_LABEL = "bloom geometry"
     _MISMATCH_HINT = (
         "probing under a different (m, k) than the stored bits were "
         "written with returns garbage verdicts silently"
@@ -439,7 +340,7 @@ CMS_LANES = 4
 CMS_WIDTH = 1024
 
 
-class CmsSketch(_StoredSketch):
+class CmsSketch(StoredArtifact):
     """Stored-artifact count-min sketch — the COUNTER-state member of
     the sketch family, whose streaming maintenance is strictly harder
     than BloomGate's: counter addition is NOT idempotent (replaying a
@@ -472,7 +373,7 @@ class CmsSketch(_StoredSketch):
     _PROP_PREFIX = "kpipe.cms."
     _FAMILY_PROPS = ("lanes", "width")
     _KIND = "cms-sketch"
-    _FAMILY = "cms"
+    _FAMILY_LABEL = "cms geometry"
     _MISMATCH_HINT = (
         "probing cells hashed under a different geometry than the "
         "stored counters silently reads the wrong cells"
@@ -699,7 +600,7 @@ class CmsSketch(_StoredSketch):
 HLL_M = 256
 
 
-class HllSketch(_StoredSketch):
+class HllSketch(StoredArtifact):
     """Stored-artifact HyperLogLog registers — the CARDINALITY member
     of the sketch trio, and the third distinct at-least-once mechanism,
     matched to its merge algebra:
@@ -728,7 +629,7 @@ class HllSketch(_StoredSketch):
     _PROP_PREFIX = "kpipe.hll."
     _FAMILY_PROPS = ("m",)
     _KIND = "hll-sketch"
-    _FAMILY = "hll"
+    _FAMILY_LABEL = "hll geometry"
     _MISMATCH_HINT = (
         "buckets hashed under a different m read the wrong registers "
         "silently"

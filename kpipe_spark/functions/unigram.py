@@ -49,6 +49,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kpipe_spark.functions.stored_artifact import StoredArtifact
 from kpipe_spark.functions.text import bpe_ish_tokens
 
 # fixed-point scale for quantized log-probabilities: coarse enough
@@ -342,7 +343,7 @@ def train_unigram(
     )
 
 
-class UnigramTokenizer:
+class UnigramTokenizer(StoredArtifact):
     """Stored-artifact form of the trainer — the CorpusIndex/AnnIndex
     lifecycle discipline applied to a tokenizer model: train ONCE,
     persist the piece-score table, tokenize any number of later
@@ -365,6 +366,12 @@ class UnigramTokenizer:
 
     _PROP_PREFIX = "kpipe.unigram."
     _FAMILY_PROPS = ("qln_scale", "max_piece_len")
+    _KIND = "tokenizer"
+    _FAMILY_LABEL = "quantizer family"
+    _MISMATCH_HINT = (
+        "segmenting under a different family than the stored scores "
+        "were trained with produces garbage rankings silently"
+    )
 
     def __init__(
         self,
@@ -412,48 +419,8 @@ class UnigramTokenizer:
             ],
             "piece string, score bigint, usage bigint",
         ).write.mode("overwrite").saveAsTable(table, format="parquet")
-        props = ", ".join(
-            f"'{cls._PROP_PREFIX}{k}' = '{getattr(tok, k)}'"
-            for k in cls._FAMILY_PROPS
-        )
-        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({props})")
+        tok._set_props()
         tok._scores = dict(model.scores)
-        return tok
-
-    @classmethod
-    def attach(
-        cls, spark: SparkSession, table: str, **family: int
-    ) -> "UnigramTokenizer":
-        """Handle to a stored model. The quantizer family reads back
-        from TBLPROPERTIES and is validated against explicit kwargs."""
-        if not spark.catalog.tableExists(table):
-            raise ValueError(f"no such tokenizer table: {table}")
-        tok = cls(spark, table, **family)
-        rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
-        stored = {
-            r["key"].removeprefix(cls._PROP_PREFIX): int(r["value"])
-            for r in rows
-            if r["key"].startswith(cls._PROP_PREFIX)
-        }
-        mismatched = {
-            p: (family[p], stored[p])
-            for p in cls._FAMILY_PROPS
-            if p in stored and p in family and family[p] != stored[p]
-        }
-        if mismatched:
-            detail = ", ".join(
-                f"{p}: caller {got} != table {want}"
-                for p, (got, want) in mismatched.items()
-            )
-            raise ValueError(
-                f"quantizer family mismatch attaching {table} "
-                f"({detail}) — segmenting under a different family "
-                "than the stored scores were trained with produces "
-                "garbage rankings silently"
-            )
-        for p in cls._FAMILY_PROPS:
-            if p in stored:
-                setattr(tok, p, stored[p])
         return tok
 
     @property
@@ -575,5 +542,3 @@ class UnigramTokenizer:
             )
         )
 
-    def drop(self) -> None:
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")

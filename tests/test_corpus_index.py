@@ -302,10 +302,10 @@ def test_append_falls_back_to_describe_for_legacy_tables(spark, corpus_rows):
         num_buckets=4,
     )
     try:
-        assert idx._properties() == {}  # genuinely legacy: no properties
+        assert idx._read_props() == {}  # genuinely legacy: no properties
         idx.append(_df(spark, [(800, "legacy append body text")]))
         # property backfilled on first probe; admit sees the new doc
-        assert idx._properties()["num_buckets"] == 4
+        assert idx._read_props()["num_buckets"] == 4
         ledger = {
             r["doc_id"]: r
             for r in idx.admit(
