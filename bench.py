@@ -338,6 +338,72 @@ def _confirm_movers(spark, sf_dir, queries, movers: dict) -> dict:
     return out
 
 
+def _work_overlap_ab(spark, sf_dir: str, work_ms: float = 10.0) -> dict:
+    """Sink-only overlap measurement backing the 10 ms comparison: how
+    fast does blocking_enrich drain work_ms of blocking wait per
+    DELIVERED record, with the pipeline cost out of the frame? The
+    streaming 10 ms rows bundle per-batch pipeline+DLQ overhead; this
+    row isolates the dispatch+work capacity — the thing the
+    reference's workMicros benchmark actually measures (57,563
+    delivered rec/s PARALLEL @ 10 ms). Serial floor context: the same
+    frame row-at-a-time would take rows × work_ms on one core;
+    overlap_x = serial / measured."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kpipe_spark.functions.blocking import blocking_enrich
+    from kpipe_spark.pipeline import Pipeline
+    from kpipe_spark.pipeline.result import PASSED, STATUS_COL
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    pipeline = (
+        Pipeline()
+        .pipe("k_val", F.get_json_object("props", "$.k").cast("int"))
+        .fail_when(F.col("event_type") == "error", "DeserializationException")
+        .require_field("k_val")
+        .filter(F.col("value") > 50.0)
+    )
+    from kpipe_spark.util import ensure_parallelism
+
+    delivered = (
+        pipeline.apply(ensure_parallelism(events))
+        .filter(F.col(STATUS_COL) == PASSED)
+        .drop(STATUS_COL)
+        .localCheckpoint(eager=True)
+    )
+    n = delivered.count()
+    wait = work_ms / 1000.0
+
+    def best_of(build, runs=2) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    base_sec = best_of(lambda: delivered)
+    enrich = lambda: blocking_enrich(  # noqa: E731
+        delivered,
+        lambda r: time.sleep(wait) or 1,
+        "io_result",
+        "int",
+        concurrency=128,
+    )
+    best_of(enrich, runs=1)  # warm the Python workers + thread pools
+    enrich_sec = best_of(enrich)
+    serial_sec = n * wait
+    return {
+        "work_ms": work_ms,
+        "delivered_rows": n,
+        "noop_sec": round(base_sec, 3),
+        "enrich_sec": round(enrich_sec, 3),
+        "delivered_rec_per_sec": int(n / enrich_sec),
+        "serial_floor_sec": round(serial_sec, 1),
+        "overlap_x": round(serial_sec / enrich_sec, 1),
+        "reference_parallel_10ms": 57563,
+    }
+
+
 def _d05_signature_ab(spark, sf_dir: str) -> dict:
     """A/B guard for the minhash signature shape (ARCHITECTURE.md
     'projection vs aggregate' crossover note): time the SHIPPED pure-
@@ -1004,6 +1070,7 @@ def main(out_path: str | None = None) -> None:
         )
     work_steady = sorted(s for _, s in w_runs)
     work_ko_steady = sorted(s for _, s in wko_runs)
+    work_overlap_ab = _work_overlap_ab(spark, sf_dir)
     signature_ab = _d05_signature_ab(spark, sf_dir)
     admit_ab = _incremental_admit_ab(spark, sf_dir)
     total = round(sum(timings.values()), 3)
@@ -1075,6 +1142,9 @@ def main(out_path: str | None = None) -> None:
         "streaming_rps_10ms_work_median": work_steady[1],
         "streaming_key_ordered_rps_10ms_work": work_ko_steady[-1],
         "streaming_key_ordered_rps_10ms_work_median": work_ko_steady[1],
+        # sink-only dispatch+work capacity (pipeline cost excluded) —
+        # the apples-to-apples frame for the reference's 10 ms row
+        "work_overlap_ab": work_overlap_ab,
         "d05_signature_ab": signature_ab,
         "incremental_admit_ab": admit_ab,
         # round-over-round quiet-rows sweep comparison (the trustable

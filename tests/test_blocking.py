@@ -74,6 +74,63 @@ def test_blocking_enrich_rejects_bad_concurrency(spark):
         blocking_enrich(spark.range(1), lambda r: 1, "x", concurrency=0)
 
 
+def test_blocking_enrich_inside_foreach_batch(spark, tmp_path):
+    """The operator composes with the streaming runner's sink path —
+    the frame a sink receives belongs to a CLONED session (the r9
+    CmsSketch bug class), and blocking_enrich must work on it: 2
+    micro-batches through StreamRunner, the sink enriches with a
+    blocking wait and the waits overlap (wall time far below the
+    serial floor)."""
+    import os
+
+    from kpipe_spark.pipeline import Pipeline
+    from kpipe_spark.streaming import StreamRunner
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.range(300).selectExpr("id AS doc_id").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.range(300, 600).selectExpr("id AS doc_id").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    seen: list[int] = []
+    spans: list[float] = []
+
+    def sink(df, batch_id):
+        t0 = time.perf_counter()
+        out = blocking_enrich(
+            df,
+            lambda r: time.sleep(0.02) or int(r["doc_id"]) * 2,
+            "scored",
+            "bigint",
+            concurrency=64,
+        )
+        rows = out.collect()
+        spans.append(time.perf_counter() - t0)
+        assert all(r["scored"] == r["doc_id"] * 2 for r in rows)
+        seen.append(len(rows))
+
+    runner = StreamRunner(
+        pipeline=Pipeline().require_field("doc_id"), sink=sink
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    handle = runner.start(stream, str(tmp_path / "ckpt"), "blocking-sink")
+    try:
+        handle.process_all_available()
+    finally:
+        handle.close()
+    assert sorted(seen) == [300, 300]
+    # serial floor per batch = 300 x 20 ms = 6 s; overlapped batches
+    # must come in far below it (generous bound for busy CI hosts)
+    assert max(spans) < 4.0, f"no overlap in-stream: {spans}"
+
+
 def test_blocking_enrich_empty_partitions(spark):
     """Empty Arrow batches still carry the result column (schema must
     hold even when no row flows)."""
