@@ -21,7 +21,19 @@ from kpipe_spark.queries.rotation import (
 
 
 def test_flagship_matches_computation():
-    assert FLAGSHIP_50 == current_window()
+    """INTENTIONAL TRIPWIRE at round start: when a new
+    CORRECTNESS_r{N}.json lands, the stalest-first order changes and
+    this fails until the window is rotated. Fix = run
+    `python -m kpipe_spark.queries.rotation` and paste its output
+    into FLAGSHIP_50 (kpipe_spark/queries/__init__.py)."""
+    computed = current_window()
+    missing = sorted(set(computed) - set(FLAGSHIP_50))
+    extra = sorted(set(FLAGSHIP_50) - set(computed))
+    assert FLAGSHIP_50 == computed, (
+        "FLAGSHIP_50 is stale vs the committed CORRECTNESS artifacts "
+        f"(should gain: {missing}; should drop: {extra}) — rotate with "
+        "`python -m kpipe_spark.queries.rotation` (docstring above)"
+    )
 
 
 def test_window_shape():
