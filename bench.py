@@ -312,28 +312,46 @@ def _confirm_movers(spark, sf_dir, queries, movers: dict) -> dict:
     round (r8: m05 2.43 s single vs 0.584 best-of-3, d47 5.65 vs 3.74
     — both capture flakes); this embeds the verdict in the artifact.
 
-    verdict per mover: ``capture_flake`` if the best-of-3 lands back
-    within the mover threshold (1.5x) of the prior round — the single
-    capture was the outlier, not the code; ``confirmed_regression`` if
-    the re-run still exceeds it — investigate before round end.
-    Improvement-direction movers are left alone (a too-good single
-    capture overstates a win but flags nothing to fix; the next
-    round's delta self-corrects against it)."""
+    verdict per mover: ``capture_flake`` if the best-of-3 no longer
+    qualifies as a mover against prev under the SAME two-part
+    threshold _sweep_delta uses (>0.3 s absolute AND >1.5x ratio — a
+    ratio-only test would 'confirm' sub-second deltas the sweep's own
+    definition doesn't even call movers); ``confirmed_regression`` if
+    it still does — investigate before round end; ``hot_capture`` if
+    the confirmation window itself was contended after one quiet
+    retry (CLAUDE.md: never compare a number whose ambient exceeded
+    the gate — a machine-stamped verdict from a hot capture is
+    exactly that comparison). Improvement-direction movers are left
+    alone (a too-good single capture overstates a win but flags
+    nothing to fix; the next round's delta self-corrects against it)."""
+    gate = _ambient_gate()
+    budget = _RequeueBudget()
     out: dict[str, dict] = {}
     for name, mv in sorted(movers.items()):
         if mv["cur"] <= mv["prev"] or name not in queries:
             continue
         q = queries[name]
         best3, ext = _timed_capture(lambda: q.build(spark, sf_dir), runs=3)
-        confirmed = best3 > 1.5 * max(mv["prev"], 1e-9)
+        if gate > 0 and ext > gate:
+            _await_ambient_quiet(gate, budget)
+            best3b, ext = _timed_capture(
+                lambda: q.build(spark, sf_dir), runs=3
+            )
+            best3 = min(best3, best3b)
+        prev = max(mv["prev"], 1e-9)
+        still_a_mover = (best3 - prev > 0.3) and (best3 > 1.5 * prev)
+        if gate > 0 and ext > gate:
+            verdict = "hot_capture"
+        elif still_a_mover:
+            verdict = "confirmed_regression"
+        else:
+            verdict = "capture_flake"
         out[name] = {
             "prev": mv["prev"],
             "cur_single": mv["cur"],
             "cur_best3": round(best3, 3),
             "ambient_during_best3": round(ext, 2),
-            "verdict": (
-                "confirmed_regression" if confirmed else "capture_flake"
-            ),
+            "verdict": verdict,
         }
     return out
 
@@ -1050,7 +1068,8 @@ def main(out_path: str | None = None) -> None:
     # rec/s in batch A/B (reference parity); the streaming number is
     # lower because each micro-batch also runs the full pipeline +
     # DLQ + accounting that the reference's dispatch benchmark
-    # doesn't. 3 batches per run, interleaved P/K (the r9 rule).
+    # doesn't. 5 batches per run (4 steady intervals; a 2-batch
+    # warm-up), interleaved P/K (the r9 rule).
     w_runs, wko_runs = [], []
     _streaming_pipeline_rate(spark, sf_dir, n_batches=2, work_ms=10.0)
     for _ in range(3):

@@ -307,6 +307,14 @@ class BloomGate(StoredArtifact):
             .localCheckpoint(eager=True)
         )
         new_bits.write.mode("append").saveAsTable(self.table)
+        # under foreachBatch, `keys` belongs to a CLONED session and
+        # the append refreshes only THAT session's relation cache; a
+        # serving read through self.spark would otherwise list the
+        # pre-append files and probe() could return a false negative.
+        # (_set_props' ALTER TABLE happens to invalidate the cache too,
+        # but correctness must not hang off that side effect — and the
+        # crash window between append and marker would reopen it.)
+        self.spark.sql(f"REFRESH TABLE {self.table}")
         self._set_props(last_batch_id=batch_id)
         return True
 
@@ -477,25 +485,36 @@ class CmsSketch(StoredArtifact):
         then the live table is replaced in one whole-table INSERT
         OVERWRITE reading from the park. A crash mid-overwrite can
         leave the live table partial, but the complete merged state
-        still exists under the park name — recovery is re-running the
-        same INSERT from ``__compacting`` (or calling compact() again,
-        which rebuilds the park from base+deltas only if the park was
-        also lost). The live table is never dropped or recreated, so
-        the geometry TBLPROPERTIES survive untouched.
+        still exists under the park name — recovery is simply calling
+        compact() again: a park that EXISTS in the catalog is complete
+        (saveAsTable registers the table only after its write
+        finished), so the re-run RESUMES the swap from the park
+        instead of re-deriving from the possibly-partial live table —
+        re-deriving would overwrite the only surviving copy with
+        garbage. (Corollary: resume a crashed compact() BEFORE
+        restarting streams — the swap replaces live with the parked
+        state, so deltas appended after the crash would be lost.) The
+        live table is never dropped or recreated, so the geometry
+        TBLPROPERTIES survive untouched.
         """
         from kpipe_spark.util import reclaim_orphaned_table_location
 
         tmp = f"{self.table}__compacting"
-        self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        reclaim_orphaned_table_location(self.spark, tmp)
-        (
-            self.sketch_df.withColumn(
-                "batch_id", F.lit(-1).cast("long")
+        if not self.spark.catalog.tableExists(tmp):
+            # no park: normal path — derive the merged state from the
+            # live table and park it (reclaim first: a crash DURING the
+            # park write leaves an orphaned directory, no catalog entry)
+            reclaim_orphaned_table_location(self.spark, tmp)
+            (
+                self.sketch_df.withColumn(
+                    "batch_id", F.lit(-1).cast("long")
+                )
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .saveAsTable(tmp, format="parquet")
             )
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .saveAsTable(tmp, format="parquet")
-        )
+        # else: crash-recovery path — the park holds the one complete
+        # merged copy; skip straight to the swap (docstring above)
         # the overwrite must replace EVERY partition: under dynamic
         # partitionOverwriteMode it would only replace batch_id=-1 and
         # leave the already-merged deltas to double-count. A cloned
@@ -674,6 +693,10 @@ class HllSketch(StoredArtifact):
             eager=True
         )
         regs.write.mode("append").saveAsTable(self.table)
+        # cloned-session append (see BloomGate.update_keys): refresh the
+        # artifact session's relation cache so registers_df can't serve
+        # a stale (under-counting) file listing
+        self.spark.sql(f"REFRESH TABLE {self.table}")
         self._set_props(last_batch_id=batch_id)
         return True
 

@@ -30,8 +30,16 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("examples/corpus_assembly.py", "budget + mixture + shard audit consistent = True"),
         ("examples/passage_retrieval.py", "copied chunk retrieves its source at cosine ~1.0 = True"),
         ("examples/data_selection.py", "DSIR + novelty + budget admission invariant holds = True"),
-        ("examples/corpus_monitoring.py", "corpus health invariants hold = True"),
-        ("examples/corpus_monitoring.py", "streaming monitors match oracle queries, replay-safe = True"),
+        # one run, both contract lines (the snapshot report and the
+        # streaming-monitor audit) — a second parametrize row would
+        # re-run the heaviest example end-to-end for no added coverage
+        (
+            "examples/corpus_monitoring.py",
+            (
+                "corpus health invariants hold = True",
+                "streaming monitors match oracle queries, replay-safe = True",
+            ),
+        ),
         ("examples/ann_serving.py", "search == oracle-checked d88 rows = True"),
         ("examples/tokenizer_training.py", "stored vocab == oracle-checked d90 rows = True"),
         ("examples/streaming_admission.py", "replay admitted 0, gate sound, index and bitmap unchanged = True"),
@@ -46,4 +54,5 @@ def test_example_runs(script, expect):
         cwd=ROOT,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert expect in proc.stdout
+    for line in (expect,) if isinstance(expect, str) else expect:
+        assert line in proc.stdout

@@ -509,10 +509,18 @@ def test_tokenize_production_vocab_no_plan_blowup(spark):
         # none appear in the analyzed plan; the literal path inlines
         # every one of the 10k.
         plan = out_df._jdf.queryExecution().analyzed().toString()
+        # marker hygiene: exclude pieces that could occur in the plan
+        # for innocent reasons — substrings of the probe text, and
+        # all-hex pieces (the plan embeds the table name's random
+        # uuid-hex suffix, so a hex marker flakes ~1-in-700 runs)
+        probe_text = "sparkstream tokenizer training abc123 xyz"
+        hexset = set("0123456789abcdef")
         markers = [
             p
             for p in pieces
-            if len(p) >= 3 and p not in "sparkstream tokenizer training abc123 xyz"
+            if len(p) >= 3
+            and p not in probe_text
+            and not set(p) <= hexset
         ][:25]
         assert len(markers) == 25
         inlined = [p for p in markers if p in plan]

@@ -340,6 +340,114 @@ def test_cms_sketch_compact_merges_history_into_base(spark):
         sk.drop()
 
 
+def test_cms_sketch_compact_resumes_from_surviving_park(spark):
+    """Crash recovery: a compact() that died mid INSERT OVERWRITE
+    leaves a COMPLETE park (__compacting is only in the catalog if its
+    write finished) and a possibly-partial live table. Calling
+    compact() again must RESUME the swap from the park — re-deriving
+    from the corrupted live table would overwrite the only surviving
+    copy (round-9 review finding)."""
+    from pyspark.sql import functions as SF
+
+    from kpipe_spark.functions.sketches import CmsSketch
+
+    table = f"cms_rec_{uuid.uuid4().hex[:8]}"
+    sk = CmsSketch.build(spark, _docs(spark, [(1, "alpha beta")]), table)
+    try:
+        sk.update_batch(_docs(spark, [(2, "alpha gamma gamma")]), batch_id=0)
+        probe = spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",)], "t string"
+        )
+        truth = {
+            r["t"]: r["cms_estimate"] for r in sk.estimate(probe).collect()
+        }
+        assert truth == {"alpha": 2, "beta": 1, "gamma": 2}
+        # simulate the crash state: park the merged copy (what a dying
+        # compact() had completed) ...
+        merged = (
+            sk.sketch_df.withColumn("batch_id", SF.lit(-1).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").partitionBy("batch_id").saveAsTable(
+            f"{table}__compacting", format="parquet"
+        )
+        # ... then corrupt the live table the way a half-finished
+        # whole-table overwrite would (only a fraction of rows left)
+        partial = (
+            spark.table(table)
+            .filter("lane = 0")
+            .localCheckpoint(eager=True)
+        )
+        replacer = spark.newSession()
+        replacer.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        partial.createOrReplaceTempView("cms_rec_partial")
+        partial.sparkSession.sql(
+            f"INSERT OVERWRITE TABLE {table} "
+            "SELECT lane, cell, c, batch_id FROM cms_rec_partial"
+        )
+        spark.sql(f"REFRESH TABLE {table}")
+        broken = {
+            r["t"]: r["cms_estimate"] for r in sk.estimate(probe).collect()
+        }
+        assert broken != truth  # live really is corrupt
+        # recovery: compact() resumes from the park, not the wreck
+        sk.compact()
+        recovered = {
+            r["t"]: r["cms_estimate"] for r in sk.estimate(probe).collect()
+        }
+        assert recovered == truth
+        assert sk.applied_batches() == [-1]
+        assert not spark.catalog.tableExists(f"{table}__compacting")
+    finally:
+        sk.drop()
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+
+
+def test_bloom_and_hll_update_from_cloned_session(spark):
+    """foreachBatch frames belong to a CLONED session; after an append
+    through that session, serving through the artifact's ORIGINAL
+    session must see the new state without relying on _set_props'
+    incidental cache invalidation (explicit REFRESH TABLE pinned for
+    BloomGate and HllSketch the way the CMS fix was)."""
+    from kpipe_spark.functions.sketches import BloomGate, HllSketch
+
+    clone = spark.newSession()
+    g = BloomGate.build(
+        spark,
+        _docs(spark, [(1, "alpha")]),
+        f"bg_clone_{uuid.uuid4().hex[:8]}",
+    )
+    try:
+        batch = clone.createDataFrame(
+            [(2, "totally novel words")], "doc_id bigint, text string"
+        )
+        n0 = g.n_bits_set()
+        assert g.update_batch(batch, batch_id=0) is True
+        assert g.n_bits_set() > n0  # original session sees the append
+        mine = g.probe(
+            _docs(spark, [(2, "totally novel words")])
+        ).collect()
+        assert mine[0]["bloom_positive"] == 1  # no false negative
+    finally:
+        g.drop()
+    h = HllSketch.build(
+        spark,
+        _docs(spark, [(1, "alpha beta")]),
+        f"hll_clone_{uuid.uuid4().hex[:8]}",
+    )
+    try:
+        e0 = h.distinct_estimate()
+        batch = clone.createDataFrame(
+            [(2, "gamma delta epsilon zeta")], "doc_id bigint, text string"
+        )
+        assert h.update_batch(batch, batch_id=0) is True
+        assert h.distinct_estimate() > e0
+    finally:
+        h.drop()
+
+
 def test_cms_sketch_update_from_cloned_session(spark):
     """foreachBatch hands the sink a DataFrame owned by a CLONED
     session (shared table catalog, PRIVATE temp views + relation
