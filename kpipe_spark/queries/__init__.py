@@ -59,66 +59,65 @@ def register(
 # equals the computation, so a drifted list fails CI instead of
 # silently aging a grade (that drift happened once: round 8's
 # hand-typed list dropped d24_dup_clusters from its own count).
-# Round 9 = FIRST-TIME d98/d99, both round-4-era grades (d24, d63),
-# then the round-5-era block; q11_window_topk_per_customer is the one
-# deferral (registry-order tail) and sorts first automatically in r10.
-# All oracle-backed queries run the identical DuckDB compare in pytest
+# Round 10 = the r9 deferral q11 (the registry's last r5-era grade),
+# then the round-6-era block stalest-first in registry order (d37,
+# d44-d48, d86-d89, and the q03-q70 relational rows). All
+# oracle-backed queries run the identical DuckDB compare in pytest
 # regardless of window position.
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",
     "p01_outcome_accounting",
     "d05_minhash_neardup",
-    # first-time driver grades (registered after the r8 window filled)
-    "d98_hll_distinct_tokens",
-    "d99_weighted_reservoir_sample",
-    # round-4-era re-grades (the two the r8 window couldn't fit)
-    "d24_dup_clusters",
-    "d63_tokenizer_fertility",
-    # round-5-era re-grades, registry order
-    "d02_token_stats",
-    "d03_quality_score",
-    "d04_lang_id",
-    "d06_simhash",
-    "d07_ngram_jaccard_pairs",
-    "d09_lsh_similarity_topk",
-    "d10_embedding_norms",
-    "d11_embedding_neardup",
-    "d12_doc_fingerprint",
-    "m02_frame_sample",
-    "d14_doc_embedding_quality",
-    "d15_simhash_neardup",
-    "d16_pii_scrub",
-    "d18_bpe_token_stats",
-    "d19_stratified_sample",
-    "d20_dataset_split",
-    "d21_embedding_quantize",
-    "d22_repetition_score",
-    "d25_vocab_build",
-    "d26_tfidf_keywords",
-    "d29_column_profile",
-    "d30_k_anonymity",
-    "d31_contamination_check",
-    "d32_source_mixing_weights",
-    "d33_boilerplate_ngrams",
-    "d34_gopher_quality_rules",
-    "d35_source_document_cap",
-    "d36_lm_quality_buckets",
-    "d38_key_skew_profile",
-    "d39_sequence_packing",
-    "d40_corpus_card",
-    "d41_word_entropy",
-    "d42_lexical_diversity",
-    "d43_srp_near_dup",
-    "d80_block_dedup_retention",
-    "d81_intradoc_dup_grams",
-    "d82_doc_stitching",
-    "d83_truncation_loss_curve",
-    "d84_ivf_cell_purity",
-    "d85_data_constrained_epochs",
-    "p02_passed_enriched",
-    "p03_field_surgery",
-    "q02_revenue_by_nation",
+    # the r9 deferral: the registry's only remaining r5-era grade
+    "q11_window_topk_per_customer",
+    # round-6-era re-grades, registry order
+    "d37_semdedup_clusters",
+    "d44_temperature_sampling_weights",
+    "d45_sequence_length_histogram",
+    "d46_cross_source_overlap",
+    "d47_dedup_survivors",
+    "d48_minhash_estimator_calibration",
+    "d86_pq_adc_topk",
+    "d87_pq_recall",
+    "d88_ivfpq_topk",
+    "d89_pq_codebook_health",
+    "q19_distinct_agg",
+    "q27_conditional_agg_pivot",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q07_join_left_outer",
+    "q08_join_anti",
+    "q09_join_semi",
+    "q10_join_full_outer",
+    "q28_range_join",
+    "q12_window_running_total",
+    "q14_rollup",
+    "q15_cube",
+    "q25_grouping_sets",
+    "q16_union",
+    "q17_intersect",
+    "q18_except",
+    "q24_topk_orders",
+    "q20_scalar_string_math",
+    "q21_date_functions",
+    "q23_json_extract",
+    "q29_string_agg",
+    "q22_events_hourly",
+    "q31_correlated_scalar_subquery",
+    "q32_in_subquery",
+    "q33_percentiles",
+    "q35_pivot",
+    "q36_unpivot",
+    "q37_sessionization",
+    "q38_asof_join",
+    "q44_range_frame_moving_sum",
+    "q45_array_map_functions",
+    "q49_exists_subquery",
+    "q56_exact_median",
+    "q68_argmax_aggregates",
+    "q70_lateness_priority_counts",
 )
 
 
