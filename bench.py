@@ -303,7 +303,9 @@ def _sweep_delta(cur_doc: dict, prev_path: str) -> dict | None:
     return out
 
 
-def _confirm_movers(spark, sf_dir, queries, movers: dict) -> dict:
+def _confirm_movers(
+    spark, sf_dir, queries, movers: dict, prior_quiet: dict | None = None
+) -> dict:
     """Machine adjudication of the sweep_delta movers that point in
     the REGRESSION direction (cur > prev): each gets an automatic
     best-of-3 re-run in the same warmed session, because a sweep row
@@ -323,9 +325,21 @@ def _confirm_movers(spark, sf_dir, queries, movers: dict) -> dict:
     the gate — a machine-stamped verdict from a hot capture is
     exactly that comparison). Improvement-direction movers are left
     alone (a too-good single capture overstates a win but flags
-    nothing to fix; the next round's delta self-corrects against it)."""
+    nothing to fix; the next round's delta self-corrects against it).
+
+    ``prior_quiet`` (name -> quiet capture from the round BEFORE prev)
+    cross-checks a confirmed regression against the longer history:
+    prev is itself a single capture and can flake in the FAST
+    direction, minting a phantom regression one round later (r10
+    caught exactly this: d97 read 0.436 in the r9 sweep against a
+    0.648/0.664 r7/r8 steady level, so r10's 0.769 'confirmed' vs
+    prev while sitting 0.1 s off the real level). If the best-of-3 is
+    NOT a mover against the older quiet value under the same two-part
+    threshold, the verdict is ``prev_capture_flake`` — the anomaly
+    was last round's number, not this round's."""
     gate = _ambient_gate()
     budget = _RequeueBudget()
+    prior_quiet = prior_quiet or {}
     out: dict[str, dict] = {}
     for name, mv in sorted(movers.items()):
         if mv["cur"] <= mv["prev"] or name not in queries:
@@ -340,19 +354,27 @@ def _confirm_movers(spark, sf_dir, queries, movers: dict) -> dict:
             best3 = min(best3, best3b)
         prev = max(mv["prev"], 1e-9)
         still_a_mover = (best3 - prev > 0.3) and (best3 > 1.5 * prev)
-        if gate > 0 and ext > gate:
-            verdict = "hot_capture"
-        elif still_a_mover:
-            verdict = "confirmed_regression"
-        else:
-            verdict = "capture_flake"
-        out[name] = {
+        older = prior_quiet.get(name)
+        rec = {
             "prev": mv["prev"],
             "cur_single": mv["cur"],
             "cur_best3": round(best3, 3),
             "ambient_during_best3": round(ext, 2),
-            "verdict": verdict,
         }
+        if gate > 0 and ext > gate:
+            rec["verdict"] = "hot_capture"
+        elif not still_a_mover:
+            rec["verdict"] = "capture_flake"
+        elif older is not None and not (
+            (best3 - older > 0.3) and (best3 > 1.5 * max(older, 1e-9))
+        ):
+            rec["verdict"] = "prev_capture_flake"
+            rec["prior_round_quiet"] = older
+        else:
+            rec["verdict"] = "confirmed_regression"
+            if older is not None:
+                rec["prior_round_quiet"] = older
+        out[name] = rec
     return out
 
 
@@ -621,9 +643,9 @@ def sweep(out_path: str | None = None) -> None:
     # sweep artifact (excluding the file this run is about to write)
     prev = [
         p
-        for p in _latest_sweep_artifacts(2)
+        for p in _latest_sweep_artifacts(3)
         if os.path.abspath(p) != os.path.abspath(out_path)
-    ]
+    ][:2]
     if prev:
         delta = _sweep_delta(doc, prev[0])
         if delta and delta["movers"]:
@@ -631,9 +653,26 @@ def sweep(out_path: str | None = None) -> None:
             # re-run while the warmed session is still alive, so the
             # artifact ships its own adjudication (capture flake vs
             # confirmed regression) instead of leaving two phantom
-            # regressions in every round's delta for a reader to chase
+            # regressions in every round's delta for a reader to chase;
+            # the round-before-prev's quiet rows cross-check against a
+            # fast-side flake in prev itself (_confirm_movers docstring)
+            prior_quiet: dict[str, float] = {}
+            if len(prev) > 1:
+                try:
+                    with open(prev[1]) as f:
+                        p2 = json.load(f)
+                    gate2 = _ambient_gate()
+                    p2q = p2.get("queries", {})
+                    p2a = p2.get("ambient_load_per_query", {})
+                    prior_quiet = {
+                        n: t
+                        for n, t in p2q.items()
+                        if p2a.get(n, 0.0) <= gate2
+                    }
+                except (OSError, json.JSONDecodeError):
+                    pass
             delta["movers_confirmation"] = _confirm_movers(
-                spark, sf_dir, queries, delta["movers"]
+                spark, sf_dir, queries, delta["movers"], prior_quiet
             )
         doc["sweep_delta"] = delta
     with open(out_path, "w") as f:

@@ -128,6 +128,7 @@ def main() -> None:
 def streaming_monitors(spark, sf_dir: str, q) -> None:
     """Part 2: per-micro-batch CmsSketch/HllSketch maintenance with
     serving parity against d96/d98, worst-case replay, compaction."""
+    import shutil
     import tempfile
     import uuid
 
@@ -230,6 +231,7 @@ def streaming_monitors(spark, sf_dir: str, q) -> None:
     finally:
         cms.drop()
         hll.drop()
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -7,6 +7,10 @@ kpipe has none of these — they're the data-pipeline capabilities a
 - ``dedup``: exact, MinHash-LSH, SimHash, n-gram Jaccard
 - ``corpus_index``: the stored band artifact as an API
   (build/attach/admit/append incremental admission)
+- ``cluster_index``: the stored near-dup component artifact — pays
+  the MinHash->components subtree once per corpus for every consumer
+- ``dedup_reports``: the component-consumer bodies (d24/d47/d52/d55/
+  d65) shared between inline-graded and stored-artifact forms
 - ``similarity``: embedding cosine, brute-force and LSH-bucketed top-k
 - ``selection``: token-budget greedy admission, DSIR importance
 - ``mixing``: temperature-normalized source mixture weights

@@ -58,19 +58,51 @@ def blocking_enrich(
     of ``concurrency`` threads (module docstring for semantics)."""
     if concurrency < 1:
         raise ValueError("concurrency must be >= 1")
+    if result_col in df.columns:
+        raise ValueError(
+            f"result_col {result_col!r} already exists in the input "
+            "DataFrame; pick a fresh name (overwriting a column here "
+            "would silently produce a duplicate-name schema)"
+        )
+
+    def _q(name: str) -> str:
+        # backtick-quote for the DDL parser (spaces, dots, hyphens);
+        # embedded backticks escape by doubling
+        return "`" + name.replace("`", "``") + "`"
+
     # DDL string keeps the type-name surface DDL-wide ("bigint",
     # "array<float>", ...); StructType.add only accepts JSON-style
     # primitive names
     out_schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
-        + [f"{result_col} {result_type}"]
+        [f"{_q(f.name)} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{_q(result_col)} {result_type}"]
     )
+
+    # PySpark's mapInPandas projects the input as `df[name]` per
+    # column, which parses a DOT as struct access and fails to resolve
+    # the flat column (an upstream limitation schema quoting can't
+    # reach) — route dotted names through collision-free placeholders
+    # and restore them pandas-side so fn and the output schema see the
+    # real names
+    renames = {}
+    for i, name in enumerate(df.columns):
+        if "." in name:
+            tmp = f"__be_{i}"
+            while tmp in df.columns:
+                tmp = "_" + tmp
+            renames[name] = tmp
+    work = df
+    for orig, tmp in renames.items():
+        work = work.withColumnRenamed(orig, tmp)
+    restore = {tmp: orig for orig, tmp in renames.items()}
 
     def run(batches: Iterator) -> Iterator:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=concurrency) as pool:
             for pdf in batches:
+                if restore:
+                    pdf = pdf.rename(columns=restore)
                 if len(pdf):
                     pdf[result_col] = list(
                         pool.map(fn, pdf.to_dict("records"))
@@ -79,4 +111,4 @@ def blocking_enrich(
                     pdf[result_col] = []
                 yield pdf
 
-    return df.mapInPandas(run, out_schema)
+    return work.mapInPandas(run, out_schema)

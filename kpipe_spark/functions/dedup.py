@@ -460,6 +460,27 @@ def dup_components(
     return connected_components(pairs).withColumnRenamed("id", id_col)
 
 
+def clusters_from_components(
+    df: DataFrame,
+    comp: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cluster assignment from an EXISTING component table
+    (``dup_components``' shape — inline or served from a stored
+    ``ClusterIndex``): left-join, singletons keep their own id ->
+    (id_col, cluster_id, is_canonical). The component side is
+    dup-graph-sized by construction, hence the broadcast."""
+    return (
+        df.select(id_col)
+        .join(F.broadcast(comp), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def dup_clusters(
     df: DataFrame,
     text_col: str = "text",
@@ -478,15 +499,7 @@ def dup_clusters(
     broadcast only ``dup_components`` (dup-graph ids, never text).
     """
     comp = dup_components(df, text_col, id_col, num_hashes, bands, shingle_k)
-    return (
-        df.select(id_col)
-        .join(F.broadcast(comp), id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
-        )
-        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
-    )
+    return clusters_from_components(df, comp, id_col)
 
 
 # -- n-gram Jaccard ------------------------------------------------------------

@@ -493,18 +493,23 @@ class CmsSketch(StoredArtifact):
         re-deriving would overwrite the only surviving copy with
         garbage. (Corollary: resume a crashed compact() BEFORE
         restarting streams — the swap replaces live with the parked
-        state, so deltas appended after the crash would be lost.) The
-        live table is never dropped or recreated, so the geometry
+        state, so deltas appended after the crash would be lost. This
+        is now ENFORCED, not just documented: the park records the max
+        batch id it merged, and recovery raises if the live table has
+        grown past it instead of silently overwriting those deltas.)
+        The live table is never dropped or recreated, so the geometry
         TBLPROPERTIES survive untouched.
         """
         from kpipe_spark.util import reclaim_orphaned_table_location
 
         tmp = f"{self.table}__compacting"
+        merged_prop = f"{self._PROP_PREFIX}compact_merged_max_batch_id"
         if not self.spark.catalog.tableExists(tmp):
             # no park: normal path — derive the merged state from the
             # live table and park it (reclaim first: a crash DURING the
             # park write leaves an orphaned directory, no catalog entry)
             reclaim_orphaned_table_location(self.spark, tmp)
+            merged_max = max(self.applied_batches(), default=-1)
             (
                 self.sketch_df.withColumn(
                     "batch_id", F.lit(-1).cast("long")
@@ -513,8 +518,40 @@ class CmsSketch(StoredArtifact):
                 .partitionBy("batch_id")
                 .saveAsTable(tmp, format="parquet")
             )
-        # else: crash-recovery path — the park holds the one complete
-        # merged copy; skip straight to the swap (docstring above)
+            self.spark.sql(
+                f"ALTER TABLE {tmp} SET TBLPROPERTIES "
+                f"('{merged_prop}' = '{int(merged_max)}')"
+            )
+        else:
+            # crash-recovery path — the park holds the one complete
+            # merged copy; skip straight to the swap (docstring above).
+            # But first: if streams were (incorrectly) restarted after
+            # the crash, the live table holds deltas the park predates
+            # (streaming batch ids strictly increase); swapping would
+            # silently drop them, so raise and let the operator decide.
+            park_max = next(
+                (
+                    int(r["value"])
+                    for r in self.spark.sql(
+                        f"SHOW TBLPROPERTIES {tmp}"
+                    ).collect()
+                    if r["key"] == merged_prop
+                ),
+                -1,
+            )
+            newer = [b for b in self.applied_batches() if b > park_max]
+            if newer:
+                raise RuntimeError(
+                    f"compact() recovery refused for {self.table}: the "
+                    f"leftover park {tmp} merged batches up to "
+                    f"{park_max}, but the live table now holds newer "
+                    f"batch ids {newer} — streams were restarted after "
+                    "a crashed compact, and resuming the swap would "
+                    "silently drop those deltas. Either stop the "
+                    "streams and fold the new deltas in manually, or "
+                    f"DROP TABLE {tmp} to abandon the crashed compact "
+                    "and re-run it from the live table."
+                )
         # the overwrite must replace EVERY partition: under dynamic
         # partitionOverwriteMode it would only replace batch_id=-1 and
         # leave the already-merged deltas to double-count. A cloned

@@ -835,14 +835,9 @@ def d23_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "clustering", "iterative"),
 )
 def d24_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.dedup_reports import cluster_stats
+
     docs = load_tables(spark, sf_dir).documents
-    return (
-        D.dup_clusters(docs)
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("cluster_size"),
-            F.sum(F.col("is_canonical").cast("int")).alias("n_canonical"),
-        )
-        .filter(F.col("cluster_size") > 1)
-        .orderBy("cluster_id")
-    )
+    # graded self-contained form: components derived inline; the stored
+    # form (ClusterIndex.components_df) feeds the same consumer body
+    return cluster_stats(docs, D.dup_components(docs))

@@ -234,24 +234,12 @@ def d46_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "sampling"),
 )
 def d47_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.dedup_reports import survivors_by_source
+
     docs = load_tables(spark, sf_dir).documents
-    comp = D.dup_components(docs)
-    is_canonical = (
-        F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")
-    )
-    return (
-        docs.select("doc_id", "source", "n_chars")
-        .join(F.broadcast(comp), "doc_id", "left")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(is_canonical.cast("int")).alias("n_kept"),
-            F.sum(
-                F.when(is_canonical, F.col("n_chars")).otherwise(0)
-            ).alias("kept_chars"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-    )
+    # graded self-contained form: components derived inline; the stored
+    # form (ClusterIndex.components_df) feeds the same consumer body
+    return survivors_by_source(docs, D.dup_components(docs))
 
 
 @register(
@@ -624,28 +612,12 @@ def d51_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "sampling", "split", "dedup"),
 )
 def d52_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kpipe_spark.functions.dedup import md5_hash60
+    from kpipe_spark.functions.dedup_reports import leakage_safe_split
 
     docs = load_tables(spark, sf_dir).documents
-    comp = D.dup_components(docs)
-    h = md5_hash60(F.col("cluster_id").cast("string")) % 100
-    split = (
-        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
-    )
-    return (
-        docs.select("doc_id")
-        .join(F.broadcast(comp), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
-        )
-        .select("doc_id", "cluster_id", split.alias("split"))
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("cluster_id").alias("n_clusters"),
-        )
-    )
+    # graded self-contained form: components derived inline; the stored
+    # form (ClusterIndex.components_df) feeds the same consumer body
+    return leakage_safe_split(docs, D.dup_components(docs))
 
 
 @register(

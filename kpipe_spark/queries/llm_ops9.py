@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from kpipe_spark.catalog import load_tables
 from kpipe_spark.functions import dedup as D
 from kpipe_spark.functions import multimodal as M
-from kpipe_spark.functions.mixing import temperature_norm_sql, temperature_normalize
+from kpipe_spark.functions.mixing import temperature_norm_sql
 from kpipe_spark.queries import register
 from kpipe_spark.queries._oracle_fragments import COMPONENTS_CTES, MINHASH_CTES
 
@@ -123,33 +123,12 @@ def d54_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "sampling", "dedup"),
 )
 def d55_dedup_adjusted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kpipe_spark.util import ieee_round
+    from kpipe_spark.functions.dedup_reports import dedup_adjusted_mixture
 
     docs = load_tables(spark, sf_dir).documents
-    comp = D.dup_components(docs)
-    kept = (
-        F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")
-    ).cast("int")
-    tok = (
-        docs.select("doc_id", "source", F.size(F.split("text", " ")).alias("_n"))
-        .join(F.broadcast(comp), "doc_id", "left")
-        .select("source", "_n", kept.alias("_kept"))
-    )
-    s = tok.groupBy("source").agg(
-        F.count(F.lit(1)).alias("raw_docs"),
-        F.sum("_kept").alias("kept_docs"),
-        F.sum(F.when(F.col("_kept") == 1, F.col("_n")).otherwise(0)).alias(
-            "kept_tokens"
-        ),
-    )
-    p = temperature_normalize(s, "kept_tokens")
-    return p.select(
-        "source",
-        "raw_docs",
-        "kept_docs",
-        "kept_tokens",
-        ieee_round(F.col("_pt") / F.col("_denom"), 6).alias("sample_prob"),
-    )
+    # graded self-contained form: components derived inline; the stored
+    # form (ClusterIndex.components_df) feeds the same consumer body
+    return dedup_adjusted_mixture(docs, D.dup_components(docs))
 
 
 @register(

@@ -320,11 +320,18 @@ def _table_owning_location(spark, fs, target_path) -> str | None:
     misses the owner on scheme-form (``file:/`` vs ``file:///``) or
     percent-encoding differences between DESCRIBE's stored string and
     the derived path, and a missed owner fails in the unsafe direction
-    (deleting live data). A location string that won't parse is
-    likewise treated as the owner: refusing the reclaim is the cheap
-    failure (saveAsTable errors loudly), deleting is not."""
+    (deleting live data). A location string that won't parse is logged
+    and the scan CONTINUES (an exotic location on an unrelated table
+    must not disable reclaim catalog-wide); only if the whole scan
+    finds no parseable owner do the unparseable candidates win —
+    the first is returned as a refuse-sentinel naming the real cause,
+    because refusing the reclaim is the cheap failure (saveAsTable
+    errors loudly), deleting is not."""
+    import logging
+
     jvm = spark._jvm
     target_uri = fs.makeQualified(target_path).toUri()
+    unparseable: list[str] = []
     for db in spark.catalog.listDatabases():
         for t in spark.catalog.listTables(db.name):
             if t.isTemporary or (t.tableType or "").upper() == "VIEW":
@@ -351,10 +358,21 @@ def _table_owning_location(spark, fs, target_path) -> str | None:
                     jvm.org.apache.hadoop.fs.Path(loc)
                 ).toUri()
             except Exception:  # pragma: no cover - exotic location
-                return qualified  # unparseable: assume owner, refuse
+                logging.getLogger(__name__).warning(
+                    "reclaim scan: location %r of table %s does not "
+                    "parse as a Hadoop path; skipping it (it only "
+                    "blocks reclaim if no parseable table owns the "
+                    "target)",
+                    loc,
+                    qualified,
+                )
+                unparseable.append(qualified)
+                continue
             if loc_uri.equals(target_uri):
                 return qualified
-    return None
+    # no parseable owner: an unparseable location MIGHT be the owner in
+    # disguise, so refuse with the first candidate as the named cause
+    return unparseable[0] if unparseable else None
 
 
 def reclaim_orphaned_table_location(spark, table: str) -> bool:

@@ -74,6 +74,30 @@ def test_blocking_enrich_rejects_bad_concurrency(spark):
         blocking_enrich(spark.range(1), lambda r: 1, "x", concurrency=0)
 
 
+def test_blocking_enrich_rejects_result_col_collision(spark):
+    """Overwriting an existing column would yield a duplicate-name
+    schema downstream; refuse up front (round-9 advice)."""
+    df = spark.range(3).select(F.col("id"), F.lit("x").alias("tag"))
+    with pytest.raises(ValueError, match="already exists"):
+        blocking_enrich(df, lambda r: 1, "tag")
+
+
+def test_blocking_enrich_quotes_exotic_column_names(spark):
+    """Input columns (and the result column) with spaces, dots, or
+    hyphens must survive the DDL round-trip — they break an unquoted
+    schema string (round-9 advice)."""
+    df = spark.range(5).select(
+        F.col("id").alias("doc id"),
+        (F.col("id") * 2).alias("a.b-c"),
+    )
+    out = blocking_enrich(
+        df, lambda r: r["doc id"] + r["a.b-c"], "out col", "bigint"
+    )
+    rows = out.collect()
+    assert out.columns == ["doc id", "a.b-c", "out col"]
+    assert all(r["out col"] == r["doc id"] + r["a.b-c"] for r in rows)
+
+
 def test_blocking_enrich_inside_foreach_batch(spark, tmp_path):
     """The operator composes with the streaming runner's sink path —
     the frame a sink receives belongs to a CLONED session (the r9

@@ -371,6 +371,13 @@ def test_cms_sketch_compact_resumes_from_surviving_park(spark):
         merged.write.mode("overwrite").partitionBy("batch_id").saveAsTable(
             f"{table}__compacting", format="parquet"
         )
+        # a real compact() records the merged high-water mark on the
+        # park right after writing it (the crash under test is mid
+        # INSERT OVERWRITE, i.e. after this point)
+        spark.sql(
+            f"ALTER TABLE {table}__compacting SET TBLPROPERTIES "
+            f"('{CmsSketch._PROP_PREFIX}compact_merged_max_batch_id' = '0')"
+        )
         # ... then corrupt the live table the way a half-finished
         # whole-table overwrite would (only a fraction of rows left)
         partial = (
@@ -400,6 +407,53 @@ def test_cms_sketch_compact_resumes_from_surviving_park(spark):
         assert recovered == truth
         assert sk.applied_batches() == [-1]
         assert not spark.catalog.tableExists(f"{table}__compacting")
+    finally:
+        sk.drop()
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+
+
+def test_cms_sketch_compact_recovery_refuses_post_crash_appends(spark):
+    """The documented constraint 'resume a crashed compact() BEFORE
+    restarting streams' is enforced: if the live table holds batch ids
+    NEWER than the park's recorded merged maximum (streams restarted
+    after the crash), recovery raises instead of swapping — the swap
+    would silently overwrite those deltas (round-9 advice)."""
+    import pytest
+
+    from kpipe_spark.functions.sketches import CmsSketch
+
+    table = f"cms_ref_{uuid.uuid4().hex[:8]}"
+    sk = CmsSketch.build(spark, _docs(spark, [(1, "alpha beta")]), table)
+    try:
+        sk.update_batch(_docs(spark, [(2, "alpha gamma")]), batch_id=0)
+        # simulate a crashed compact that merged up to batch 0 ...
+        from pyspark.sql import functions as SF
+
+        merged = (
+            sk.sketch_df.withColumn("batch_id", SF.lit(-1).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").partitionBy("batch_id").saveAsTable(
+            f"{table}__compacting", format="parquet"
+        )
+        spark.sql(
+            f"ALTER TABLE {table}__compacting SET TBLPROPERTIES "
+            f"('{CmsSketch._PROP_PREFIX}compact_merged_max_batch_id' = '0')"
+        )
+        # ... then an (incorrect) stream restart lands batch 1
+        sk.update_batch(_docs(spark, [(3, "delta delta")]), batch_id=1)
+        with pytest.raises(RuntimeError, match="newer batch ids \\[1\\]"):
+            sk.compact()
+        # the refusal left everything in place: park intact, live
+        # intact, and the post-crash delta still served
+        assert spark.catalog.tableExists(f"{table}__compacting")
+        probe = spark.createDataFrame([("delta",)], "t string")
+        assert sk.estimate(probe).collect()[0]["cms_estimate"] == 2
+        # the documented remedy works: abandon the park, re-run
+        spark.sql(f"DROP TABLE {table}__compacting")
+        sk.compact()
+        assert sk.applied_batches() == [-1]
+        assert sk.estimate(probe).collect()[0]["cms_estimate"] == 2
     finally:
         sk.drop()
         spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
