@@ -80,6 +80,24 @@ HEADLINE = [
 ]
 
 
+def _bench_pipeline():
+    """The outcome pipeline every streaming/pipeline bench row drives
+    (JSON extract -> fail_when -> require_field -> filter) — one
+    definition so the delivered-fraction math, the sink-only overlap
+    A/B and the streaming rates all measure the same work."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kpipe_spark.pipeline import Pipeline
+
+    return (
+        Pipeline()
+        .pipe("k_val", F.get_json_object("props", "$.k").cast("int"))
+        .fail_when(F.col("event_type") == "error", "DeserializationException")
+        .require_field("k_val")
+        .filter(F.col("value") > 50.0)
+    )
+
+
 def _streaming_pipeline_rate(
     spark,
     sf_dir: str,
@@ -113,7 +131,6 @@ def _streaming_pipeline_rate(
 
     from pyspark.sql import functions as F  # noqa: F811
 
-    from kpipe_spark.pipeline import Pipeline
     from kpipe_spark.streaming import StreamRunner
 
     workdir = tempfile.mkdtemp(prefix="kpipe-bench-stream-")
@@ -150,13 +167,7 @@ def _streaming_pipeline_rate(
     from kpipe_spark.streaming.modes import ProcessingMode
 
     runner = StreamRunner(
-        pipeline=(
-            Pipeline()
-            .pipe("k_val", F.get_json_object("props", "$.k").cast("int"))
-            .fail_when(F.col("event_type") == "error", "DeserializationException")
-            .require_field("k_val")
-            .filter(F.col("value") > 50.0)
-        ),
+        pipeline=_bench_pipeline(),
         sink=sink,
         dlq_writer=lambda df, batch_id: df.write.format("noop").mode("overwrite").save(),
         mode=mode or ProcessingMode.PARALLEL,
@@ -391,17 +402,10 @@ def _work_overlap_ab(spark, sf_dir: str, work_ms: float = 10.0) -> dict:
     from pyspark.sql import functions as F  # noqa: F811
 
     from kpipe_spark.functions.blocking import blocking_enrich
-    from kpipe_spark.pipeline import Pipeline
     from kpipe_spark.pipeline.result import PASSED, STATUS_COL
 
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    pipeline = (
-        Pipeline()
-        .pipe("k_val", F.get_json_object("props", "$.k").cast("int"))
-        .fail_when(F.col("event_type") == "error", "DeserializationException")
-        .require_field("k_val")
-        .filter(F.col("value") > 50.0)
-    )
+    pipeline = _bench_pipeline()
     from kpipe_spark.util import ensure_parallelism
 
     delivered = (
@@ -441,6 +445,66 @@ def _work_overlap_ab(spark, sf_dir: str, work_ms: float = 10.0) -> dict:
         "serial_floor_sec": round(serial_sec, 1),
         "overlap_x": round(serial_sec / enrich_sec, 1),
         "reference_parallel_10ms": 57563,
+    }
+
+
+def _batch_overhead(spark, sf_dir: str) -> dict:
+    """Per-micro-batch FIXED overhead of the outcome contract: time one
+    full ``StreamRunner.process_batch`` (pipeline + persist + outcome
+    accounting groupBy at runner.py's status collect + DLQ split write
+    + delivery) against the bare pipeline->filter(PASSED)->sink path
+    over the same static frame. The difference is the per-batch cost
+    the reference's dispatch benchmark doesn't pay — the line that,
+    with the delivered-fraction row, lets BASELINE.md's 57,563/34,465
+    comparison read straight off the artifact: our streaming 10 ms
+    rows = sink-only overlap capacity minus (this overhead amortized
+    per batch), over delivered records."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kpipe_spark.pipeline.result import PASSED, STATUS_COL
+    from kpipe_spark.streaming import StreamRunner
+    from kpipe_spark.util import ensure_parallelism
+
+    events = (
+        ensure_parallelism(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = events.count()
+
+    def noop(df, batch_id=None) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    runner = StreamRunner(
+        pipeline=_bench_pipeline(), sink=noop, dlq_writer=noop
+    )
+    pipeline = _bench_pipeline()
+
+    def bare() -> None:
+        noop(
+            pipeline.apply(events)
+            .filter(F.col(STATUS_COL) == PASSED)
+            .drop(STATUS_COL)
+        )
+
+    def best_of(run, runs=3) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    runner.process_batch(events, 0)  # warm both paths' codegen
+    bare()
+    full_sec = best_of(lambda: runner.process_batch(events, 0))
+    bare_sec = best_of(bare)
+    return {
+        "rows_per_batch": n,
+        "full_process_batch_sec": round(full_sec, 3),
+        "pipeline_sink_only_sec": round(bare_sec, 3),
+        "fixed_overhead_sec": round(max(full_sec - bare_sec, 0.0), 3),
     }
 
 
@@ -563,6 +627,77 @@ def _incremental_admit_ab(spark, sf_dir: str) -> dict:
             "stored_index_admit_sec": round(stored, 3),
             "inline_derivation_sec": round(inline, 3),
             "artifact_speedup": round(inline / stored, 2),
+        }
+    finally:
+        idx.drop()
+
+
+def _cluster_reuse_ab(spark, sf_dir: str) -> dict:
+    """The ClusterIndex dividend, measured: serving all five component
+    consumers (d24/d47/d52/d55/d65 — ``dedup_reports.CONSUMERS``) from
+    (a) one stored component table vs (b) each consumer re-deriving
+    MinHash -> star candidates -> label propagation inline, the
+    self-contained shape the graded queries keep by oracle necessity.
+
+    Three numbers: the inline 5-pass total (what the sweep's five
+    slowest dedup rows sum to), the one-time build (the single corpus
+    pass the artifact amortizes), and the 5-consumer serve total
+    (broadcast joins of a dup-graph-sized table — the marginal cost
+    per report once built). Even the FIRST corpus comes out ahead
+    (build + serve < inline), and every later report cycle pays only
+    the serve side; at 100 TB the gap is four full corpus passes per
+    reporting cycle. ``examples/cluster_reuse.py`` is the parity
+    proof (stored == inline row-for-row)."""
+    import uuid
+
+    from kpipe_spark.catalog import load_tables
+    from kpipe_spark.functions.cluster_index import ClusterIndex
+    from kpipe_spark.functions.dedup import dup_components
+    from kpipe_spark.functions.dedup_reports import CONSUMERS
+
+    docs = load_tables(spark, sf_dir).documents
+
+    def timed(run, n=2) -> float:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def inline_pass() -> None:
+        for fn in CONSUMERS.values():
+            noop(fn(docs, dup_components(docs)))
+
+    inline = timed(inline_pass)
+    # uuid-suffixed: two concurrent bench runs share one warehouse
+    # (the _incremental_admit_ab rule)
+    idx = ClusterIndex.build(
+        spark, docs, f"bench_clusters_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        build = timed(lambda: idx.refresh(docs))
+
+        def serve_pass() -> None:
+            comp = idx.components_df
+            for fn in CONSUMERS.values():
+                noop(fn(docs, comp))
+
+        serve = timed(serve_pass)
+        return {
+            "consumers": len(CONSUMERS),
+            "inline_recompute_sec": round(inline, 3),
+            "stored_build_sec": round(build, 3),
+            "stored_serve_sec": round(serve, 3),
+            # first corpus: build once + serve all, vs inline
+            "artifact_speedup_including_build": round(
+                inline / (build + serve), 2
+            ),
+            # every later reporting cycle: serve only
+            "serve_only_speedup": round(inline / serve, 2),
         }
     finally:
         idx.drop()
@@ -885,6 +1020,8 @@ def _compact_headline_line(doc: dict, limit: int = 1900) -> str:
             "streaming_key_ordered_rps",
             "streaming_rps_10ms_work",
             "streaming_key_ordered_rps_10ms_work",
+            "streaming_rps_10ms_work_input_basis",
+            "streaming_key_ordered_rps_10ms_work_input_basis",
             "sf",
             "loadavg_start",
             "ambient_gate",
@@ -907,6 +1044,11 @@ def _compact_headline_line(doc: dict, limit: int = 1900) -> str:
     admit = doc.get("incremental_admit_ab", {})
     if admit:
         compact["admit_artifact_speedup"] = admit.get("artifact_speedup")
+    cluster = doc.get("cluster_reuse_ab", {})
+    if cluster:
+        compact["cluster_serve_only_speedup"] = cluster.get(
+            "serve_only_speedup"
+        )
     delta = doc.get("sweep_delta")
     if delta:
         compact["sweep_quiet_subtotals"] = [
@@ -935,6 +1077,7 @@ def _compact_headline_line(doc: dict, limit: int = 1900) -> str:
         "pipeline_rps_median",
         "d05_ab_shipped_is_faster",
         "admit_artifact_speedup",
+        "cluster_serve_only_speedup",
         "loadavg_start",
         "requeue_wait_sec",
         "ambient_gate",
@@ -1128,9 +1271,26 @@ def main(out_path: str | None = None) -> None:
         )
     work_steady = sorted(s for _, s in w_runs)
     work_ko_steady = sorted(s for _, s in wko_runs)
+    # input-basis companions for the 10 ms rows (ADVICE r9 #4): the
+    # delivered basis is the honest per-payer rate, but BASELINE.md's
+    # 57,563 counts every CONSUMED record — publish both so the
+    # comparison reads off the artifact without re-deriving the ~29%
+    # delivered-fraction argument each round
+    from kpipe_spark.pipeline.result import PASSED, STATUS_COL
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    delivered_fraction = (
+        _bench_pipeline()
+        .apply(ev)
+        .filter(F.col(STATUS_COL) == PASSED)
+        .count()
+        / ev.count()
+    )
+    batch_overhead = _batch_overhead(spark, sf_dir)
     work_overlap_ab = _work_overlap_ab(spark, sf_dir)
     signature_ab = _d05_signature_ab(spark, sf_dir)
     admit_ab = _incremental_admit_ab(spark, sf_dir)
+    cluster_ab = _cluster_reuse_ab(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     # the reference's yardstick is consumer rec/s (BASELINE.md): p01 runs
     # the full outcome pipeline (JSON extract + 4 operators + accounting)
@@ -1200,11 +1360,33 @@ def main(out_path: str | None = None) -> None:
         "streaming_rps_10ms_work_median": work_steady[1],
         "streaming_key_ordered_rps_10ms_work": work_ko_steady[-1],
         "streaming_key_ordered_rps_10ms_work_median": work_ko_steady[1],
+        # same runs on the reference's basis: events CONSUMED per
+        # second (delivered / fraction) — BASELINE.md's 57,563/34,465
+        # count every consumed record, so these are the directly
+        # comparable rows; the delivered rows above are the honest
+        # per-payer rate (docstring of _streaming_pipeline_rate)
+        "streaming_10ms_delivered_fraction": round(delivered_fraction, 4),
+        "streaming_rps_10ms_work_input_basis": int(
+            work_steady[-1] / delivered_fraction
+        ),
+        "streaming_rps_10ms_work_input_basis_median": int(
+            work_steady[1] / delivered_fraction
+        ),
+        "streaming_key_ordered_rps_10ms_work_input_basis": int(
+            work_ko_steady[-1] / delivered_fraction
+        ),
+        # the per-batch cost the reference's dispatch benchmark doesn't
+        # pay (accounting groupBy + DLQ split): with the sink-only
+        # overlap row this closes the 10 ms comparison arithmetic
+        "batch_overhead": batch_overhead,
         # sink-only dispatch+work capacity (pipeline cost excluded) —
         # the apples-to-apples frame for the reference's 10 ms row
         "work_overlap_ab": work_overlap_ab,
         "d05_signature_ab": signature_ab,
         "incremental_admit_ab": admit_ab,
+        # the dup-cluster family's stored-artifact dividend: 5
+        # consumers from one component table vs 5 inline re-derivations
+        "cluster_reuse_ab": cluster_ab,
         # round-over-round quiet-rows sweep comparison (the trustable
         # signal per ARCHITECTURE §6.5), embedded so the round artifact
         # carries it instead of the judge recomputing by hand
