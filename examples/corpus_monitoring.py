@@ -162,6 +162,8 @@ def streaming_monitors(spark, sf_dir: str, q) -> None:
         cms.update_batch(batch, batch_id)
         hll.update_batch(batch, batch_id)
 
+    health_docs: list[dict] = []
+
     def run(ckpt: str) -> None:
         runner = StreamRunner(
             pipeline=Pipeline().require_field("doc_id"), sink=monitor_sink
@@ -172,8 +174,13 @@ def streaming_monitors(spark, sf_dir: str, q) -> None:
             .parquet(src)
         )
         handle = runner.start(stream, os.path.join(workdir, ckpt), ckpt)
+        # the growth signal compact() exists to answer: the sketch's
+        # delta-partition count + advisory, live on the stream's own
+        # health surface under artifacts.cms
+        handle.add_health_probe("cms", cms.health)
         try:
             handle.process_all_available()
+            health_docs.append(handle.health())
         finally:
             handle.close()
 
@@ -214,14 +221,22 @@ def streaming_monitors(spark, sf_dir: str, q) -> None:
         replay_safe = cms_serving() == d96 and est() == d98["hll_estimate"]
         print(f"replay left all counters and registers unchanged = {replay_safe}")
 
-        # streams stopped: fold the per-batch history into the base
+        # streams stopped: fold the per-batch history into the base.
+        # The trigger signal came off the live Handle: artifacts.cms
+        # reported the delta-partition growth while the stream ran
+        growth = health_docs[-1]["artifacts"]["cms"]
         batches_before = cms.applied_batches()
         cms.compact()
         compacted = (
-            cms.applied_batches() == [-1] and cms_serving() == d96
+            growth["delta_partitions"] == len(batches_before) - 1
+            and cms.applied_batches() == [-1]
+            and cms.delta_partitions() == 0
+            and cms_serving() == d96
         )
         print(
-            f"compaction {batches_before} -> {cms.applied_batches()}, "
+            f"compaction {batches_before} -> {cms.applied_batches()} "
+            f"(health saw {growth['delta_partitions']} deltas, advisory "
+            f"threshold {growth['advisory_threshold']}), "
             f"estimates identical = {compacted}"
         )
         print(

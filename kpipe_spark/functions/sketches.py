@@ -44,11 +44,15 @@ streaming companion of d96-d98 (`queries/llm_ops15.py`).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kpipe_spark.functions import text as T
 from kpipe_spark.functions.stored_artifact import StoredArtifact
+
+log = logging.getLogger("kpipe_spark.sketches")
 
 # Bloom geometry: m = 2^14 bits, k = 3 lanes. At the sf0.1 corpus
 # (~11k bit insertions) the fill is ~50% and the measured FP rate
@@ -347,6 +351,15 @@ class BloomGate(StoredArtifact):
 CMS_LANES = 4
 CMS_WIDTH = 1024
 
+# delta-partition advisory threshold (AnnIndex's append-advisory
+# discipline applied to the sketch): each micro-batch adds one
+# batch_id partition, serving sums across all of them, and past a few
+# hundred the per-partition file/footer overhead dominates a frame
+# that is logically ≤ lanes×width rows. 128 partitions ≈ a day of
+# ~11-minute triggers — compact() well before that on any real
+# cadence; the threshold is a health signal, not a hard limit.
+ADVISORY_DELTA_PARTITIONS = 128
+
 
 class CmsSketch(StoredArtifact):
     """Stored-artifact count-min sketch — the COUNTER-state member of
@@ -398,6 +411,7 @@ class CmsSketch(StoredArtifact):
         self.table = table
         self.lanes = lanes
         self.width = width
+        self.advisory_delta_partitions = ADVISORY_DELTA_PARTITIONS
 
     # -- lifecycle ---------------------------------------------------
 
@@ -452,6 +466,46 @@ class CmsSketch(StoredArtifact):
         # a cloned-session write refreshes ITS relation cache; serving
         # reads through the sketch's own session
         self.spark.sql(f"REFRESH TABLE {self.table}")
+        # growth advisory (ann_index.append's discipline): the count
+        # is a catalog listing, not a data scan, and the WARNING is
+        # the log-side twin of the health() field
+        n_deltas = self.delta_partitions()
+        if n_deltas > self.advisory_delta_partitions:
+            log.warning(
+                "CmsSketch %s holds %d per-batch delta partitions "
+                "(advisory threshold %d) — run compact() (streams "
+                "stopped, checkpoints intact) to merge history into "
+                "the base partition before per-partition file overhead "
+                "dominates a %dx%d-counter frame",
+                self.table,
+                n_deltas,
+                self.advisory_delta_partitions,
+                self.lanes,
+                self.width,
+            )
+
+    def delta_partitions(self) -> int:
+        """Number of per-batch delta partitions currently stored
+        (``batch_id >= 0`` — the count ``compact()`` resets to 0). A
+        catalog partition listing, not a data scan."""
+        return sum(
+            1
+            for r in self.spark.sql(
+                f"SHOW PARTITIONS {self.table}"
+            ).collect()
+            if not r[0].endswith("=-1")
+        )
+
+    def health(self) -> dict:
+        """Health snapshot for wiring into a streaming ``Handle``
+        (``Handle.add_health_probe`` — the trigger signal for the
+        unbounded-growth remedy ``compact()``)."""
+        n = self.delta_partitions()
+        return {
+            "delta_partitions": n,
+            "advisory_threshold": self.advisory_delta_partitions,
+            "compaction_advised": n > self.advisory_delta_partitions,
+        }
 
     def applied_batches(self) -> list[int]:
         return sorted(

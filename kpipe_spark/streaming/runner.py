@@ -288,6 +288,16 @@ class Handle:
         self.query = query
         self._metrics = metrics
         self.governor = governor
+        self._health_probes: dict[str, Callable[[], Any]] = {}
+
+    def add_health_probe(self, name: str, probe: Callable[[], Any]) -> None:
+        """Attach a named artifact health probe — e.g. a CmsSketch the
+        stream maintains (``sketch.health`` reports its delta-partition
+        growth and compaction advisory). ``health()`` surfaces every
+        probe under ``artifacts.<name>``; a throwing probe is contained
+        as an error entry (the health endpoint must not 503 because a
+        maintenance-side DESCRIBE failed)."""
+        self._health_probes[name] = probe
 
     def lag(self) -> int:
         """Total source lag from the last progress report
@@ -330,9 +340,19 @@ class Handle:
 
     def health(self) -> dict[str, Any]:
         """Health snapshot (ConsumerHealthController.java:167-202 /
-        HttpHealthServer.java:18-75)."""
-        return {
+        HttpHealthServer.java:18-75). Registered artifact probes
+        (``add_health_probe``) report under ``artifacts``."""
+        doc: dict[str, Any] = {
             "running": self.query.isActive,
             "status": self.query.status,
             "last_progress": self.query.lastProgress,
         }
+        if self._health_probes:
+            arts: dict[str, Any] = {}
+            for name, probe in self._health_probes.items():
+                try:
+                    arts[name] = probe()
+                except Exception as e:  # noqa: BLE001 — probe contained
+                    arts[name] = {"error": repr(e)}
+            doc["artifacts"] = arts
+        return doc

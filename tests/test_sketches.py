@@ -620,3 +620,62 @@ def test_hll_sketch_update_merges_by_max_and_survives_replay(spark):
     finally:
         inc.drop()
         full.drop()
+
+
+def test_cms_delta_partition_growth_surfaced_in_health(spark, caplog):
+    """The unbounded-growth remedy compact() has a trigger signal:
+    delta_partitions() counts per-batch partitions (catalog listing),
+    health() wraps it with the compaction advisory, update_batch WARNs
+    past the threshold, and a streaming Handle surfaces the probe
+    under artifacts.<name> — with a throwing probe contained."""
+    import logging
+
+    from kpipe_spark.functions.sketches import CmsSketch
+    from kpipe_spark.streaming.runner import Handle, Metrics
+
+    docs = _docs(spark, [(i, f"token{i} alpha beta") for i in range(10)])
+    table = f"cms_growth_{uuid.uuid4().hex[:8]}"
+    sk = CmsSketch.build(spark, docs, table)
+    try:
+        assert sk.delta_partitions() == 0
+        sk.update_batch(docs, 0)
+        sk.update_batch(docs, 1)
+        assert sk.delta_partitions() == 2
+        assert sk.health() == {
+            "delta_partitions": 2,
+            "advisory_threshold": sk.advisory_delta_partitions,
+            "compaction_advised": False,
+        }
+
+        # advisory fires once growth passes the (instance) threshold
+        sk.advisory_delta_partitions = 2
+        assert sk.health()["compaction_advised"] is False  # 2 !> 2
+        with caplog.at_level(logging.WARNING, logger="kpipe_spark.sketches"):
+            sk.update_batch(docs, 2)
+        assert any(
+            "compact()" in r.getMessage() and sk.table in r.getMessage()
+            for r in caplog.records
+        )
+        assert sk.health()["compaction_advised"] is True
+
+        # the streaming Handle surfaces the probe; throwing contained
+        class _Query:
+            isActive = True
+            status = {"message": "ok"}
+            lastProgress = None
+
+        handle = Handle(_Query(), Metrics())
+        handle.add_health_probe("cms", sk.health)
+        handle.add_health_probe("bad", lambda: 1 / 0)
+        doc = handle.health()
+        assert doc["artifacts"]["cms"]["delta_partitions"] == 3
+        assert doc["artifacts"]["cms"]["compaction_advised"] is True
+        assert "ZeroDivisionError" in doc["artifacts"]["bad"]["error"]
+        assert doc["running"] is True  # probe failure never fails health
+
+        # compact() resets the signal the advisory exists to trigger
+        sk.compact()
+        assert sk.delta_partitions() == 0
+        assert sk.health()["compaction_advised"] is False
+    finally:
+        sk.drop()
