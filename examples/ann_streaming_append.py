@@ -11,10 +11,12 @@ AnnIndex ingests a stream:
 
     base vectors ──▶ AnnIndex.build          (centroids + codebooks
                                                trained once, stored)
-    stream ──▶ foreachBatch ──▶ idx.append   (encode against STORED
+    stream ──▶ foreachBatch ──▶ update_batch (encode against STORED
                                                side tables — never
                                                re-trained, so old
-                                               codes stay valid)
+                                               codes stay valid;
+                                               batch-id marker skips
+                                               re-delivered batches)
     每 append ──▶ file-count advisory        (each append adds a file
                                                per (task, cell); past
                                                the threshold the WARN
@@ -22,7 +24,17 @@ AnnIndex ingests a stream:
     idx.compact()                            (one file per cell again,
                                                cell partitioning — and
                                                the search's partition
-                                               pruning — preserved)
+                                               pruning — preserved;
+                                               also the crash-window
+                                               repair: exact-duplicate
+                                               code rows dedup here)
+
+    Replay matters MORE here than for the sketches: a duplicated code
+    row doesn't just duplicate a result — search sums ADC terms per
+    (query, neighbor), so a double-appended vector scores 2× its true
+    distance and drops out of every top-k. The worst-case replay
+    below (fresh checkpoint, every batch re-delivered) must leave the
+    code table row-identical.
 
 Parity pin: the deterministic training convention (centroids = first
 n_cells vectors, codebooks = first k_codes residual subvectors — all
@@ -90,14 +102,15 @@ def main() -> None:
     handler = _Capture()
     logging.getLogger("kpipe_spark.functions.ann_index").addHandler(handler)
 
-    files_per_batch: list[int] = []
+    applied_per_batch: list[bool] = []
 
     def ingest_sink(df, batch_id):
         # encode against the STORED centroids/codebooks (append never
-        # re-trains — re-training would silently re-key stored codes)
-        files_per_batch.append(idx.append(df))
+        # re-trains — re-training would silently re-key stored codes);
+        # the batch-id marker makes a re-delivered batch a no-op
+        applied_per_batch.append(idx.update_batch(df, batch_id))
 
-    try:
+    def run(ckpt: str) -> None:
         runner = StreamRunner(
             pipeline=Pipeline().require_field("vec_id"), sink=ingest_sink
         )
@@ -108,16 +121,37 @@ def main() -> None:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        handle = runner.start(stream, os.path.join(workdir, "ckpt"), "ann-ingest")
+        handle = runner.start(stream, os.path.join(workdir, ckpt), ckpt)
         try:
             handle.process_all_available()
         finally:
             handle.close()
+
+    try:
+        run("first")
+        n_rows = spark.table(idx.table).count()
+        n_files = len(spark.table(idx.table).inputFiles())
         print(
-            "ingested %d micro-batches; index file count %s"
-            % (len(files_per_batch), files_per_batch)
+            "ingested %d micro-batches (applied %s); %d code rows, %d files"
+            % (
+                len(applied_per_batch),
+                applied_per_batch,
+                n_rows,
+                n_files,
+            )
         )
         advisory_fired = len(advisories) > 0
+
+        # worst-case replay: a fresh checkpoint re-delivers EVERY
+        # batch under the same ids; the marker skips them all and the
+        # code table must be row-identical (a duplicate would CORRUPT
+        # distances, not just add a row — module docstring)
+        applied_per_batch.clear()
+        run("replayed")
+        replay_safe = (
+            not any(applied_per_batch)
+            and spark.table(idx.table).count() == n_rows
+        )
 
         # parity BEFORE compaction: appends alone must serve correctly
         from kpipe_spark.queries import all_queries
@@ -139,12 +173,14 @@ def main() -> None:
         post = sorted(map(tuple, idx.search(panel, k=10, nprobe=2).collect()))
         print(
             "compacted %d files -> %d (%d cells in use)"
-            % (files_per_batch[-1], n_files_after, n_cells_used)
+            % (n_files, n_files_after, n_cells_used)
         )
 
         print(
-            "streaming append -> advisory -> compact, search == oracle d88 rows =",
+            "replay-safe streaming append -> advisory -> compact, "
+            "search == oracle d88 rows =",
             advisory_fired
+            and replay_safe
             and pre == want
             and post == want
             and n_files_after == n_cells_used,

@@ -319,11 +319,40 @@ class AnnIndex(StoredArtifact):
             )
         return n_files
 
+    def update_batch(self, vectors: DataFrame, batch_id: int) -> bool:
+        """Streaming maintenance: ``append`` exactly once per micro-
+        batch id (the BloomGate skip-marker discipline — Structured
+        Streaming re-delivers a crashed batch under the SAME id, and
+        the marker makes the re-delivery a no-op). Returns False when
+        the batch was already applied.
+
+        The marker's crash window (a crash between the append and the
+        property write re-appends the batch on replay) is NOT benign
+        here, unlike BloomGate's set-union: ``search`` sums per-
+        (query, neighbor) ADC terms over the m code rows, so a
+        duplicated vector scores 2× its true distance and can vanish
+        from every top-k. ``compact()`` is the repair as well as the
+        small-file maintenance: it drops exact-duplicate code rows
+        before the rewrite — run it after any ingest crash before
+        trusting searches, or accept the window until the next
+        scheduled compaction."""
+        if batch_id <= self.last_batch_id():
+            return False
+        self.append(vectors)
+        self._set_props(last_batch_id=batch_id)
+        return True
+
     def compact(self) -> None:
         """Rewrite the code table into one file per cell, preserving
         the cell partitioning (and therefore search's partition
         pruning). ``repartition(n_cells, cell)`` puts each cell's rows
         in one task, so the partitioned write emits one file per cell.
+        Exact-duplicate rows — the ``update_batch`` append/marker
+        crash window, where a replayed batch re-appends codes the
+        crashed attempt already wrote — are dropped in the same pass
+        (full-row dedup only: a GENUINELY conflicting re-ingest of an
+        existing vec_id with different codes is caller misuse and is
+        deliberately left visible rather than silently resolved).
         The swap is CorpusIndex.compact's RENAME chain: the index's
         rows exist under SOME catalog name at every instant, a failed
         rewrite leaves the live table untouched, and crash recovery
@@ -348,14 +377,18 @@ class AnnIndex(StoredArtifact):
         reclaim_orphaned_table_location(self.spark, tmp)
         (
             self.spark.table(self.table)
+            .dropDuplicates()  # crash-window repair (docstring)
             .repartition(self.n_cells, F.col("cell"))
             .write.mode("overwrite")
             .partitionBy("cell")
             .saveAsTable(tmp, format="parquet")
         )
+        # carry the streaming batch marker across the swap — resetting
+        # it to -1 would re-admit a replayed already-applied batch id
+        marker = self.last_batch_id()
         live, self.table = self.table, tmp
         try:
-            self._set_props()
+            self._set_props(last_batch_id=marker)
         finally:
             self.table = live
 

@@ -343,3 +343,51 @@ def test_refine_reranks_toward_exact(spark, built):
         dists = [r["exact_dist"] for r in rs]
         assert dists == sorted(dists)
         assert [r["rn"] for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_update_batch_replay_skip_and_crash_window_repair(spark):
+    """Streaming ingest contract: update_batch applies a batch id once
+    (re-delivery is a no-op), the append/marker crash window CAN
+    duplicate code rows — which corrupts ADC distances, not just row
+    counts — and compact() repairs it (full-row dedup) while carrying
+    the batch marker across the table swap."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    base = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 400")
+    n_batch = batch.count()
+    table = f"ann_ub_{uuid.uuid4().hex[:8]}"
+    idx = AnnIndex.build(spark, base, table)
+    try:
+        assert idx.update_batch(batch, 0) is True
+        assert idx.last_batch_id() == 0
+        rows = spark.table(idx.table).count()
+
+        # re-delivered batch (same id, the Structured Streaming replay
+        # geometry) is skipped — code table untouched
+        assert idx.update_batch(batch, 0) is False
+        assert spark.table(idx.table).count() == rows
+
+        panel = emb.filter("vec_id % 25 = 0 AND vec_id < 500")
+        want = sorted(map(tuple, idx.search(panel, k=5, nprobe=2).collect()))
+
+        # crash window: marker write lost AFTER the append landed; the
+        # replay re-appends the whole batch
+        idx._set_props(last_batch_id=-1)
+        assert idx.update_batch(batch, 0) is True
+        assert spark.table(idx.table).count() == rows + n_batch
+
+        # compact() is the repair: exact duplicates dropped, search
+        # restored, marker preserved across the rename swap
+        idx.compact()
+        assert spark.table(idx.table).count() == rows
+        got = sorted(map(tuple, idx.search(panel, k=5, nprobe=2).collect()))
+        assert got == want
+        assert idx.last_batch_id() == 0
+        # and the NEXT real batch still admits after compaction
+        nxt = emb.filter("vec_id = 499").select(
+            (F.col("vec_id") + 5000).alias("vec_id"), "embedding", "label"
+        )
+        assert idx.update_batch(nxt, 1) is True
+        assert idx.last_batch_id() == 1
+    finally:
+        idx.drop()
