@@ -949,6 +949,44 @@ def _await_ambient_quiet(
     return waited
 
 
+def _suspect_recapture_pass(
+    names,
+    timings: dict[str, float],
+    ambient: dict[str, float],
+    gate: float,
+    sweep_q: dict[str, float],
+    sweep_amb: dict[str, float],
+    capture,
+) -> dict[str, dict]:
+    """The headline form of the sweep's outlier policy, machine-made:
+    a row whose capture reads >2× its value in the newest committed
+    QUIET sweep has almost certainly eaten a host stall the ambient
+    measure cannot see (guest-invisible hypervisor episodes hit single
+    rows at ambient ~0 — ARCHITECTURE §6.5 round-10 note). Each
+    suspect is re-captured ONCE via ``capture(name) -> (best, ext)``;
+    ``timings``/``ambient`` keep the minimum in place, and the
+    returned evidence dict records both values so the artifact shows
+    its work. Rows whose sweep reference was itself hot (ambient
+    above ``gate``) are not trusted as references and are skipped."""
+    out: dict[str, dict] = {}
+    for name in names:
+        ref = sweep_q.get(name)
+        if not ref or sweep_amb.get(name, 0.0) > gate > 0:
+            continue
+        if timings[name] <= 2.0 * ref:
+            continue
+        best, ext = capture(name)
+        out[name] = {
+            "first_capture": timings[name],
+            "recapture": round(best, 3),
+            "quiet_sweep_ref": ref,
+        }
+        if best < timings[name]:
+            timings[name] = round(best, 3)
+            ambient[name] = round(ext, 2)
+    return out
+
+
 def _timed_capture(build, runs: int = 3) -> tuple[float, float]:
     """(best-of-runs seconds, ambient cores during the whole capture
     window). The noop write forces execution of every output column."""
@@ -1038,6 +1076,11 @@ def _compact_headline_line(doc: dict, limit: int = 1900) -> str:
         compact["ambient_hot"] = hot
     if doc.get("bench_requeues"):
         compact["bench_requeues"] = doc["bench_requeues"]
+    if doc.get("suspect_recaptures"):
+        compact["suspect_recaptures"] = {
+            n: [v["first_capture"], v["recapture"]]
+            for n, v in doc["suspect_recaptures"].items()
+        }
     ab = doc.get("d05_signature_ab", {})
     if ab:
         compact["d05_ab_shipped_is_faster"] = ab.get("shipped_is_faster")
@@ -1070,6 +1113,7 @@ def _compact_headline_line(doc: dict, limit: int = 1900) -> str:
         "sweep_quiet_subtotals",
         "ambient_hot",
         "bench_requeues",
+        "suspect_recaptures",
         "streaming_rps_spread",
         "streaming_rps_median",
         "streaming_rps_best",
@@ -1223,6 +1267,37 @@ def main(out_path: str | None = None) -> None:
     # noop sink matches the 0 µs row.
     from kpipe_spark.streaming.modes import ProcessingMode
 
+    # suspect re-capture (the headline form of the sweep's outlier
+    # policy): a row whose best-of-3 reads >2x its value in the newest
+    # committed QUIET sweep has almost certainly eaten a host stall the
+    # ambient measure cannot see — guest-invisible hypervisor episodes
+    # (frequency/memory-bandwidth contention) hit single rows at
+    # ambient ~0 (measured round 10: d86 1.34 s in one session, 11.87 s
+    # best-of-3 minutes later, ambient 0.08 — different rows spike in
+    # different sessions). Re-capture each suspect once, keep the min,
+    # and record both values so the artifact shows its work.
+    suspect_recaptures: dict[str, dict] = {}
+    sweeps = _latest_sweep_artifacts(1)
+    if sweeps:
+        try:
+            with open(sweeps[0]) as f:
+                sweep_doc = json.load(f)
+            sweep_q = sweep_doc.get("queries", {})
+            sweep_amb = sweep_doc.get("ambient_load_per_query", {})
+        except (OSError, json.JSONDecodeError):
+            sweep_q, sweep_amb = {}, {}
+        suspect_recaptures = _suspect_recapture_pass(
+            HEADLINE,
+            timings,
+            ambient,
+            gate,
+            sweep_q,
+            sweep_amb,
+            lambda name: _timed_capture(
+                lambda: queries[name].build(spark, sf_dir)
+            ),
+        )
+
     _streaming_pipeline_rate(spark, sf_dir, n_batches=3)
     _streaming_pipeline_rate(
         spark, sf_dir, n_batches=3, mode=ProcessingMode.KEY_ORDERED
@@ -1328,6 +1403,10 @@ def main(out_path: str | None = None) -> None:
         "ambient_load_per_query": ambient,
         "ambient_gate": gate,
         "bench_requeues": requeued,
+        # rows that read >2x their quiet-sweep value on first capture
+        # and were re-captured once (host-stall episodes the ambient
+        # measure cannot see); timings keep the min, both recorded
+        "suspect_recaptures": suspect_recaptures,
         # headline value keeps the streaming convention (best); median/
         # spread make a host-state swing visible inside ONE artifact
         "pipeline_records_per_sec": pipe_stats["best"],

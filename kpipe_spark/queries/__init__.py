@@ -121,6 +121,56 @@ FLAGSHIP_50: tuple[str, ...] = (
 )
 
 
+# canonical module sequence — the order all_queries() imports them.
+# canonical_order() keys on this so the rotation computation cannot be
+# permuted by import timing (a test importing a query module directly,
+# e.g. tests/test_llm_ops13.py, registers that module's queries FIRST
+# and reorders the raw QUERIES dict for the whole process).
+QUERY_MODULES: tuple[str, ...] = (
+    "llm_ops",
+    "llm_ops2",
+    "llm_ops3",
+    "llm_ops4",
+    "llm_ops5",
+    "llm_ops6",
+    "llm_ops7",
+    "llm_ops8",
+    "llm_ops9",
+    "llm_ops10",
+    "llm_ops11",
+    "llm_ops12",
+    "llm_ops13",
+    "llm_ops14",
+    "llm_ops15",
+    "pipeline_queries",
+    "relational",
+    "relational2",
+    "relational3",
+    "relational4",
+    "relational5",
+    "relational6",
+    "relational7",
+)
+
+
+def canonical_order() -> list[str]:
+    """Registry names in import-timing-INDEPENDENT order: canonical
+    module sequence (``QUERY_MODULES``), within-module registration
+    order. ``list(QUERIES)`` is NOT this when any query module was
+    imported directly before ``all_queries()`` ran — the rotation
+    window must be a pure function of committed state, so it keys on
+    this order."""
+    all_queries()
+    mod_pos = {
+        f"kpipe_spark.queries.{m}": i for i, m in enumerate(QUERY_MODULES)
+    }
+    ins_pos = {n: i for i, n in enumerate(QUERIES)}
+    return sorted(
+        QUERIES,
+        key=lambda n: (mod_pos[QUERIES[n].build.__module__], ins_pos[n]),
+    )
+
+
 def all_queries() -> dict[str, Query]:
     # import side effect populates QUERIES
     from kpipe_spark.queries import (  # noqa: F401

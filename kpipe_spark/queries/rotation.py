@@ -104,11 +104,18 @@ def compute_window(
 
 
 def current_window(include_rows_only: bool = False) -> tuple[str, ...]:
-    """The window the NEXT driver round should grade, from live state."""
-    from kpipe_spark.queries import QUERIES, all_queries
+    """The window the NEXT driver round should grade, from live state.
 
-    all_queries()
-    registry_order = list(QUERIES)
+    Registry order comes from ``canonical_order()``, NOT
+    ``list(QUERIES)``: the raw dict's order is import-timing-dependent
+    (a test module importing one query module directly hoists its
+    registrations to the front for the whole process — caught round
+    10 when the rotation tripwire false-fired only inside the full
+    suite), and the window must be a pure function of committed
+    state."""
+    from kpipe_spark.queries import QUERIES, canonical_order
+
+    registry_order = canonical_order()
     oracle_backed = {n for n, q in QUERIES.items() if q.oracle is not None}
     return compute_window(registry_order, oracle_backed, latest_grades(),
                           include_rows_only=include_rows_only)

@@ -172,3 +172,38 @@ def test_compact_headline_line_trims_before_overflowing():
         assert k in parsed, k
     # the worst case still fits the REAL window once droppables go
     assert len(line) <= 1900, len(line)
+
+
+def test_suspect_recapture_pass_policy():
+    """Pins the headline outlier re-capture: only rows >2x a QUIET
+    sweep reference re-capture; the minimum is kept in place; evidence
+    records both values; hot sweep references and absent references
+    are skipped."""
+    timings = {
+        "stalled": 10.0,     # 5x its quiet ref -> recapture, improves
+        "worse": 3.0,        # >2x ref but recapture is slower -> keep first
+        "normal": 1.1,       # within 2x -> untouched
+        "hot_ref": 9.0,      # sweep ref was itself hot -> skipped
+        "no_ref": 8.0,       # not in the sweep -> skipped
+    }
+    ambient = {n: 0.0 for n in timings}
+    sweep_q = {"stalled": 2.0, "worse": 1.0, "normal": 1.0, "hot_ref": 1.0}
+    sweep_amb = {"stalled": 0.1, "worse": 0.0, "normal": 0.0, "hot_ref": 3.5}
+    captured = []
+
+    def capture(name):
+        captured.append(name)
+        return {"stalled": (2.2, 0.05), "worse": (4.0, 0.0)}[name]
+
+    out = bench._suspect_recapture_pass(
+        list(timings), timings, ambient, 2.0, sweep_q, sweep_amb, capture
+    )
+    assert captured == ["stalled", "worse"]
+    assert timings["stalled"] == 2.2 and ambient["stalled"] == 0.05
+    assert timings["worse"] == 3.0  # min kept: recapture was slower
+    assert timings["normal"] == 1.1 and timings["hot_ref"] == 9.0
+    assert out["stalled"] == {
+        "first_capture": 10.0, "recapture": 2.2, "quiet_sweep_ref": 2.0
+    }
+    assert out["worse"]["recapture"] == 4.0  # evidence kept either way
+    assert "normal" not in out and "hot_ref" not in out and "no_ref" not in out

@@ -10,6 +10,8 @@ computation is pure registry + JSON.
 
 from __future__ import annotations
 
+import os
+
 from kpipe_spark.queries import FLAGSHIP_50, QUERIES, all_queries
 from kpipe_spark.queries.rotation import (
     SENTINELS,
@@ -83,3 +85,31 @@ def test_compute_window_rejects_oversubscription():
             size=4,
             sentinels=(),
         )
+
+
+def test_window_is_import_order_independent():
+    """Round-10 regression: a module importing one query module
+    directly (tests/test_llm_ops13.py does, at collection time) hoists
+    that module's registrations to the front of the raw QUERIES dict
+    for the whole process — the rotation computation must not see
+    that. canonical_order() keys on QUERY_MODULES + within-module
+    registration, so the window is a pure function of committed state
+    in ANY import order. Subprocess: pollute first, then compute."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import kpipe_spark.queries.llm_ops13\n"  # the pollution
+        "from kpipe_spark.queries import FLAGSHIP_50, QUERIES, all_queries\n"
+        "from kpipe_spark.queries.rotation import current_window\n"
+        "all_queries()\n"
+        "assert list(QUERIES)[0].startswith('d86'), 'pollution did not hoist'\n"
+        "assert tuple(FLAGSHIP_50) == current_window()\n"
+        "print('OK')\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    assert "OK" in proc.stdout
