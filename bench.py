@@ -275,8 +275,7 @@ def _sweep_delta(cur_doc: dict, prev_path: str) -> dict | None:
     movers = {
         n: {"prev": pq[n], "cur": cq[n]}
         for n in quiet
-        if abs(cq[n] - pq[n]) > 0.3
-        and max(cq[n], pq[n]) > 1.5 * max(min(cq[n], pq[n]), 1e-9)
+        if _is_mover(cq[n], pq[n]) or _is_mover(pq[n], cq[n])
     }
     sub_prev = round(sum(pq[n] for n in quiet), 1)
     sub_cur = round(sum(cq[n] for n in quiet), 1)
@@ -314,6 +313,17 @@ def _sweep_delta(cur_doc: dict, prev_path: str) -> dict | None:
     return out
 
 
+def _is_mover(cur: float, ref: float) -> bool:
+    """THE two-part mover threshold — >0.3 s absolute AND >1.5× ratio,
+    directional (``cur`` worse than ``ref``). One definition shared by
+    mover DETECTION (`_sweep_delta`, symmetric via both directions)
+    and ADJUDICATION (`_confirm_movers`, best-of-3 vs prev and vs the
+    older quiet level): tuning the gate in one place cannot silently
+    desynchronize what the sweep calls a mover from what the
+    adjudication re-tests."""
+    return (cur - ref > 0.3) and (cur > 1.5 * max(ref, 1e-9))
+
+
 def _confirm_movers(
     spark, sf_dir, queries, movers: dict, prior_quiet: dict | None = None
 ) -> dict:
@@ -345,9 +355,16 @@ def _confirm_movers(
     caught exactly this: d97 read 0.436 in the r9 sweep against a
     0.648/0.664 r7/r8 steady level, so r10's 0.769 'confirmed' vs
     prev while sitting 0.1 s off the real level). If the best-of-3 is
-    NOT a mover against the older quiet value under the same two-part
-    threshold, the verdict is ``prev_capture_flake`` — the anomaly
-    was last round's number, not this round's."""
+    NOT a mover against the older quiet value under the same
+    ``_is_mover`` threshold, the verdict is ``matches_prior_level`` —
+    deliberately NEUTRAL wording, because the evidence alone cannot
+    distinguish its two readings: (a) prev was a fast-side capture
+    flake (the d97 case — nothing to fix), or (b) prev was a REAL
+    prior-round improvement and this round regressed it back (very
+    much something to fix). Disambiguate against the prior round's
+    code diff before dismissing; the earlier 'prev_capture_flake'
+    name baked reading (a) into the artifact and would have shipped
+    reading (b) unflagged."""
     gate = _ambient_gate()
     budget = _RequeueBudget()
     prior_quiet = prior_quiet or {}
@@ -363,8 +380,7 @@ def _confirm_movers(
                 lambda: q.build(spark, sf_dir), runs=3
             )
             best3 = min(best3, best3b)
-        prev = max(mv["prev"], 1e-9)
-        still_a_mover = (best3 - prev > 0.3) and (best3 > 1.5 * prev)
+        still_a_mover = _is_mover(best3, mv["prev"])
         older = prior_quiet.get(name)
         rec = {
             "prev": mv["prev"],
@@ -376,10 +392,8 @@ def _confirm_movers(
             rec["verdict"] = "hot_capture"
         elif not still_a_mover:
             rec["verdict"] = "capture_flake"
-        elif older is not None and not (
-            (best3 - older > 0.3) and (best3 > 1.5 * max(older, 1e-9))
-        ):
-            rec["verdict"] = "prev_capture_flake"
+        elif older is not None and not _is_mover(best3, older):
+            rec["verdict"] = "matches_prior_level"
             rec["prior_round_quiet"] = older
         else:
             rec["verdict"] = "confirmed_regression"
@@ -461,16 +475,17 @@ def _batch_overhead(spark, sf_dir: str) -> dict:
     per batch), over delivered records."""
     from pyspark.sql import functions as F  # noqa: F811
 
+    from kpipe_spark.catalog import load_table
     from kpipe_spark.pipeline.result import PASSED, STATUS_COL
     from kpipe_spark.streaming import StreamRunner
     from kpipe_spark.util import ensure_parallelism
 
-    events = (
-        ensure_parallelism(
-            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        )
-        .localCheckpoint(eager=True)
-    )
+    # load_table, never a raw read — events.parquet carries NANOS
+    # timestamps (CLAUDE.md); a raw read only works if something else
+    # already flipped the session conf
+    events = ensure_parallelism(
+        load_table(spark, sf_dir, "events")
+    ).localCheckpoint(eager=True)
     n = events.count()
 
     def noop(df, batch_id=None) -> None:
@@ -1353,14 +1368,22 @@ def main(out_path: str | None = None) -> None:
     # delivered-fraction argument each round
     from kpipe_spark.pipeline.result import PASSED, STATUS_COL
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = load_table(spark, sf_dir, "events")  # never raw-read events
     delivered_fraction = (
         _bench_pipeline()
         .apply(ev)
         .filter(F.col(STATUS_COL) == PASSED)
         .count()
-        / ev.count()
+        / max(ev.count(), 1)
     )
+
+    def input_basis(delivered_rps: int) -> int | None:
+        # None (artifact-visible), not a ZeroDivisionError that kills
+        # the run after every timing was captured, if a regenerated
+        # dataset ever passes zero rows through the bench pipeline
+        if delivered_fraction <= 0:
+            return None
+        return int(delivered_rps / delivered_fraction)
     batch_overhead = _batch_overhead(spark, sf_dir)
     work_overlap_ab = _work_overlap_ab(spark, sf_dir)
     signature_ab = _d05_signature_ab(spark, sf_dir)
@@ -1445,14 +1468,12 @@ def main(out_path: str | None = None) -> None:
         # comparable rows; the delivered rows above are the honest
         # per-payer rate (docstring of _streaming_pipeline_rate)
         "streaming_10ms_delivered_fraction": round(delivered_fraction, 4),
-        "streaming_rps_10ms_work_input_basis": int(
-            work_steady[-1] / delivered_fraction
+        "streaming_rps_10ms_work_input_basis": input_basis(work_steady[-1]),
+        "streaming_rps_10ms_work_input_basis_median": input_basis(
+            work_steady[1]
         ),
-        "streaming_rps_10ms_work_input_basis_median": int(
-            work_steady[1] / delivered_fraction
-        ),
-        "streaming_key_ordered_rps_10ms_work_input_basis": int(
-            work_ko_steady[-1] / delivered_fraction
+        "streaming_key_ordered_rps_10ms_work_input_basis": input_basis(
+            work_ko_steady[-1]
         ),
         # the per-batch cost the reference's dispatch benchmark doesn't
         # pay (accounting groupBy + DLQ split): with the sink-only

@@ -17,7 +17,7 @@ AnnIndex ingests a stream:
                                                codes stay valid;
                                                batch-id marker skips
                                                re-delivered batches)
-    每 append ──▶ file-count advisory        (each append adds a file
+    each append ─▶ file-count advisory       (each append adds a file
                                                per (task, cell); past
                                                the threshold the WARN
                                                says run compact())

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from kpipe_spark.functions import text as T
 from kpipe_spark.functions.stored_artifact import StoredArtifact
 
-log = logging.getLogger("kpipe_spark.sketches")
+log = logging.getLogger(__name__)
 
 # Bloom geometry: m = 2^14 bits, k = 3 lanes. At the sf0.1 corpus
 # (~11k bit insertions) the fill is ~50% and the measured FP rate
@@ -591,8 +591,27 @@ class CmsSketch(StoredArtifact):
                     ).collect()
                     if r["key"] == merged_prop
                 ),
-                -1,
+                None,
             )
+            if park_max is None:
+                # a park with NO high-water marker predates the marker
+                # (or its property write was lost): there is no way to
+                # tell which live batches it merged, so neither the
+                # swap nor a re-derive is provably safe — and the
+                # remedy must never be "drop the park", because if the
+                # original crash was mid-overwrite the park is the
+                # only complete merged copy and the live table is
+                # partial (re-deriving would persist the corruption).
+                raise RuntimeError(
+                    f"compact() recovery refused for {self.table}: the "
+                    f"leftover park {tmp} carries no {merged_prop} "
+                    "marker, so the batches it merged are unknown. "
+                    "Inspect both tables manually (compare summed "
+                    "counters per applied batch id); only drop the "
+                    f"park after verifying {self.table} is complete — "
+                    "a mid-overwrite crash leaves the park as the only "
+                    "complete merged copy."
+                )
             newer = [b for b in self.applied_batches() if b > park_max]
             if newer:
                 raise RuntimeError(
@@ -601,10 +620,16 @@ class CmsSketch(StoredArtifact):
                     f"{park_max}, but the live table now holds newer "
                     f"batch ids {newer} — streams were restarted after "
                     "a crashed compact, and resuming the swap would "
-                    "silently drop those deltas. Either stop the "
-                    "streams and fold the new deltas in manually, or "
-                    f"DROP TABLE {tmp} to abandon the crashed compact "
-                    "and re-run it from the live table."
+                    "silently drop those deltas. Safe fold (do NOT "
+                    f"drop the park — if the crash was mid-overwrite, "
+                    f"{tmp} is the only complete merged copy and the "
+                    "live table may be partial): with streams stopped, "
+                    f"INSERT INTO {tmp} the live partitions WHERE "
+                    f"batch_id > {park_max}, set '{merged_prop}' = "
+                    f"'{max(newer)}' on {tmp}, then re-run compact() — "
+                    "recovery resumes the swap with those deltas "
+                    "preserved as their own partitions, and a further "
+                    "compact() folds them into the base."
                 )
         # the overwrite must replace EVERY partition: under dynamic
         # partitionOverwriteMode it would only replace batch_id=-1 and

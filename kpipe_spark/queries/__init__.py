@@ -121,11 +121,13 @@ FLAGSHIP_50: tuple[str, ...] = (
 )
 
 
-# canonical module sequence — the order all_queries() imports them.
-# canonical_order() keys on this so the rotation computation cannot be
-# permuted by import timing (a test importing a query module directly,
-# e.g. tests/test_llm_ops13.py, registers that module's queries FIRST
-# and reorders the raw QUERIES dict for the whole process).
+# THE canonical module sequence: all_queries() imports exactly these
+# (importlib over this tuple), and canonical_order() keys on the same
+# constant, so the rotation computation cannot be permuted by import
+# timing (a test importing a query module directly, e.g.
+# tests/test_llm_ops13.py, registers that module's queries FIRST and
+# reorders the raw QUERIES dict for the whole process) and a new
+# module cannot be imported without also being ordered.
 QUERY_MODULES: tuple[str, ...] = (
     "llm_ops",
     "llm_ops2",
@@ -172,32 +174,13 @@ def canonical_order() -> list[str]:
 
 
 def all_queries() -> dict[str, Query]:
-    # import side effect populates QUERIES
-    from kpipe_spark.queries import (  # noqa: F401
-        llm_ops,
-        llm_ops2,
-        llm_ops3,
-        llm_ops4,
-        llm_ops5,
-        llm_ops6,
-        llm_ops7,
-        llm_ops8,
-        llm_ops9,
-        llm_ops10,
-        llm_ops11,
-        llm_ops12,
-        llm_ops13,
-        llm_ops14,
-        llm_ops15,
-        pipeline_queries,
-        relational,
-        relational2,
-        relational3,
-        relational4,
-        relational5,
-        relational6,
-        relational7,
-    )
+    # import side effect populates QUERIES; QUERY_MODULES is the ONE
+    # list (canonical_order keys on the same constant, so the import
+    # set and the canonical order cannot drift apart)
+    import importlib
+
+    for mod in QUERY_MODULES:
+        importlib.import_module(f"kpipe_spark.queries.{mod}")
 
     missing = [n for n in FLAGSHIP_50 if n not in QUERIES]
     if missing:

@@ -449,11 +449,59 @@ def test_cms_sketch_compact_recovery_refuses_post_crash_appends(spark):
         assert spark.catalog.tableExists(f"{table}__compacting")
         probe = spark.createDataFrame([("delta",)], "t string")
         assert sk.estimate(probe).collect()[0]["cms_estimate"] == 2
-        # the documented remedy works: abandon the park, re-run
-        spark.sql(f"DROP TABLE {table}__compacting")
+        # the message's SAFE fold remedy works (never drop the park —
+        # a mid-overwrite crash leaves it as the only complete copy):
+        # copy the newer delta partitions into the park, advance its
+        # high-water marker, re-run — recovery resumes the swap with
+        # batch 1 preserved as its own partition
+        park = f"{table}__compacting"
+        spark.sql(
+            f"INSERT INTO {park} SELECT lane, cell, c, batch_id "
+            f"FROM {table} WHERE batch_id > 0"
+        )
+        spark.sql(
+            f"ALTER TABLE {park} SET TBLPROPERTIES "
+            f"('{CmsSketch._PROP_PREFIX}compact_merged_max_batch_id' = '1')"
+        )
+        sk.compact()
+        assert sk.applied_batches() == [-1, 1]
+        assert sk.estimate(probe).collect()[0]["cms_estimate"] == 2
+        # ...and a further compact() folds the carried delta into base
         sk.compact()
         assert sk.applied_batches() == [-1]
         assert sk.estimate(probe).collect()[0]["cms_estimate"] == 2
+    finally:
+        sk.drop()
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
+
+
+def test_cms_sketch_compact_recovery_refuses_unmarked_park(spark):
+    """A leftover park with NO merged high-water marker (written by
+    pre-marker code, or the property write itself lost) is
+    undecidable: the batches it merged are unknown, so recovery
+    refuses with inspect-first guidance — and must NOT recommend
+    dropping the park, which after a mid-overwrite crash is the only
+    complete merged copy."""
+    import pytest
+    from pyspark.sql import functions as SF
+
+    from kpipe_spark.functions.sketches import CmsSketch
+
+    table = f"cms_unm_{uuid.uuid4().hex[:8]}"
+    sk = CmsSketch.build(spark, _docs(spark, [(1, "alpha beta")]), table)
+    try:
+        sk.update_batch(_docs(spark, [(2, "alpha gamma")]), batch_id=0)
+        (
+            sk.sketch_df.withColumn("batch_id", SF.lit(-1).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .saveAsTable(f"{table}__compacting", format="parquet")
+        )  # no high-water TBLPROPERTY — the pre-marker park shape
+        with pytest.raises(RuntimeError, match="carries no"):
+            sk.compact()
+        # refusal is non-destructive: park and live both intact
+        assert spark.catalog.tableExists(f"{table}__compacting")
+        assert sk.applied_batches() == [-1, 0]
     finally:
         sk.drop()
         spark.sql(f"DROP TABLE IF EXISTS {table}__compacting")
@@ -650,7 +698,9 @@ def test_cms_delta_partition_growth_surfaced_in_health(spark, caplog):
         # advisory fires once growth passes the (instance) threshold
         sk.advisory_delta_partitions = 2
         assert sk.health()["compaction_advised"] is False  # 2 !> 2
-        with caplog.at_level(logging.WARNING, logger="kpipe_spark.sketches"):
+        with caplog.at_level(
+            logging.WARNING, logger="kpipe_spark.functions.sketches"
+        ):
             sk.update_batch(docs, 2)
         assert any(
             "compact()" in r.getMessage() and sk.table in r.getMessage()
