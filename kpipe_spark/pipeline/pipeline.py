@@ -132,12 +132,24 @@ class Pipeline:
         return self._with(step)
 
     def require_field(self, name: str) -> "Pipeline":
-        """Null/missing field => Filtered (Operators.java:130-132)."""
+        """Null/missing field => Filtered (Operators.java:130-132).
+
+        ``name`` may be a nested path ('payload.id'): a resolvable
+        path is null-checked; only a genuinely unresolvable name
+        filters everything (the missing-field contract). A top-level
+        column whose NAME contains a dot is matched literally first."""
 
         def step(df: DataFrame) -> DataFrame:
-            present = (
-                F.col(name).isNotNull() if name in df.columns else F.lit(False)
-            )
+            from pyspark.errors import AnalysisException
+
+            if name in df.columns:
+                present = F.col(f"`{name}`").isNotNull()
+            else:
+                try:
+                    df.select(F.col(name))  # probe: does the path resolve?
+                    present = F.col(name).isNotNull()
+                except AnalysisException:
+                    present = F.lit(False)
             return df.withColumn(
                 STATUS_COL,
                 F.when(_passed() & ~present, FILTERED).otherwise(
@@ -162,10 +174,30 @@ class Pipeline:
 
         def step(df: DataFrame) -> DataFrame:
             casted = s.try_cast(dtype)
+            # preserve the pre-step value on already-Filtered/Failed
+            # rows (pipe()'s rule): a record that short-circuited must
+            # carry its last value to the DLQ/filter split, not NULL.
+            # The column must take ONE type, so preservation is typed:
+            # old.try_cast(dtype) — representable values survive, an
+            # unrepresentable one degrades to NULL (what EVERY
+            # short-circuited row got before this rule) instead of an
+            # ANSI runtime throw from branch-type coercion.
+            old = (
+                F.col(name).try_cast(dtype)
+                if name in df.columns
+                else F.lit(None).cast(dtype)
+            )
             bad = _passed() & s.isNotNull() & casted.isNull()
+            # outcome columns FIRST: for an in-place overwrite
+            # (name == the source column), writing the value first
+            # would make `bad`/the error message read the REWRITTEN
+            # column — a poison value then slips through as
+            # passed-with-NULL instead of Failed (latent until
+            # round 10's preserve-rule test exposed it). With status
+            # updated first, the value write's _passed() routes rows
+            # failed BY this step to the preserved-old branch too.
             return (
-                df.withColumn(name, F.when(_passed(), casted))
-                .withColumn(
+                df.withColumn(
                     ERROR_COL,
                     F.when(
                         bad,
@@ -178,6 +210,7 @@ class Pipeline:
                 .withColumn(
                     STATUS_COL, F.when(bad, FAILED).otherwise(F.col(STATUS_COL))
                 )
+                .withColumn(name, F.when(_passed(), casted).otherwise(old))
             )
 
         return self._with(step)

@@ -55,13 +55,25 @@ def decode_avro_sr(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # worker-lifetime state: the closure dict ships EMPTY in the
+    # serialized UDF and is filled on the worker's first Arrow batch,
+    # then persists across batches within that Python worker process —
+    # the body itself runs once PER ARROW BATCH (~10k rows), so
+    # constructing the resolver/cache there would re-fetch every
+    # schema id thousands of times per backfill against a
+    # rate-limited registry
+    worker_state: dict = {}
+
     def decode(values):
         try:
             import fastavro
         except ImportError:
             fastavro = None
-        resolve = resolver_factory()
-        schema_cache: dict[int, object] = {}
+        if "resolve" not in worker_state:
+            worker_state["resolve"] = resolver_factory()
+            worker_state["schemas"] = {}
+        resolve = worker_state["resolve"]
+        schema_cache: dict[int, object] = worker_state["schemas"]
         payloads, sids, errors = [], [], []
         for raw in values:
             try:

@@ -74,6 +74,12 @@ def dlq_frame(applied: DataFrame, error_class: str = "ProcessingException") -> D
         "headers", F.concat(F.coalesce(original_headers, F.array()), dlq_headers)
     )
     keep = [c for c in ("key", "value", "topic", "partition", "offset", "timestamp") if have(c)]
+    if "value" not in keep:
+        # non-Kafka frame (e.g. batch-sink outcomes over arbitrary
+        # rows): there is no original serialized form — the payload
+        # columns ARE the record, so they all park; the contract's
+        # "original key/value/headers" degrades to "original columns"
+        keep = [c for c in cols if c not in (STATUS_COL, ERROR_COL, "headers")]
     return out.select(*keep, "headers", F.col(ERROR_COL).alias("error"))
 
 

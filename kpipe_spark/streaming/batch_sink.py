@@ -101,20 +101,35 @@ def batch_sink_terminal(
     the sink fails are routed to the DLQ writer; if any record failed
     and no DLQ is configured, the micro-batch is failed (commit held ⇒
     replay), mirroring the lockstep DLQ contract for the batch path
-    (RecordProcessor.java:143-184)."""
+    (RecordProcessor.java:143-184).
+
+    The DLQ writer gets the same deal as StreamRunner's: rows pass
+    through ``dlq_frame`` (the x-dlq-* envelope — a writer
+    implementation serves both paths without schema skew), and when a
+    writer is configured it is invoked on EVERY batch, empty frame
+    included — an idempotent batch-keyed park (IdempotentDlqParquet)
+    needs the empty write as the tombstone that clears a pre-crash
+    attempt's parks when the failures were transient and the replay
+    succeeded. Give the batch-sink terminal its OWN park path (not
+    the StreamRunner dlq_writer's): both key writes by batch_id, so
+    sharing one IdempotentDlqParquet instance would have the second
+    write of a batch clobber the first's parks."""
+    from kpipe_spark.pipeline.sinks import dlq_frame
 
     def terminal(passed_df: DataFrame, batch_id: int) -> None:
         outcomes = apply_batch_sink(passed_df, sink_fn, max_size)
         outcomes.persist()
         try:
-            failed = outcomes.filter(F.col(STATUS_COL) == FAILED)
-            n_failed = failed.count()
-            if n_failed:
-                if dlq_writer is None:
-                    raise RuntimeError(
-                        f"batch sink failed {n_failed} records and no DLQ configured"
-                    )
-                dlq_writer(failed, batch_id)
+            n_failed = outcomes.filter(F.col(STATUS_COL) == FAILED).count()
+            if n_failed and dlq_writer is None:
+                raise RuntimeError(
+                    f"batch sink failed {n_failed} records and no DLQ configured"
+                )
+            if dlq_writer is not None:
+                dlq_writer(
+                    dlq_frame(outcomes, error_class="BatchSinkException"),
+                    batch_id,
+                )
         finally:
             outcomes.unpersist()
 

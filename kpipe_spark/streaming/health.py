@@ -64,15 +64,31 @@ class HttpHealthServer:
                 if self.path.split("?")[0] != outer._path:
                     self._send(404, {"error": "not found"})
                     return
+                # EVERY supplier is contained, not just the health
+                # check: serve_handle_health wires in_flight to
+                # handle.lag(), which raises on a dead session — an
+                # unguarded call would drop the connection with no
+                # HTTP response at all (probe error), instead of the
+                # documented 503 UNHEALTHY body
                 try:
                     healthy = bool(outer._health())
                 except Exception:  # noqa: BLE001
                     log.warning("health check failed for %s", outer._app_name)
                     healthy = False
+                try:
+                    in_flight = int(outer._in_flight())
+                except Exception:  # noqa: BLE001
+                    log.warning("in-flight supplier failed for %s", outer._app_name)
+                    in_flight, healthy = -1, False
+                try:
+                    paused = bool(outer._paused())
+                except Exception:  # noqa: BLE001
+                    log.warning("paused supplier failed for %s", outer._app_name)
+                    paused, healthy = False, False
                 body = {
                     "status": "OK" if healthy else "UNHEALTHY",
-                    "inFlight": int(outer._in_flight()),
-                    "paused": bool(outer._paused()),
+                    "inFlight": in_flight,
+                    "paused": paused,
                 }
                 self._send(200 if healthy else 503, body)
 

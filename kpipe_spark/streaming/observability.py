@@ -10,10 +10,21 @@ engine-level rates (rows/sec, batch durations, state-store sizes).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
 
 from kpipe_spark.streaming.runner import Metrics
+
+
+def _rate_gauge(value) -> int:
+    """Progress-rate field -> int gauge; None/NaN -> 0 (docstring in
+    onQueryProgress)."""
+    if value is None:
+        return 0
+    v = float(value)
+    return 0 if math.isnan(v) else int(v)
 
 
 class MetricsListener(StreamingQueryListener):
@@ -37,12 +48,16 @@ class MetricsListener(StreamingQueryListener):
         duration = p.durationMs.get("triggerExecution")
         if duration is not None:
             self.metrics.add("progress.trigger.ms", int(duration))
-        # last-value gauges
-        self.metrics.counters["gauge.input.rows.per.sec"] = int(
-            p.inputRowsPerSecond or 0
+        # last-value gauges. Spark reports NaN rates on the first
+        # progress event (no prior batch to rate against); float('nan')
+        # is truthy, so `or 0` does NOT catch it and int(nan) raises —
+        # which would abort the callback after progress.batches was
+        # already incremented, leaving the counter set inconsistent.
+        self.metrics.counters["gauge.input.rows.per.sec"] = _rate_gauge(
+            p.inputRowsPerSecond
         )
-        self.metrics.counters["gauge.processed.rows.per.sec"] = int(
-            p.processedRowsPerSecond or 0
+        self.metrics.counters["gauge.processed.rows.per.sec"] = _rate_gauge(
+            p.processedRowsPerSecond
         )
 
     def onQueryIdle(self, event) -> None:

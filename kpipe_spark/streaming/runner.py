@@ -104,6 +104,12 @@ class CircuitBreaker:
                 self._open()
             else:
                 self.state = "CLOSED"
+                # fresh window on recovery: the outage's failures must
+                # not re-trip the breaker off all-success batches
+                # (without this, a 50%+-failure residue re-opens on
+                # the first healthy batch, stalling a recovered
+                # stream open_duration at a time for several cycles)
+                self._outcomes.clear()
         elif self.state == "CLOSED" and len(self._outcomes) >= self.window:
             rate = sum(self._outcomes) / len(self._outcomes)
             if rate >= self.failure_threshold:
@@ -172,6 +178,19 @@ class StreamRunner:
                 log.warning("%s failed (attempt %d/%d) — backing off", what, attempt, attempts)
                 time.sleep(self.sink_retry_backoff_s)
 
+    def _breaker_observe_failure(self, n: int) -> None:
+        """Feed ``n`` terminal failures into the breaker window after a
+        sink/DLQ write exhausted its retries: the batch replays (offset
+        held), but the outage must be OBSERVABLE — a breaker that only
+        sees pipeline outcomes can never trip on the downstream-dead
+        failure mode it exists for. On a HALF_OPEN probe this re-opens
+        immediately (probe failed), matching the state machine."""
+        if self.circuit_breaker:
+            self.circuit_breaker.record(0, 0, n)
+            self.metrics.counters["circuitbreaker.trips"] = (
+                self.circuit_breaker.trips
+            )
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if self.circuit_breaker:
             self.circuit_breaker.gate()
@@ -184,13 +203,12 @@ class StreamRunner:
         applied = self.pipeline.apply(shaped)
         applied.persist()
         try:
-            by_status = {
-                r[STATUS_COL]: r["n"]
-                for r in applied.groupBy(STATUS_COL).agg(F.count(F.lit(1)).alias("n")).collect()
-            }
-            n_passed = by_status.get(PASSED, 0)
-            n_filtered = by_status.get(FILTERED, 0)
-            n_failed = by_status.get(FAILED, 0)
+            from kpipe_spark.pipeline.result import outcome_counts
+
+            by_status = outcome_counts(applied)
+            n_passed = by_status[PASSED]
+            n_filtered = by_status[FILTERED]
+            n_failed = by_status[FAILED]
             self.metrics.add("records.received", n_passed + n_filtered + n_failed)
             self.metrics.add("pipeline.processed.passed", n_passed)
             self.metrics.add("pipeline.processed.filtered", n_filtered)
@@ -219,6 +237,10 @@ class StreamRunner:
                         self.metrics.add("dlq.sent", n_failed)
                 except Exception:
                     self.metrics.add("dlq.send.failures")
+                    # the park failure IS a terminal-outcome failure
+                    # for breaker purposes: a dead DLQ broker must be
+                    # able to trip the breaker, not just hot-replay
+                    self._breaker_observe_failure(n_failed or 1)
                     raise  # batch not committed ⇒ replay (offset held)
             if n_failed:
                 if self.error_handler is not None:
@@ -242,11 +264,23 @@ class StreamRunner:
                     except Exception:  # noqa: BLE001
                         log.exception("error handler raised — contained")
 
-            # 2. deliver passed records
+            # 2. deliver passed records. A sink that fails AFTER
+            # retries is the classic breaker trigger (the reference's
+            # CB sees terminal produce failures too,
+            # CircuitBreakerController.java:34-60) — without the
+            # except-hook the breaker would only ever see
+            # pipeline-level outcomes and a persistent sink outage
+            # could never trip it.
             passed_df = applied.filter(F.col(STATUS_COL) == PASSED).drop(
                 STATUS_COL, ERROR_COL
             )
-            self._write_with_retry(lambda: self.sink(passed_df, batch_id), "sink")
+            try:
+                self._write_with_retry(
+                    lambda: self.sink(passed_df, batch_id), "sink"
+                )
+            except Exception:
+                self._breaker_observe_failure(n_passed or 1)
+                raise  # batch not committed ⇒ replay
 
             self.metrics.add("batches.completed")
             if self.circuit_breaker:

@@ -146,3 +146,33 @@ def test_multi_topic_routing(spark, tmp_path):
     totals = multi.totals()
     assert totals["records.dropped.unrouted"] == 10  # mystery topic
     assert totals["route.orders.pipeline.processed.filtered"] == 1  # id=0
+
+
+def test_batch_terminal_dlq_tombstone_and_envelope(spark):
+    """The batch terminal honors the idempotent-park discipline
+    (round-10 review): the DLQ writer runs on EVERY batch — the empty
+    write is the tombstone that clears a pre-crash attempt's parks
+    when a replay's transient failures succeed — and parked rows go
+    through dlq_frame, carrying the x-dlq-* envelope plus the
+    original payload columns (a non-Kafka frame has no serialized
+    'value'; its columns ARE the record)."""
+    calls: list = []
+    ok = batch_sink_terminal(
+        lambda recs: {i: None for i in range(len(recs))},
+        dlq_writer=lambda df, bid: calls.append((bid, df.collect())),
+    )
+    ok(_df(spark, 4), batch_id=7)
+    assert [bid for bid, _ in calls] == [7]
+    assert calls[0][1] == []  # tombstone: invoked, empty
+
+    failing = batch_sink_terminal(
+        lambda recs: dict.fromkeys(range(len(recs)), "boom"),
+        dlq_writer=lambda df, bid: calls.append((bid, df.collect())),
+    )
+    failing(_df(spark, 2), batch_id=8)
+    rows = calls[-1][1]
+    assert len(rows) == 2
+    hdrs = {h["key"] for h in rows[0]["headers"]}
+    assert "x-dlq-exception-class" in hdrs
+    assert rows[0]["error"] == "boom"
+    assert "id" in rows[0].asDict()  # original payload parked

@@ -268,3 +268,58 @@ def test_protobuf_sr_decode_routes_and_isolates_errors(spark):
     # bad envelope fails THAT ROW as data, never the task
     assert out[3]["payload"] is None
     assert "magic" in out[3]["payload_error"]
+
+
+def test_sr_resolver_constructed_once_per_worker_not_per_batch(spark, tmp_path):
+    """Round-10 review: the pandas_udf body runs once per ARROW BATCH;
+    resolver_factory/schema cache must live at worker lifetime or a
+    real HTTP resolver re-fetches every schema id thousands of times
+    per backfill. Factory invocations are counted via a spill file
+    (executor workers are separate processes); with one partition and
+    many forced Arrow batches, the count must stay at the worker
+    count (1), not the batch count."""
+    import os
+
+    marker_dir = str(tmp_path / "factory_calls")
+    os.makedirs(marker_dir)
+    rows = [
+        (_envelope(1, json.dumps({"id": i}).encode()),) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "value binary").coalesce(1)
+
+    def counting_factory():
+        import os
+        import uuid as _uuid
+
+        open(os.path.join(marker_dir, _uuid.uuid4().hex), "w").close()
+        return make_dict_resolver({1: '{"type":"record"}'})
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = decode_avro_sr(df, counting_factory).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+            )
+    assert len(out) == 12 and all(r["payload_error"] is None for r in out)
+    n_factory_calls = len(os.listdir(marker_dir))
+    assert n_factory_calls == 1, (
+        f"resolver_factory ran {n_factory_calls}x for 6 Arrow batches "
+        "in one worker — worker-lifetime caching regressed to per-batch"
+    )
+
+
+def test_metrics_listener_rate_gauge_handles_nan():
+    """Round-10 review: Spark reports NaN rates on the first progress
+    event; float('nan') is truthy so `or 0` never catches it and
+    int(nan) raises mid-callback. The gauge helper contains it."""
+    from kpipe_spark.streaming.observability import _rate_gauge
+
+    assert _rate_gauge(None) == 0
+    assert _rate_gauge(float("nan")) == 0
+    assert _rate_gauge(123.9) == 123
+    assert _rate_gauge(0.0) == 0

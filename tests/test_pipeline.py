@@ -330,3 +330,45 @@ def test_safe_cast_fails_poison_row_only(spark):
     # null input is NOT a cast failure (kpipe: null handling is the
     # filter/require_field contract, not an error)
     assert rows[3]["_status"] == PASSED and rows[3]["parsed"] is None
+
+
+def test_safe_cast_preserves_value_on_short_circuited_rows(spark):
+    """pipe()'s preserve rule applies to safe_cast too (round-10
+    review): a row already Filtered/Failed keeps its pre-step value —
+    an in-place overwrite must not NULL the column a DLQ park or
+    filtered-split consumer reads."""
+    df = spark.createDataFrame(
+        [(1, "10"), (2, "20"), (3, "boom")], "id int, raw string"
+    )
+    p = (
+        Pipeline()
+        .fail_when(F.col("id") == 2, "poisoned upstream")
+        .safe_cast("raw", F.col("raw"), "int")  # in-place overwrite
+    )
+    rows = {r["id"]: r for r in p.apply(df).collect()}
+    assert rows[1]["_status"] == PASSED and rows[1]["raw"] == 10
+    # the upstream-failed row kept its value (typed: try_cast to the
+    # target type — representable values survive the overwrite)
+    assert rows[2]["_status"] == FAILED and rows[2]["raw"] == 20
+    # the row failed BY the cast has no representable value: NULL
+    assert rows[3]["_status"] == FAILED and rows[3]["raw"] is None
+
+
+def test_require_field_resolves_nested_paths(spark):
+    """require_field('payload.id') must null-check the nested field,
+    not filter every row because the dotted path isn't a top-level
+    column name (round-10 review)."""
+    df = spark.createDataFrame(
+        [(1, {"id": "a"}), (2, {"id": None}), (3, None)],
+        "k int, payload struct<id: string>",
+    )
+    out = Pipeline().require_field("payload.id").apply(df)
+    rows = {r["k"]: r["_status"] for r in out.collect()}
+    assert rows[1] == PASSED
+    assert rows[2] == FILTERED  # nested null
+    assert rows[3] == FILTERED  # whole struct null
+    # genuinely unresolvable path still filters everything
+    counts = outcome_counts(
+        Pipeline().require_field("payload.nope").apply(df)
+    )
+    assert counts[FILTERED] == 3

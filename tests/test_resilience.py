@@ -170,6 +170,24 @@ def test_health_endpoint_status_codes():
         status, _ = _get(f"http://{host}:{port}/nope")
         assert status == 404
 
+    # round-10 review: EVERY supplier is contained, not just health —
+    # a throwing lag/paused supplier (dead session) must produce the
+    # documented 503 UNHEALTHY body, not a dropped connection
+    def boom() -> int:
+        raise RuntimeError("lag probe exploded")
+
+    with HttpHealthServer(
+        host="127.0.0.1",
+        port=0,
+        health_supplier=lambda: True,
+        in_flight_supplier=boom,
+        paused_supplier=boom,
+    ) as srv:
+        host, port = srv.address
+        status, body = _get(f"http://{host}:{port}{srv.path}")
+        assert (status, body["status"]) == (503, "UNHEALTHY")
+        assert body["inFlight"] == -1 and body["paused"] is False
+
 
 # -- R2: bounded error-handler sample ----------------------------------------
 

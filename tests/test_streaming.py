@@ -300,3 +300,50 @@ def test_kafka_source_requires_exactly_one_subscription(spark):
         kafka_source(
             spark, "localhost:9092", topics="t", subscribe_pattern="t-.*"
         )
+
+
+def test_circuit_breaker_recovery_clears_window():
+    """Round-10 review: a recovered breaker must not re-trip off the
+    OUTAGE's residue — the CLOSED transition clears the rolling
+    window, so all-success batches after recovery stay CLOSED."""
+    cb = CircuitBreaker(failure_threshold=0.5, window=10, open_duration_s=0.0)
+    cb.record(0, 0, 10)  # outage fills the window
+    assert cb.state == "OPEN" and cb.trips == 1
+    cb.gate()
+    cb.record(passed=2, filtered=0, failed=0)  # successful probe
+    assert cb.state == "CLOSED"
+    # pre-fix: window still held >=50% failures, so ANY further
+    # success batch that refilled it re-tripped a healthy stream
+    for _ in range(10):
+        cb.record(passed=3, filtered=0, failed=0)
+        assert cb.state == "CLOSED"
+    assert cb.trips == 1
+
+
+def test_sink_outage_feeds_and_trips_the_breaker(spark, tmp_path):
+    """Round-10 review: the classic breaker trigger is a DEAD SINK —
+    a sink failure after retries must land in the breaker window (the
+    reference's CB sees terminal produce failures,
+    CircuitBreakerController.java:34-60), not bypass it because the
+    batch aborted before the success-path record() call."""
+    src = str(tmp_path / "src")
+    write_batch_file(src, rows_batch(0, 20), "a.json")
+
+    def dead_sink(df, batch_id):
+        raise RuntimeError("sink down")
+
+    cb = CircuitBreaker(failure_threshold=0.5, window=10, open_duration_s=0.0)
+    runner = StreamRunner(
+        pipeline=Pipeline().require_field("event_id"),
+        sink=dead_sink,
+        circuit_breaker=cb,
+    )
+    batch = spark.read.schema(
+        "event_id long, key string, event_type string, "
+        "value double, offset long"
+    ).json(src)
+    with pytest.raises(RuntimeError, match="sink down"):
+        runner.process_batch(batch, 0)
+    # the 20 undelivered records filled the window and tripped it
+    assert cb.state == "OPEN" and cb.trips == 1
+    assert runner.metrics.counters["circuitbreaker.trips"] == 1
