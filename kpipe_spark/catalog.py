@@ -42,11 +42,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # same truncation DuckDB applies to TIMESTAMP_NS). Handle both,
         # normalizing to session-local TimestampType (session tz is
         # pinned UTC, so the NTZ cast is value-preserving).
+        # KNOWN SIDE EFFECT: the legacy conf stays set session-wide —
+        # a later read of an UNRELATED nanos parquet in this session
+        # comes back as raw LongType instead of native NTZ. Restoring
+        # it here is unsafe (the returned frame is lazy and the conf
+        # is consulted at scan time), so the trade is documented
+        # rather than hidden.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # FLOOR division to micros: `ts div 1000` truncates toward
+            # zero, which diverges from DuckDB's (and native NTZ's)
+            # floor for pre-epoch nanos; subtracting pmod first makes
+            # the dividend an exact multiple, so div == floor for any
+            # sign with no double-precision loss
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+            )
         elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
@@ -74,6 +88,13 @@ class LazyTables:
         key = (self._spark.sparkContext.applicationId, self._sf_dir, name)
         df = LazyTables._cache.get(key)
         if df is None:
+            # a new applicationId means prior sessions' entries can
+            # never hit again — evict them, or a session-restarting
+            # process (notebook, test harness) leaks DataFrames bound
+            # to dead sessions for the life of the interpreter
+            stale = [k for k in LazyTables._cache if k[0] != key[0]]
+            for k in stale:
+                del LazyTables._cache[k]
             df = load_table(self._spark, self._sf_dir, name)
             LazyTables._cache[key] = df
         return df

@@ -113,6 +113,10 @@ class table_materializer:
         if scale != "corpus":
             return df.localCheckpoint(eager=eager)
         name = f"{self.prefix}_{next(self._counter)}"
+        # a stable-prefix deployment (the documented outlive-the-job
+        # mode) can crash mid-write and leave an orphaned warehouse
+        # directory; same guard write_bucketed applies
+        reclaim_orphaned_table_location(df.sparkSession, name)
         df.write.mode("overwrite").saveAsTable(name, format="parquet")
         self._spark = df.sparkSession
         self.tables.append(name)
@@ -138,7 +142,14 @@ class table_materializer:
         return False
 
 
-_BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+_BYTE_SUFFIX = {
+    "b": 1,
+    "k": 1 << 10,
+    "m": 1 << 20,
+    "g": 1 << 30,
+    "t": 1 << 40,
+    "p": 1 << 50,
+}
 
 
 def _parse_bytes(v: str) -> int:
@@ -189,14 +200,16 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         import os
         from urllib.parse import unquote, urlparse
 
-        max_split = _parse_bytes(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-        )
-        open_cost = _parse_bytes(
-            spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
-        )
-        total = 0
         try:
+            max_split = _parse_bytes(
+                spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728b"
+                )
+            )
+            open_cost = _parse_bytes(
+                spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+            )
+            total = 0
             for f in files:
                 p = urlparse(f)
                 if p.scheme not in ("file", ""):
@@ -207,13 +220,31 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
                 # with a space arrives as %20 and must be unquoted
                 # before stat'ing
                 total += os.path.getsize(unquote(p.path)) + open_cost
-        except OSError:
-            # file vanished between listing and stat, or an exotic
-            # path: fall back to the exact (slower) split count rather
-            # than failing query construction
+        except (OSError, ValueError):
+            # file vanished between listing and stat, an exotic path,
+            # or an unparseable conf value: fall back to the exact
+            # (slower) split count rather than failing query
+            # construction
             pass
         else:
-            est = max(1, -(-total // max_split))
+            # mirror Spark's ACTUAL packing, not just maxPartitionBytes:
+            # maxSplitBytes = min(maxPartitionBytes,
+            #                     max(openCost, totalBytes/minPartitionNum))
+            # — Spark auto-splits mid-size inputs down to ~parallelism
+            # partitions, so estimating with maxPartitionBytes alone
+            # undercounts and triggers a full-dataset repartition the
+            # real scan never needed (e.g. 2 GB in 16 files already
+            # arrives as ~32 partitions on local[32])
+            try:
+                # optional entry: unset, conf.get throws through py4j
+                # (IllegalArgumentException), not a None return
+                min_pn = int(
+                    spark.conf.get("spark.sql.files.minPartitionNum")
+                )
+            except Exception:
+                min_pn = spark.sparkContext.defaultParallelism
+            split = min(max_split, max(open_cost, total // max(min_pn, 1)))
+            est = max(1, -(-total // max(split, 1)))
             return df.repartition(target) if est < target else df
 
     if df.rdd.getNumPartitions() < target:
@@ -244,6 +275,25 @@ def salted_join(
     key too hot for partition-splitting to help (AQE cannot split one
     key's hash bucket across joins with state).
     """
+    if how.replace("_", "").lower() not in (
+        "inner",
+        "left",
+        "leftouter",
+        "leftsemi",
+        "semi",
+        "leftanti",
+        "anti",
+    ):
+        # right/full-outer cannot survive the replication: an
+        # other-side key unmatched in `skewed` matches nothing on ANY
+        # salt, so every one of its `salt` replicas would surface as a
+        # null-padded row — `salt` duplicates where the plain join
+        # emits one. Use AQE skew-join for those directions.
+        raise ValueError(
+            f"salted_join cannot preserve '{how}' semantics: the "
+            f"non-skewed side is replicated {salt}x and unmatched "
+            "replicas would all surface under a right/full outer join"
+        )
     skewed_s = skewed.withColumn(
         "_salt", (F.rand(seed=42) * salt).cast("int")
     )
@@ -284,16 +334,34 @@ def compact_parquet(
     small files; at scale the metadata and open() overhead of a
     million 1 MB files dominates scan time. Sizing from actual input
     bytes (not row counts) keeps output files near the parquet
-    row-group sweet spot. Uses coalesce — a partition merge with NO
-    shuffle — since compaction must not pay a network pass over the
-    whole dataset.
+    row-group sweet spot.
+
+    Sizing goes through the Hadoop FileSystem API so it works on
+    whatever store holds the data (HDFS/S3/local) — an os.walk-based
+    size reads 0 for any remote path and would collapse the rewrite
+    to ONE file, the exact failure compaction exists to fix. Shrinking
+    uses coalesce (partition merge, no shuffle); when the target file
+    count EXCEEDS the scan's partition count, coalesce is a no-op
+    upward, so the rewrite repartitions instead — that pays one
+    shuffle, but honors the target size rather than silently emitting
+    half as many files at twice the size.
     """
     import math
 
     df = spark.read.parquet(src_path)
-    total = _dataset_bytes(src_path)
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(src_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        total = fs.getContentSummary(jpath).getLength()
+    except Exception:  # no JVM bridge (mocks) — local-fs fallback
+        total = _dataset_bytes(src_path)
     n_files = max(1, math.ceil(total / target_file_bytes))
-    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    shaped = (
+        df.coalesce(n_files)
+        if n_files <= df.rdd.getNumPartitions()
+        else df.repartition(n_files)
+    )
+    shaped.write.mode("overwrite").parquet(dst_path)
     return n_files
 
 
@@ -396,6 +464,10 @@ def reclaim_orphaned_table_location(spark, table: str) -> bool:
         return False
     parts = table.split(".")
     db = parts[-2] if len(parts) >= 2 else spark.catalog.currentDatabase()
+    # the catalog lowercases identifiers when deriving the managed
+    # location — both halves must follow, or 'Default.foo'/'Analytics.x'
+    # probe a directory Spark never writes and miss the orphan
+    db = db.lower()
     tbl = parts[-1].lower()
     sub = tbl if db == "default" else f"{db}.db/{tbl}"
     jvm = spark._jvm

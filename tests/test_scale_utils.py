@@ -564,3 +564,21 @@ def test_reclaim_owner_match_survives_uri_scheme_form(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ext}")
         assert reclaim_orphaned_table_location(spark, stem)
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Round-10 review: the other side is replicated salt times, so an
+    other-side key unmatched in the skewed side would surface once per
+    replica under right/full outer — salted_join refuses those
+    directions instead of silently duplicating."""
+    import pytest
+
+    a = spark.range(5).withColumnRenamed("id", "k")
+    b = spark.range(10).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="cannot preserve"):
+            salted_join(a, b, on="k", how=how, salt=4)
+    # left_anti still works and matches the plain join
+    plain = set(r["k"] for r in a.join(b, "k", "left_anti").collect())
+    salted = set(r["k"] for r in salted_join(a, b, "k", "left_anti").collect())
+    assert plain == salted == set()
