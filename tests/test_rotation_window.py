@@ -94,22 +94,44 @@ def test_window_is_import_order_independent():
     for the whole process — the rotation computation must not see
     that. canonical_order() keys on QUERY_MODULES + within-module
     registration, so the window is a pure function of committed state
-    in ANY import order. Subprocess: pollute first, then compute."""
+    in ANY import order. Compares a POLLUTED subprocess computation
+    against an UNPOLLUTED one — deliberately never the FLAGSHIP_50
+    literal, so at a round boundary only test_flagship_matches_
+    computation (the armed tripwire) fires, not this test too
+    (round-10 verdict: "exactly one expected red at round start")."""
     import subprocess
     import sys
 
-    code = (
-        "import sys; sys.path.insert(0, %r)\n"
-        "import kpipe_spark.queries.llm_ops13\n"  # the pollution
-        "from kpipe_spark.queries import FLAGSHIP_50, QUERIES, all_queries\n"
-        "from kpipe_spark.queries.rotation import current_window\n"
-        "all_queries()\n"
-        "assert list(QUERIES)[0].startswith('d86'), 'pollution did not hoist'\n"
-        "assert tuple(FLAGSHIP_50) == current_window()\n"
-        "print('OK')\n"
-    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def window_in_subprocess(polluted: bool) -> str:
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            + (
+                "import kpipe_spark.queries.llm_ops13\n"  # the pollution
+                if polluted
+                else ""
+            )
+            + "from kpipe_spark.queries import QUERIES, all_queries\n"
+            "from kpipe_spark.queries.rotation import current_window\n"
+            "all_queries()\n"
+            + (
+                "assert list(QUERIES)[0].startswith('d86'), "
+                "'pollution did not hoist'\n"
+                if polluted
+                else ""
+            )
+            + "print('\\n'.join(current_window()))\n"
+        ) % (repo,)
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        return proc.stdout
+
+    assert window_in_subprocess(polluted=True) == window_in_subprocess(
+        polluted=False
     )
-    assert proc.returncode == 0, proc.stderr[-1500:]
-    assert "OK" in proc.stdout
