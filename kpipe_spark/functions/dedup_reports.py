@@ -20,8 +20,11 @@ functions are the shared consumer bodies both forms call:
   subtree once per corpus instead of once per report.
 
 Every function is a small aggregation over one corpus scan joined
-with the broadcast (dup-graph-sized, never corpus-sized) component
-frame — the per-consumer marginal cost the artifact buys down to.
+with the component frame through the size-gated
+``dedup.join_components`` (broadcast-hinted only when the component
+table's plan-stat size is under the reviewed bound — at realistic
+web dup rates the dup graph is corpus-order and must shuffle-join) —
+the per-consumer marginal cost the artifact buys down to.
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ from pyspark.sql import functions as F
 
 from kpipe_spark.functions.dedup import (
     clusters_from_components,
+    join_components,
     md5_hash60,
 )
 from kpipe_spark.functions.mixing import temperature_normalize
@@ -61,8 +65,7 @@ def survivors_by_source(docs: DataFrame, comp: DataFrame) -> DataFrame:
         F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")
     )
     return (
-        docs.select("doc_id", "source", "n_chars")
-        .join(F.broadcast(comp), "doc_id", "left")
+        join_components(docs.select("doc_id", "source", "n_chars"), comp)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -81,8 +84,7 @@ def leakage_safe_split(docs: DataFrame, comp: DataFrame) -> DataFrame:
     h = md5_hash60(F.col("cluster_id").cast("string")) % 100
     split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
     return (
-        docs.select("doc_id")
-        .join(F.broadcast(comp), "doc_id", "left")
+        join_components(docs.select("doc_id"), comp)
         .select(
             "doc_id",
             F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
@@ -102,13 +104,12 @@ def dedup_adjusted_mixture(docs: DataFrame, comp: DataFrame) -> DataFrame:
     kept = (
         F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")
     ).cast("int")
-    tok = (
+    tok = join_components(
         docs.select(
             "doc_id", "source", F.size(F.split("text", " ")).alias("_n")
-        )
-        .join(F.broadcast(comp), "doc_id", "left")
-        .select("source", "_n", kept.alias("_kept"))
-    )
+        ),
+        comp,
+    ).select("source", "_n", kept.alias("_kept"))
     s = tok.groupBy("source").agg(
         F.count(F.lit(1)).alias("raw_docs"),
         F.sum("_kept").alias("kept_docs"),
