@@ -718,6 +718,61 @@ def _cluster_reuse_ab(spark, sf_dir: str) -> dict:
         idx.drop()
 
 
+def _cluster_incremental_refresh_ab(spark, sf_dir: str) -> dict:
+    """Round-11: the ClusterIndex release-cadence dividend, measured —
+    folding a ~9% batch into stored components via
+    ``refresh_incremental`` (batch-sized edges from the stored band
+    index + quotient label propagation + touched-bucket overwrite) vs
+    the full ``refresh`` rebuild over the grown corpus (a complete
+    MinHash -> CC pass).
+
+    Reading the ratio: at sf0.1 both sides carry session fixed costs
+    and the corpus is small, so the local ratio is a FLOOR — the full
+    side scales with the corpus while the incremental side scales with
+    the batch, so at a 100 TB release cadence the gap is the whole
+    corpus re-pass per release. Both sides are best-of-2 with the
+    stored state reset between runs (the fold mutates the table)."""
+    import uuid
+
+    from kpipe_spark.catalog import load_tables
+    from kpipe_spark.functions.cluster_index import ClusterIndex
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+
+    docs = load_tables(spark, sf_dir).documents
+    is_new = F.col("doc_id") % 11 == 0
+    old, batch = docs.filter(~is_new), docs.filter(is_new)
+    # uuid-suffixed: concurrent bench runs share one warehouse
+    idx = ClusterIndex.build(
+        spark, old, f"bench_inc_clusters_{uuid.uuid4().hex[:8]}"
+    )
+    bands = CorpusIndex.build(
+        spark, old, f"bench_inc_bands_{uuid.uuid4().hex[:8]}", num_buckets=8
+    )
+    try:
+        inc_times, stats = [], {}
+        for _ in range(2):
+            t0 = time.perf_counter()
+            stats = idx.refresh_incremental(batch, bands)
+            inc_times.append(time.perf_counter() - t0)
+            idx.refresh(old)  # reset to the pre-batch state (untimed)
+        full_times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            idx.refresh(docs)
+            full_times.append(time.perf_counter() - t0)
+        inc, full = min(inc_times), min(full_times)
+        return {
+            "incremental_fold_sec": round(inc, 3),
+            "full_rebuild_sec": round(full, 3),
+            "incremental_speedup": round(full / inc, 2),
+            "overwritten_buckets": stats.get("overwritten_buckets"),
+            "num_comp_buckets": stats.get("num_comp_buckets"),
+        }
+    finally:
+        idx.drop()
+        bands.drop()
+
+
 def sweep(out_path: str | None = None) -> None:
     """Time EVERY registry query (warm, noop sink) and write the full
     per-query table to a JSON artifact (--out, default SWEEP.json) so
@@ -1107,6 +1162,11 @@ def _compact_headline_line(doc: dict, limit: int = 1900) -> str:
         compact["cluster_serve_only_speedup"] = cluster.get(
             "serve_only_speedup"
         )
+    cinc = doc.get("cluster_incremental_refresh_ab", {})
+    if cinc:
+        compact["cluster_incremental_speedup"] = cinc.get(
+            "incremental_speedup"
+        )
     delta = doc.get("sweep_delta")
     if delta:
         compact["sweep_quiet_subtotals"] = [
@@ -1137,6 +1197,7 @@ def _compact_headline_line(doc: dict, limit: int = 1900) -> str:
         "d05_ab_shipped_is_faster",
         "admit_artifact_speedup",
         "cluster_serve_only_speedup",
+        "cluster_incremental_speedup",
         "loadavg_start",
         "requeue_wait_sec",
         "ambient_gate",
@@ -1389,6 +1450,7 @@ def main(out_path: str | None = None) -> None:
     signature_ab = _d05_signature_ab(spark, sf_dir)
     admit_ab = _incremental_admit_ab(spark, sf_dir)
     cluster_ab = _cluster_reuse_ab(spark, sf_dir)
+    cluster_inc_ab = _cluster_incremental_refresh_ab(spark, sf_dir)
     total = round(sum(timings.values()), 3)
     # the reference's yardstick is consumer rec/s (BASELINE.md): p01 runs
     # the full outcome pipeline (JSON extract + 4 operators + accounting)
@@ -1487,6 +1549,8 @@ def main(out_path: str | None = None) -> None:
         # the dup-cluster family's stored-artifact dividend: 5
         # consumers from one component table vs 5 inline re-derivations
         "cluster_reuse_ab": cluster_ab,
+        # round-11: release-cadence fold vs full rebuild (+~9% corpus)
+        "cluster_incremental_refresh_ab": cluster_inc_ab,
         # round-over-round quiet-rows sweep comparison (the trustable
         # signal per ARCHITECTURE §6.5), embedded so the round artifact
         # carries it instead of the judge recomputing by hand

@@ -15,11 +15,15 @@ this artifact is the production path:
                for name, fn in dedup_reports.CONSUMERS.items()}
     train   = idx.survivors(corpus)      # the keep-one dedup pass
 
-The stored table is dup-graph-sized — (id, cluster_id) for documents
-in >= 1 candidate pair, no text — which is why every consumer join
-broadcasts it (``dedup.dup_components``' docstring carries the scale
-argument; a corpus-sized per-document assignment must never be
-broadcast). The MinHash family (num_hashes, bands, shingle_k) is the
+The stored table carries (id, cluster_id) for documents in >= 1
+candidate pair, no text. Consumer joins route through the size-gated
+``dedup.join_components``: the stored parquet's accurate size stats
+earn a broadcast hint when the dup graph is genuinely small, and at
+realistic web dup rates — where the table is corpus-order — the join
+ships as a doc_id-keyed shuffle under AQE instead
+(``dedup.dup_components``' docstring carries the scale argument; a
+corpus-sized per-document assignment must never be broadcast). The
+MinHash family (num_hashes, bands, shingle_k) is the
 artifact's identity: components derived under one family answer
 nothing about another, so ``attach`` validates it from TBLPROPERTIES
 (the ``StoredArtifact`` contract shared with CorpusIndex / AnnIndex /
@@ -27,11 +31,28 @@ UnigramTokenizer / the sketch trio).
 
 Staleness discipline: components are a GLOBAL property of the corpus
 (a new document can merge two old clusters), so unlike CorpusIndex's
-band table there is no sound per-batch append — ``refresh`` rebuilds
-from the current corpus. The incremental admission path that AVOIDS
-needing fresh components for every batch is CorpusIndex.admit; the
-two artifacts compose (admit against bands daily, refresh clusters on
-the corpus-release cadence).
+band table there is no sound per-batch append. Two refresh paths:
+
+- ``refresh`` — full re-derivation from the current corpus (the
+  fallback; one corpus-sized MinHash -> CC pass), and
+- ``refresh_incremental`` — the corpus-release-cadence path at
+  100 TB: the NEW batch's candidate edges come from the stored
+  band index (``CorpusIndex`` — batch-sized signature work, the
+  same equi-join ``admit`` uses), the old graph participates only
+  as its label CONTRACTION (each stored component is one quotient
+  node, sound because stored labels are exactly the old graph's
+  connected-component quotient), label propagation runs over that
+  batch-sized quotient subgraph, and the write replaces ONLY the
+  ``comp_bucket`` partitions whose components changed (dynamic
+  partition overwrite). Incremental == full rebuild exactly —
+  old/old collisions are already contracted into stored labels,
+  batch/corpus and batch/batch collisions are the derived edges,
+  and min-of-mins label algebra preserves the global min-id label
+  (consistency-tested in tests/test_cluster_index.py).
+
+The per-batch admission path that avoids needing fresh components at
+all is CorpusIndex.admit; the artifacts compose (admit against bands
+daily, refresh_incremental clusters per corpus release).
 
 Reference parity: kpipe's surface has no dedup artifacts
 (/root/reference/README.md:190-208 scopes analytics out); this is
@@ -48,9 +69,27 @@ from kpipe_spark.functions.dedup import (
     MINHASH_BANDS,
     MINHASH_NUM_HASHES,
     clusters_from_components,
+    connected_components,
     dup_components,
+    incremental_minhash_partners,
+    join_components,
 )
 from kpipe_spark.functions.stored_artifact import StoredArtifact
+
+# Partition count for the stored table's comp_bucket layout. Each
+# component lives wholly in one bucket (the key is a hash of its
+# cluster_id), so an incremental refresh overwrites only the buckets
+# holding changed components. 32 keeps per-partition file counts sane
+# at test scale; at 100 TB pick buckets so each partition is a few GB.
+NUM_COMP_BUCKETS = 32
+
+
+def _comp_bucket(cluster_id, n: int):
+    """Partition key of a component: pmod(xxhash64(cluster_id), n).
+    Every member row of a component shares cluster_id, hence the
+    component never straddles buckets — the property that makes
+    bucket-level overwrite exact."""
+    return F.pmod(F.xxhash64(cluster_id), F.lit(n)).cast("int")
 
 
 class ClusterIndex(StoredArtifact):
@@ -74,6 +113,7 @@ class ClusterIndex(StoredArtifact):
         shingle_k: int = 3,
         text_col: str = "text",
         id_col: str = "doc_id",
+        num_comp_buckets: int = NUM_COMP_BUCKETS,
     ) -> None:
         self.spark = spark
         self.table = table
@@ -82,6 +122,7 @@ class ClusterIndex(StoredArtifact):
         self.shingle_k = shingle_k
         self.text_col = text_col
         self.id_col = id_col
+        self.num_comp_buckets = num_comp_buckets
 
     # -- construction ---------------------------------------------------------
 
@@ -95,18 +136,241 @@ class ClusterIndex(StoredArtifact):
     ) -> "ClusterIndex":
         """Derive the component table once (the corpus-sized pass:
         signatures -> star candidates -> label propagation) and persist
-        it. The result is dup-graph-sized, so no partitioning/bucketing
-        is warranted — consumers broadcast it whole."""
+        it PARTITIONED BY comp_bucket (hash of cluster_id), so
+        ``refresh_incremental`` can later overwrite only the buckets
+        whose components changed. Consumers either broadcast the table
+        whole (small dup graph, under the ``join_components`` gate) or
+        shuffle-join on the id column."""
         idx = cls(spark, table, **family)
-        idx._replace_table(idx._components_of(corpus))
+        idx._write_full(idx._components_of(corpus))
         return idx
 
     def refresh(self, corpus: DataFrame) -> None:
-        """Re-derive from the CURRENT corpus (components are global —
-        one new document can merge two old clusters — so a rebuild is
-        the only sound update; see the module docstring for why there
-        is deliberately no ``append``)."""
-        self._replace_table(self._components_of(corpus))
+        """Full re-derivation from the CURRENT corpus — the fallback
+        refresh (one corpus-sized pass). ``refresh_incremental`` is
+        the release-cadence path when the new documents and a current
+        band index are at hand; see the module docstring for why there
+        is deliberately no blind ``append``."""
+        self._write_full(self._components_of(corpus))
+
+    def _write_full(self, comp: DataFrame) -> None:
+        n = self.num_comp_buckets
+        self._replace_table(
+            comp.withColumn("comp_bucket", _comp_bucket(F.col("cluster_id"), n)),
+            partition_by="comp_bucket",
+            num_comp_buckets=n,
+        )
+
+    def refresh_incremental(self, new_docs: DataFrame, corpus_index) -> dict:
+        """Fold a NEW batch into the stored components without the
+        corpus-sized MinHash pass — the corpus-release-cadence refresh
+        at 100 TB (round-10 verdict item #3).
+
+        The work is batch-scaled end to end:
+
+        1. the batch's candidate edges come from the stored band index
+           (``incremental_minhash_partners`` against
+           ``corpus_index.bands_df`` — batch-sized signatures, an
+           equi-join into the bucketed table; exactly the edges
+           ``CorpusIndex.admit`` computes),
+        2. both edge endpoints are mapped to their stored component
+           label where one exists (the old graph participates only as
+           this label CONTRACTION — sound because stored labels are the
+           old graph's exact connected-component quotient, and min-of-
+           mins keeps the global min-id label), then label propagation
+           runs over the quotient subgraph — touched components + batch
+           docs, never the whole graph,
+        3. the write INSERT OVERWRITEs only the comp_bucket partitions
+           holding changed components (dynamic partition overwrite in a
+           cloned session, so the caller session's conf is untouched).
+
+        The one corpus-order term is the endpoint->label mapping join,
+        which shuffles the stored (id, label) table by id — 16-byte
+        rows, orders of magnitude under re-reading corpus text. The
+        result is EXACTLY ``refresh(old_corpus + new_docs)``
+        (consistency-tested); old/old collisions are already contracted
+        into stored labels, and batch edges are the only new
+        information.
+
+        Caller discipline: ``corpus_index`` must cover exactly the
+        corpus this table was last refreshed against — call
+        ``corpus_index.append(new_docs)`` AFTER this method, not
+        before. Crash containment is the CmsSketch park pattern: the
+        touched-bucket content is parked first (``__refreshing``), the
+        swap is idempotent from the park, and a crash between park and
+        swap is resumed at the next call's entry.
+
+        Returns {"overwritten_buckets": ..., "num_comp_buckets": ...}.
+        """
+        for p in ("num_hashes", "bands", "shingle_k"):
+            if getattr(self, p) != getattr(corpus_index, p):
+                raise ValueError(
+                    f"MinHash family mismatch: ClusterIndex {p}="
+                    f"{getattr(self, p)} vs CorpusIndex {p}="
+                    f"{getattr(corpus_index, p)} — edges derived under a "
+                    "different family than the stored components would "
+                    "silently mislabel every cluster"
+                )
+        park = f"{self.table}__refreshing"
+        n = self._layout_buckets()
+        if self.spark.catalog.tableExists(park):
+            # a park whose touched_buckets property is present is
+            # complete (the property is written AFTER the data) —
+            # resume the swap before deriving anything from the
+            # possibly-partial live table (the CmsSketch.compact
+            # recovery argument). A park WITHOUT the property is an
+            # incomplete write whose fold never swapped: the live
+            # table is intact, so drop it and let the caller's re-run
+            # (same batch, per the crash discipline) redo the fold.
+            if self._park_touched_buckets(park) is None:
+                self.spark.sql(f"DROP TABLE {park}")
+            else:
+                self._swap_from_park(park)
+
+        pairs = incremental_minhash_partners(
+            new_docs,
+            corpus_index.bands_df,
+            self.text_col,
+            self.id_col,
+            self.num_hashes,
+            self.bands,
+            self.shingle_k,
+        )
+        stored = self.components_df
+        ids = F.col(self.id_col)
+        lab_a = stored.select(
+            ids.alias("_ida"), F.col("cluster_id").alias("_laba")
+        )
+        lab_b = stored.select(
+            ids.alias("_idb"), F.col("cluster_id").alias("_labb")
+        )
+        edges = (
+            pairs.join(lab_a, pairs["id_new"] == F.col("_ida"), "left")
+            .select(F.coalesce("_laba", "id_new").alias("qa"), "id_other")
+            .join(lab_b, F.col("id_other") == F.col("_idb"), "left")
+            .select("qa", F.coalesce("_labb", "id_other").alias("qb"))
+            .filter(F.col("qa") != F.col("qb"))
+        )
+        sub = connected_components(edges, "qa", "qb")
+        subm = sub.select(
+            F.col("id").alias("_qnode"), F.col("cluster_id").alias("_newlab")
+        ).localCheckpoint(eager=True)
+        if subm.isEmpty():
+            return {"overwritten_buckets": 0, "num_comp_buckets": n}
+
+        stored_labels = stored.select(F.col("cluster_id").alias("_qnode"))
+        # members of touched old components, under their merged label
+        relabeled = stored.join(
+            subm, stored["cluster_id"] == F.col("_qnode")
+        ).select(ids, F.col("_newlab").alias("cluster_id"))
+        # quotient nodes that are NOT old component labels: batch docs
+        # and old singletons entering the dup graph
+        fresh = subm.join(stored_labels, "_qnode", "left_anti").select(
+            F.col("_qnode").alias(self.id_col),
+            F.col("_newlab").alias("cluster_id"),
+        )
+        # buckets to overwrite: where touched components lived (old
+        # labels) plus where they land (new labels) — <= n values
+        buckets = (
+            subm.join(stored_labels, "_qnode", "left_semi")
+            .select(_comp_bucket(F.col("_qnode"), n).alias("comp_bucket"))
+            .union(
+                subm.select(
+                    _comp_bucket(F.col("_newlab"), n).alias("comp_bucket")
+                )
+            )
+            .distinct()
+        )
+        touched = [r["comp_bucket"] for r in buckets.collect()]
+        # unchanged components that happen to share a touched bucket
+        # must be written back as-is (partition overwrite is all-or-
+        # nothing per bucket); the isin filter partition-prunes the scan
+        keep = (
+            self.spark.table(self.table)
+            .filter(F.col("comp_bucket").isin(touched))
+            .join(subm, F.col("cluster_id") == F.col("_qnode"), "left_anti")
+            .select(self.id_col, "cluster_id")
+        )
+        out = (
+            keep.unionByName(relabeled)
+            .unionByName(fresh)
+            .withColumn("comp_bucket", _comp_bucket(F.col("cluster_id"), n))
+        )
+        from kpipe_spark.util import reclaim_orphaned_table_location
+
+        reclaim_orphaned_table_location(self.spark, park)
+        out.write.mode("overwrite").saveAsTable(park, format="parquet")
+        # the touched list travels ON the park (written after the data,
+        # so its presence marks the park complete): dynamic partition
+        # overwrite only replaces buckets that RECEIVE rows, so a
+        # bucket emptied by a label merge — all its components moved to
+        # other buckets — must be dropped explicitly or its stale rows
+        # survive the swap (caught by the synthetic relabel test)
+        self.spark.sql(
+            f"ALTER TABLE {park} SET TBLPROPERTIES "
+            f"('{self._PROP_PREFIX}touched_buckets' = "
+            f"'{','.join(str(b) for b in touched)}')"
+        )
+        self._swap_from_park(park)
+        return {"overwritten_buckets": len(touched), "num_comp_buckets": n}
+
+    def _park_touched_buckets(self, park: str) -> list[int] | None:
+        """The touched-bucket list recorded on a park table, or None
+        when the property is absent (an incomplete park)."""
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {park}").collect()
+        key = f"{self._PROP_PREFIX}touched_buckets"
+        for r in rows:
+            if r["key"] == key:
+                return [int(x) for x in r["value"].split(",") if x != ""]
+        return None
+
+    def _swap_from_park(self, park: str) -> None:
+        """Replace exactly the parked buckets of the live table. Runs
+        in a cloned session so partitionOverwriteMode=dynamic never
+        leaks into the caller's conf; idempotent from the park (the
+        park holds each touched bucket's FULL final content, and the
+        touched list — including buckets whose final content is EMPTY,
+        which the INSERT cannot express — rides in its properties)."""
+        touched = self._park_touched_buckets(park) or []
+        writer = self.spark.newSession()
+        writer.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer.sql(
+            f"INSERT OVERWRITE TABLE {self.table} PARTITION (comp_bucket) "
+            f"SELECT {self.id_col}, cluster_id, comp_bucket FROM {park}"
+        )
+        present = {
+            r["comp_bucket"]
+            for r in self.spark.table(park)
+            .select("comp_bucket")
+            .distinct()
+            .collect()
+        }
+        for b in touched:
+            if b not in present:
+                self.spark.sql(
+                    f"ALTER TABLE {self.table} DROP IF EXISTS "
+                    f"PARTITION (comp_bucket={b})"
+                )
+        self.spark.catalog.refreshTable(self.table)
+        self.spark.sql(f"DROP TABLE {park}")
+
+    def _layout_buckets(self) -> int:
+        """The stored table's comp_bucket partition count (from
+        TBLPROPERTIES). A legacy unpartitioned table (pre-incremental
+        layout) is migrated in place first — an index-sized rewrite,
+        no corpus pass (localCheckpoint materializes the rows so the
+        overwrite never reads the table it replaces; on a real cluster
+        checkpoint to durable storage instead)."""
+        props = self._read_props()
+        if "num_comp_buckets" in props:
+            return props["num_comp_buckets"]
+        rows = (
+            self.spark.table(self.table)
+            .select(self.id_col, "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+        self._write_full(rows)
+        return self.num_comp_buckets
 
     def _components_of(self, corpus: DataFrame) -> DataFrame:
         return dup_components(
@@ -122,9 +386,14 @@ class ClusterIndex(StoredArtifact):
 
     @property
     def components_df(self) -> DataFrame:
-        """The stored (id, cluster_id) table — dup-graph-sized, the
-        frame every ``dedup_reports`` consumer broadcasts."""
-        return self.spark.table(self.table)
+        """The stored (id, cluster_id) frame every ``dedup_reports``
+        consumer joins via the size-gated ``dedup.join_components``.
+        The comp_bucket partition column is a storage detail and is
+        projected away (partition pruning does not help consumers —
+        they touch every component — only the incremental writer)."""
+        return self.spark.table(self.table).select(
+            self.id_col, "cluster_id"
+        )
 
     def assignments(self, docs: DataFrame) -> DataFrame:
         """Per-document (id, cluster_id, is_canonical) — ``dedup.
@@ -135,13 +404,14 @@ class ClusterIndex(StoredArtifact):
     def survivors(self, docs: DataFrame) -> DataFrame:
         """``docs`` filtered to the keep-one canonical set — the actual
         dedup pass a training pipeline runs before tokenization. One
-        broadcast join + filter over the corpus scan; all input columns
-        pass through unchanged."""
+        size-gated component join + filter over the corpus scan
+        (``dedup.join_components`` — broadcast only when the stored
+        table's parquet stats are under the reviewed bound); all input
+        columns pass through unchanged."""
         ids = F.col(self.id_col)
-        comp = self.components_df  # dup-graph-sized (class docstring)
         keep = F.coalesce(F.col("cluster_id"), ids) == ids
         return (
-            docs.join(F.broadcast(comp), self.id_col, "left")
+            join_components(docs, self.components_df, self.id_col)
             .filter(keep)
             .drop("cluster_id")
         )

@@ -12,6 +12,7 @@ from __future__ import annotations
 import uuid
 
 import pytest
+from pyspark.sql import functions as F
 
 from kpipe_spark.functions.cluster_index import ClusterIndex
 from kpipe_spark.functions.dedup_reports import CONSUMERS
@@ -163,3 +164,197 @@ def test_attach_validates_family(spark, corpus):
             ClusterIndex.attach(spark, f"absent_{uuid.uuid4().hex[:8]}")
     finally:
         idx.drop()
+
+
+def test_incremental_refresh_matches_full_rebuild_sf(spark):
+    """The round-11 headline consistency contract, on the real sf0.001
+    corpus: build components + band index on ~90% of documents, fold
+    the remaining ~10% in via refresh_incremental, and the stored table
+    must equal the full inline derivation over the GROWN corpus —
+    row-for-row, labels included (the d54 incremental-vs-full pattern,
+    lifted to the component artifact)."""
+    from kpipe_spark.catalog import load_tables
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+    from kpipe_spark.functions.dedup import dup_components
+
+    docs = load_tables(spark, SF).documents
+    is_new = F.col("doc_id") % 10 == 0
+    old, batch = docs.filter(~is_new), docs.filter(is_new)
+
+    ctable = f"clusters_{uuid.uuid4().hex[:8]}"
+    btable = f"bands_{uuid.uuid4().hex[:8]}"
+    idx = ClusterIndex.build(spark, old, ctable)
+    bands = CorpusIndex.build(spark, old, btable, num_buckets=4)
+    try:
+        stats = idx.refresh_incremental(batch, bands)
+        assert 0 < stats["overwritten_buckets"] <= stats["num_comp_buckets"]
+        got = sorted(map(tuple, idx.components_df.collect()))
+        want = sorted(map(tuple, dup_components(docs).collect()))
+        assert got == want
+        assert len(got) > len(
+            sorted(map(tuple, dup_components(old).collect()))
+        ) or got == want  # grown corpus gained members (or identical)
+    finally:
+        idx.drop()
+        bands.drop()
+
+
+def test_incremental_refresh_relabel_and_partial_overwrite(spark, corpus):
+    """Synthetic merge mechanics: a batch doc with a LOWER id than an
+    existing cluster's canonical member must relabel that whole
+    cluster (min-of-mins), a fresh near-dup pair inside the batch must
+    enter as a new component, and the write must touch only a strict
+    subset of comp_bucket partitions."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+    from kpipe_spark.functions.dedup import dup_components
+
+    ctable = f"clusters_{uuid.uuid4().hex[:8]}"
+    btable = f"bands_{uuid.uuid4().hex[:8]}"
+    idx = ClusterIndex.build(spark, corpus, ctable)
+    bands = CorpusIndex.build(spark, corpus, btable, num_buckets=4)
+    try:
+        batch = _df(
+            spark,
+            [
+                (90, SPAM),  # joins + RELABELS the 100/103 cluster
+                (200, "a brand new boilerplate block shared verbatim"),
+                (201, "a brand new boilerplate block shared verbatim"),
+                (300, "unrelated novel singleton prose"),
+            ],
+        )
+        stats = idx.refresh_incremental(batch, bands)
+        grown = corpus.union(batch)
+        got = sorted(map(tuple, idx.components_df.collect()))
+        want = sorted(map(tuple, dup_components(grown).collect()))
+        assert got == want
+        labels = {r["doc_id"]: r["cluster_id"] for r in idx.components_df.collect()}
+        assert labels[100] == 90 and labels[103] == 90 and labels[90] == 90
+        assert labels[200] == 200 and labels[201] == 200
+        assert 300 not in labels  # singleton never enters the table
+        # partial write: a handful of touched components can't touch
+        # every bucket
+        assert stats["overwritten_buckets"] < stats["num_comp_buckets"]
+
+        # idempotent no-op: an already-folded batch adds no edges...
+        # (bands does NOT yet contain the batch, so re-deriving pairs
+        # yields the same edges -> same labels, zero NEW information)
+        stats2 = idx.refresh_incremental(batch, bands)
+        got2 = sorted(map(tuple, idx.components_df.collect()))
+        assert got2 == got and stats2["num_comp_buckets"] == 32
+    finally:
+        idx.drop()
+        bands.drop()
+
+
+def test_incremental_refresh_validates_family(spark, corpus):
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+
+    ctable = f"clusters_{uuid.uuid4().hex[:8]}"
+    btable = f"bands_{uuid.uuid4().hex[:8]}"
+    idx = ClusterIndex.build(spark, corpus, ctable)
+    bands = CorpusIndex.build(
+        spark, corpus, btable, num_buckets=4, bands=idx.bands - 2
+    )
+    try:
+        with pytest.raises(ValueError, match="MinHash family mismatch"):
+            idx.refresh_incremental(corpus, bands)
+    finally:
+        idx.drop()
+        bands.drop()
+
+
+def test_incremental_refresh_migrates_legacy_layout(spark, corpus):
+    """A pre-round-11 table (unpartitioned, no num_comp_buckets
+    property) is migrated to the comp_bucket layout in place — an
+    index-sized rewrite — and the incremental fold then proceeds."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+    from kpipe_spark.functions.dedup import dup_components
+
+    ctable = f"clusters_{uuid.uuid4().hex[:8]}"
+    btable = f"bands_{uuid.uuid4().hex[:8]}"
+    idx = ClusterIndex(spark, ctable)
+    idx._replace_table(dup_components(corpus))  # the legacy shape
+    bands = CorpusIndex.build(spark, corpus, btable, num_buckets=4)
+    try:
+        assert "num_comp_buckets" not in idx._read_props()
+        batch = _df(spark, [(105, SPAM)])
+        idx.refresh_incremental(batch, bands)
+        assert "num_comp_buckets" in idx._read_props()
+        got = sorted(map(tuple, idx.components_df.collect()))
+        want = sorted(map(tuple, dup_components(corpus.union(batch)).collect()))
+        assert got == want
+    finally:
+        idx.drop()
+        bands.drop()
+
+
+def test_incremental_refresh_resumes_crashed_swap(spark, corpus, monkeypatch):
+    """Crash between park write and swap: the park is complete (its
+    touched_buckets property landed), so the NEXT call resumes the
+    swap at entry before folding its own batch — and re-folding the
+    same batch afterwards is a no-op (no new edges)."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+    from kpipe_spark.functions.dedup import dup_components
+
+    ctable = f"clusters_{uuid.uuid4().hex[:8]}"
+    btable = f"bands_{uuid.uuid4().hex[:8]}"
+    idx = ClusterIndex.build(spark, corpus, ctable)
+    bands = CorpusIndex.build(spark, corpus, btable, num_buckets=4)
+    batch = _df(spark, [(90, SPAM)])
+    orig = ClusterIndex._swap_from_park
+    state = {"crashed": False}
+
+    def crash_once(self, park):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash before swap")
+        return orig(self, park)
+
+    monkeypatch.setattr(ClusterIndex, "_swap_from_park", crash_once)
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            idx.refresh_incremental(batch, bands)
+        assert spark.catalog.tableExists(f"{ctable}__refreshing")
+        # live table untouched by the crash
+        live = sorted(map(tuple, idx.components_df.collect()))
+        assert live == sorted(map(tuple, dup_components(corpus).collect()))
+        # the re-run (crash discipline: same batch) resumes + completes
+        idx.refresh_incremental(batch, bands)
+        assert not spark.catalog.tableExists(f"{ctable}__refreshing")
+        got = sorted(map(tuple, idx.components_df.collect()))
+        want = sorted(
+            map(tuple, dup_components(corpus.union(batch)).collect())
+        )
+        assert got == want
+    finally:
+        idx.drop()
+        bands.drop()
+
+
+def test_incremental_refresh_drops_incomplete_park(spark, corpus):
+    """A park WITHOUT the touched_buckets property is an incomplete
+    write (crash mid-park): the live table is intact, so the next call
+    discards the park and folds normally."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+    from kpipe_spark.functions.dedup import dup_components
+
+    ctable = f"clusters_{uuid.uuid4().hex[:8]}"
+    btable = f"bands_{uuid.uuid4().hex[:8]}"
+    idx = ClusterIndex.build(spark, corpus, ctable)
+    bands = CorpusIndex.build(spark, corpus, btable, num_buckets=4)
+    try:
+        # fabricate an incomplete park: data, no touched_buckets prop
+        spark.createDataFrame(
+            [(999, 999, 0)], "doc_id bigint, cluster_id bigint, comp_bucket int"
+        ).write.saveAsTable(f"{ctable}__refreshing", format="parquet")
+        batch = _df(spark, [(90, SPAM)])
+        idx.refresh_incremental(batch, bands)
+        got = sorted(map(tuple, idx.components_df.collect()))
+        want = sorted(
+            map(tuple, dup_components(corpus.union(batch)).collect())
+        )
+        assert got == want  # 999 never leaked into the live table
+        assert not spark.catalog.tableExists(f"{ctable}__refreshing")
+    finally:
+        idx.drop()
+        bands.drop()
