@@ -1027,17 +1027,23 @@ def _suspect_recapture_pass(
     sweep_q: dict[str, float],
     sweep_amb: dict[str, float],
     capture,
+    budget: "_RequeueBudget | None" = None,
 ) -> dict[str, dict]:
     """The headline form of the sweep's outlier policy, machine-made:
     a row whose capture reads >2× its value in the newest committed
     QUIET sweep has almost certainly eaten a host stall the ambient
     measure cannot see (guest-invisible hypervisor episodes hit single
     rows at ambient ~0 — ARCHITECTURE §6.5 round-10 note). Each
-    suspect is re-captured ONCE via ``capture(name) -> (best, ext)``;
-    ``timings``/``ambient`` keep the minimum in place, and the
-    returned evidence dict records both values so the artifact shows
-    its work. Rows whose sweep reference was itself hot (ambient
-    above ``gate``) are not trusted as references and are skipped."""
+    suspect first waits out ambient contention (same gate/budget
+    discipline as first captures — round-10 ADVICE: an ungated retry
+    window can itself be hot), then re-captures ONCE via
+    ``capture(name) -> (best, ext)``; ``timings``/``ambient`` keep the
+    minimum in place, and the evidence dict records both values. A row
+    whose RECAPTURE also reads >2× the quiet reference is flagged
+    ``still_suspect`` so the verdict step re-tests it instead of
+    trusting a twice-inflated number. Rows whose sweep reference was
+    itself hot (ambient above ``gate``) are not trusted as references
+    and are skipped."""
     out: dict[str, dict] = {}
     for name in names:
         ref = sweep_q.get(name)
@@ -1045,16 +1051,74 @@ def _suspect_recapture_pass(
             continue
         if timings[name] <= 2.0 * ref:
             continue
+        if budget is not None and gate > 0:
+            _await_ambient_quiet(gate, budget)
         best, ext = capture(name)
         out[name] = {
             "first_capture": timings[name],
             "recapture": round(best, 3),
             "quiet_sweep_ref": ref,
         }
+        if best > 2.0 * ref:
+            out[name]["still_suspect"] = True
         if best < timings[name]:
             timings[name] = round(best, 3)
             ambient[name] = round(ext, 2)
     return out
+
+
+def _ratio_mover_pass(
+    names,
+    timings: dict[str, float],
+    ambient: dict[str, float],
+    gate: float,
+    sweep_q: dict[str, float],
+    sweep_amb: dict[str, float],
+    prev_ratios: dict[str, float],
+    capture,
+    budget: "_RequeueBudget | None" = None,
+) -> tuple[dict[str, float], dict[str, dict]]:
+    """Headline self-adjudication (round-10 verdict item #5): every
+    row carries ``vs_sweep_ratio`` = headline time / the same query's
+    value in the newest committed QUIET sweep, and a row whose ratio
+    REGRESSED >1.25× against the previous committed artifact's ratio
+    is re-captured (ambient-gated) before the artifact ships — so a
+    host-drift episode is adjudicated by the bench run itself instead
+    of the next round's verdict re-deriving it from file diffs.
+    Returns (ratios, evidence); ``timings``/``ambient`` keep the
+    minimum in place. Improvements (ratio moving DOWN) are not
+    re-captured — only inflation needs adjudication."""
+    evidence: dict[str, dict] = {}
+    for name in names:
+        ref = sweep_q.get(name)
+        if not ref or sweep_amb.get(name, 0.0) > gate > 0:
+            continue
+        prev = prev_ratios.get(name)
+        if not prev or prev <= 0:
+            continue
+        ratio = timings[name] / ref
+        if ratio <= 1.25 * prev:
+            continue
+        if budget is not None and gate > 0:
+            _await_ambient_quiet(gate, budget)
+        best, ext = capture(name)
+        evidence[name] = {
+            "first_capture": timings[name],
+            "recapture": round(best, 3),
+            "quiet_sweep_ref": ref,
+            "prev_ratio": prev,
+        }
+        if best < timings[name]:
+            timings[name] = round(best, 3)
+            ambient[name] = round(ext, 2)
+        if timings[name] / ref > 1.25 * prev:
+            evidence[name]["still_moved"] = True
+    ratios = {
+        n: round(timings[n] / sweep_q[n], 3)
+        for n in names
+        if sweep_q.get(n)
+    }
+    return ratios, evidence
 
 
 def _timed_capture(build, runs: int = 3) -> tuple[float, float]:
@@ -1353,6 +1417,8 @@ def main(out_path: str | None = None) -> None:
     # different sessions). Re-capture each suspect once, keep the min,
     # and record both values so the artifact shows its work.
     suspect_recaptures: dict[str, dict] = {}
+    vs_sweep_ratio: dict[str, float] = {}
+    ratio_movers: dict[str, dict] = {}
     sweeps = _latest_sweep_artifacts(1)
     if sweeps:
         try:
@@ -1372,6 +1438,41 @@ def main(out_path: str | None = None) -> None:
             lambda name: _timed_capture(
                 lambda: queries[name].build(spark, sf_dir)
             ),
+            budget,
+        )
+        # per-row sweep-normalized ratio + round-over-round mover
+        # adjudication against the PREVIOUS committed artifact (read
+        # before this run overwrites it); first rounds without stored
+        # ratios derive them from the previous timings over the same
+        # sweep reference
+        prev_ratios: dict[str, float] = {}
+        try:
+            with open(
+                out_path
+                or os.environ.get(
+                    "SPARK_GRAFT_BENCH_OUT", "BENCH_HEADLINE.json"
+                )
+            ) as f:
+                prev_doc = json.load(f)
+            prev_ratios = prev_doc.get("vs_sweep_ratio") or {
+                n: t / sweep_q[n]
+                for n, t in (prev_doc.get("queries") or {}).items()
+                if sweep_q.get(n)
+            }
+        except (OSError, json.JSONDecodeError):
+            prev_ratios = {}
+        vs_sweep_ratio, ratio_movers = _ratio_mover_pass(
+            HEADLINE,
+            timings,
+            ambient,
+            gate,
+            sweep_q,
+            sweep_amb,
+            prev_ratios,
+            lambda name: _timed_capture(
+                lambda: queries[name].build(spark, sf_dir)
+            ),
+            budget,
         )
 
     _streaming_pipeline_rate(spark, sf_dir, n_batches=3)
@@ -1492,6 +1593,12 @@ def main(out_path: str | None = None) -> None:
         # and were re-captured once (host-stall episodes the ambient
         # measure cannot see); timings keep the min, both recorded
         "suspect_recaptures": suspect_recaptures,
+        # headline time / same query's newest committed QUIET sweep
+        # value, and rows whose ratio regressed >1.25x vs the previous
+        # committed artifact (re-captured before shipping) — the
+        # self-adjudication the r10 verdict had to re-derive by hand
+        "vs_sweep_ratio": vs_sweep_ratio,
+        "ratio_movers": ratio_movers,
         # headline value keeps the streaming convention (best); median/
         # spread make a host-state swing visible inside ONE artifact
         "pipeline_records_per_sec": pipe_stats["best"],

@@ -36,20 +36,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS). Older Spark rejects it
-        # outright unless read as a raw int64 (legacy conf); Spark 4.1+
+        # events.ts is parquet TIMESTAMP(NANOS). Spark 4.1+ (the
+        # deployed runtime — probed: the legacy conf is a no-op there)
         # reads it natively as TIMESTAMP_NTZ truncated to micros (the
-        # same truncation DuckDB applies to TIMESTAMP_NS). Handle both,
-        # normalizing to session-local TimestampType (session tz is
-        # pinned UTC, so the NTZ cast is value-preserving).
-        # KNOWN SIDE EFFECT: the legacy conf stays set session-wide —
-        # a later read of an UNRELATED nanos parquet in this session
-        # comes back as raw LongType instead of native NTZ. Restoring
-        # it here is unsafe (the returned frame is lazy and the conf
-        # is consulted at scan time), so the trade is documented
-        # rather than hidden.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+        # same truncation DuckDB applies to TIMESTAMP_NS), so the
+        # native read is attempted FIRST and the caller session's conf
+        # is never touched on it (round-10 ADVICE: the old
+        # unconditional session-wide nanosAsLong turned every later
+        # unrelated nanos read in the session into raw LongType).
+        # Older Spark rejects NANOS at schema conversion unless read
+        # as raw int64 — only that fallback sets the legacy conf, and
+        # it must be session-wide there: the returned frame is lazy
+        # and the conf is consulted at scan time, so a scoped/restored
+        # conf would break the frame (known old-Spark-only trade).
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         if isinstance(df.schema["ts"].dataType, LongType):
             # FLOOR division to micros: `ts div 1000` truncates toward

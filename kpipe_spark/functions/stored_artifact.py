@@ -107,6 +107,78 @@ class StoredArtifact:
         writer.saveAsTable(self.table, format="parquet")
         self._set_props(**marker)
 
+    def _compact_unpartitioned_via_park(self, merged_state: DataFrame) -> None:
+        """Replace an UNPARTITIONED artifact table's accreted state with
+        ``merged_state`` under the park discipline (CmsSketch.compact's
+        containment, simplified for tables without partitions):
+
+        1. the merged state is parked in a ``__compacting`` side table,
+           then the live table's last_batch_id is recorded on the park
+           (marker AFTER data: an unmarked park is an incomplete write
+           whose swap never started — live intact, drop and redo);
+        2. the swap is one whole-table INSERT OVERWRITE reading from
+           the park — a crash mid-swap leaves the complete merged copy
+           under the park name and recovery resumes the swap, refusing
+           first if the live table applied NEWER batches than the park
+           merged (streams restarted after the crash; swapping would
+           silently drop their state);
+        3. the live table is never dropped/recreated, so family
+           TBLPROPERTIES and the replay marker survive untouched.
+
+        Run with streams STOPPED (their checkpoints intact)."""
+        from kpipe_spark.util import reclaim_orphaned_table_location
+
+        tmp = f"{self.table}__compacting"
+        merged_prop = f"{self._PROP_PREFIX}compact_merged_max_batch_id"
+        if not self.spark.catalog.tableExists(tmp):
+            reclaim_orphaned_table_location(self.spark, tmp)
+            merged_max = self.last_batch_id()
+            merged_state.write.mode("overwrite").saveAsTable(
+                tmp, format="parquet"
+            )
+            self.spark.sql(
+                f"ALTER TABLE {tmp} SET TBLPROPERTIES "
+                f"('{merged_prop}' = '{int(merged_max)}')"
+            )
+        else:
+            park_max = next(
+                (
+                    int(r["value"])
+                    for r in self.spark.sql(
+                        f"SHOW TBLPROPERTIES {tmp}"
+                    ).collect()
+                    if r["key"] == merged_prop
+                ),
+                None,
+            )
+            if park_max is None:
+                # marker is written AFTER the park data and BEFORE the
+                # live overwrite, and these compacts have no pre-marker
+                # era: an unmarked park is an incomplete park write,
+                # the swap never started, the live table is complete —
+                # drop the park and restart the compact from live.
+                self.spark.sql(f"DROP TABLE {tmp}")
+                self._compact_unpartitioned_via_park(merged_state)
+                return
+            if self.last_batch_id() > park_max:
+                raise RuntimeError(
+                    f"compact() recovery refused for {self.table}: the "
+                    f"leftover park {tmp} merged batches up to "
+                    f"{park_max}, but the live table has applied newer "
+                    f"batch ids (last_batch_id="
+                    f"{self.last_batch_id()}) — streams were restarted "
+                    "after a crashed compact, and resuming the swap "
+                    "would drop their state. With streams stopped, "
+                    f"INSERT INTO {tmp} the live rows, set "
+                    f"'{merged_prop}' = '{self.last_batch_id()}' on "
+                    f"{tmp}, then re-run compact()."
+                )
+        self.spark.sql(
+            f"INSERT OVERWRITE TABLE {self.table} SELECT * FROM {tmp}"
+        )
+        self.spark.sql(f"REFRESH TABLE {self.table}")
+        self.spark.sql(f"DROP TABLE {tmp}")
+
     def _set_props(self, **extra: int) -> None:
         props = {p: getattr(self, p) for p in self._FAMILY_PROPS}
         props.update(extra)

@@ -207,3 +207,59 @@ def test_suspect_recapture_pass_policy():
     }
     assert out["worse"]["recapture"] == 4.0  # evidence kept either way
     assert "normal" not in out and "hot_ref" not in out and "no_ref" not in out
+
+
+def test_suspect_recapture_flags_still_suspect():
+    """A recapture that ALSO reads >2x the quiet reference is flagged
+    for the verdict step instead of shipping as adjudicated (round-10
+    ADVICE: the single retry window can itself be hot)."""
+    timings = {"twice_hot": 10.0}
+    ambient = {"twice_hot": 0.0}
+    out = bench._suspect_recapture_pass(
+        ["twice_hot"],
+        timings,
+        ambient,
+        2.0,
+        {"twice_hot": 1.0},
+        {"twice_hot": 0.0},
+        lambda name: (7.0, 0.1),
+    )
+    assert out["twice_hot"]["still_suspect"] is True
+    assert timings["twice_hot"] == 7.0  # min still kept
+
+
+def test_ratio_mover_pass_policy():
+    """Pins the round-11 headline self-adjudication: every quiet-ref
+    row carries vs_sweep_ratio; only rows whose ratio regressed >1.25x
+    against the previous artifact's ratio re-capture; improvements and
+    rows without a prior ratio are untouched; a mover whose recapture
+    still regresses is flagged still_moved."""
+    timings = {
+        "drifted": 4.0,      # ratio 4.0 vs prev 1.0 -> recapture, improves
+        "stuck": 3.0,        # ratio 3.0 vs prev 1.0 -> recapture stays high
+        "steady": 1.2,       # ratio 1.2 vs prev 1.0 -> within 1.25x
+        "improved": 0.5,     # ratio down -> never recaptured
+        "fresh": 2.0,        # no prev ratio -> skipped
+    }
+    ambient = {n: 0.0 for n in timings}
+    sweep_q = {n: 1.0 for n in timings}
+    sweep_amb = {n: 0.0 for n in timings}
+    prev = {"drifted": 1.0, "stuck": 1.0, "steady": 1.0, "improved": 1.0}
+    captured = []
+
+    def capture(name):
+        captured.append(name)
+        return {"drifted": (1.1, 0.02), "stuck": (2.9, 0.0)}[name]
+
+    ratios, evidence = bench._ratio_mover_pass(
+        list(timings), timings, ambient, 2.0, sweep_q, sweep_amb, prev, capture
+    )
+    assert captured == ["drifted", "stuck"]
+    assert timings["drifted"] == 1.1 and ratios["drifted"] == 1.1
+    assert evidence["drifted"]["prev_ratio"] == 1.0
+    assert "still_moved" not in evidence["drifted"]
+    assert evidence["stuck"]["still_moved"] is True
+    assert "improved" not in evidence and "fresh" not in evidence
+    # every quiet-ref row carries its ratio, movers or not
+    assert set(ratios) == set(timings)
+    assert ratios["improved"] == 0.5

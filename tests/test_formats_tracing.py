@@ -323,3 +323,62 @@ def test_metrics_listener_rate_gauge_handles_nan():
     assert _rate_gauge(float("nan")) == 0
     assert _rate_gauge(123.9) == 123
     assert _rate_gauge(0.0) == 0
+
+
+def test_sr_resolver_cache_is_process_lifetime_across_tasks(tmp_path):
+    """Round-10 ADVICE: the closure dict alone is TASK-lifetime (every
+    task deserializes the UDF with a fresh empty dict). The module-
+    level cache keys by the factory's serialized bytes, so two
+    DIFFERENT deserialized copies of the same factory — what two tasks
+    in one reused worker process actually hold — must resolve to ONE
+    shared entry (the second lookup never re-runs the factory), while
+    a genuinely different factory gets its own. Factory runs are
+    counted via marker files because cloudpickle copies closures BY
+    VALUE (an in-memory counter in the closure would not observe the
+    deserialized copies' calls)."""
+    import os
+
+    from pyspark import cloudpickle
+
+    from kpipe_spark.pipeline.schema_registry import (
+        _PROCESS_RESOLVERS,
+        _process_resolver_entry,
+        make_dict_resolver,
+    )
+
+    marker_dir = str(tmp_path / "calls")
+    os.makedirs(marker_dir)
+    schemas = {1: '{"type":"record"}'}
+
+    def factory():
+        import os as _os
+        import uuid as _uuid
+
+        open(_os.path.join(marker_dir, _uuid.uuid4().hex), "w").close()
+        return make_dict_resolver(schemas)
+
+    blob = cloudpickle.dumps(factory)
+    copy_task1 = cloudpickle.loads(blob)
+    copy_task2 = cloudpickle.loads(blob)
+    before = len(_PROCESS_RESOLVERS)
+    e1 = _process_resolver_entry(copy_task1)
+    e2 = _process_resolver_entry(copy_task2)
+    assert e1 is e2, "same factory value must share one process entry"
+    assert len(os.listdir(marker_dir)) == 1, (
+        "factory must run once per process, not per task"
+    )
+    assert len(_PROCESS_RESOLVERS) == before + 1
+
+    other_schemas = {2: '{"type":"record"}'}
+
+    def other_factory():
+        import os as _os
+        import uuid as _uuid
+
+        open(_os.path.join(marker_dir, _uuid.uuid4().hex), "w").close()
+        return make_dict_resolver(other_schemas)
+
+    e3 = _process_resolver_entry(
+        cloudpickle.loads(cloudpickle.dumps(other_factory))
+    )
+    assert e3 is not e1 and len(os.listdir(marker_dir)) == 2

@@ -729,3 +729,128 @@ def test_cms_delta_partition_growth_surfaced_in_health(spark, caplog):
         assert sk.health()["compaction_advised"] is False
     finally:
         sk.drop()
+
+
+def test_bloom_gate_health_and_compact(spark, corpus):
+    """Round-10 verdict item #7 (sketch health symmetry): BloomGate's
+    growth axis is FILES (rows bounded at <= m); health surfaces fill
+    + FP estimate + file count with the compaction advisory, and
+    compact() folds the accreted appends into one distinct file set
+    with verdicts and the replay marker unchanged."""
+    table = f"bloom_health_{uuid.uuid4().hex[:8]}"
+    g = BloomGate.build(spark, corpus, table, m=1 << 12, k=3)
+    try:
+        for b in range(3):
+            g.update_batch(
+                _docs(spark, [(200 + b, f"novel batch doc {b}")]), batch_id=b
+            )
+        h = g.health()
+        assert h["n_bits_set"] == g.n_bits_set() > 0
+        assert 0 < h["fill_ratio"] < 1
+        assert h["fp_rate_estimate"] == round(h["fill_ratio"] ** 3, 6)
+        assert h["state_files"] >= 4  # base + one per append
+        assert h["compaction_advised"] is (
+            h["state_files"] > g.advisory_state_files
+        )
+        before_bits = g.n_bits_set()
+        probe_before = sorted(
+            map(tuple, g.probe(corpus).collect())
+        )
+        g.compact()
+        assert g.state_files() == 1
+        assert g.n_bits_set() == before_bits
+        assert sorted(map(tuple, g.probe(corpus).collect())) == probe_before
+        # replay marker survives the swap: batch 2 still skips
+        assert g.last_batch_id() == 2
+        assert g.update_batch(_docs(spark, [(999, "x y")]), batch_id=2) is False
+        # and the gate keeps accepting new batches afterwards
+        assert g.update_batch(_docs(spark, [(999, "post compact doc")]), 3)
+    finally:
+        g.drop()
+
+
+def test_hll_sketch_health_and_compact(spark, corpus):
+    """HllSketch symmetry: rows AND files accrete per batch; compact()
+    reduces state to the <= m max-merged registers with a bit-identical
+    estimate and the replay marker preserved."""
+    from kpipe_spark.functions.sketches import HllSketch
+
+    table = f"hll_health_{uuid.uuid4().hex[:8]}"
+    sk = HllSketch.build(spark, corpus, table, m=64)
+    try:
+        for b in range(3):
+            sk.update_batch(
+                _docs(spark, [(300 + b, f"fresh tokens batch{b} qqq{b}")]),
+                batch_id=b,
+            )
+        rows, files = sk.state_rows_and_files()
+        assert files >= 4
+        h = sk.health()
+        assert h["state_rows"] == rows and h["register_budget"] == 64
+        assert h["compaction_advised"] is (files > sk.advisory_state_files)
+        est_before = sk.distinct_estimate()
+        merged_before = sorted(map(tuple, sk.registers_df.collect()))
+        sk.compact()
+        rows2, files2 = sk.state_rows_and_files()
+        assert files2 == 1 and rows2 <= 64 and rows2 < rows
+        assert sk.distinct_estimate() == est_before
+        assert sorted(map(tuple, sk.registers_df.collect())) == merged_before
+        assert sk.last_batch_id() == 2
+        assert sk.update_batch(_docs(spark, [(9, "z")]), batch_id=1) is False
+        assert sk.update_batch(_docs(spark, [(9, "brand new words")]), 5)
+    finally:
+        sk.drop()
+
+
+def test_unpartitioned_compact_park_recovery(spark, corpus):
+    """The shared park containment for unpartitioned sketch compacts:
+    a complete park (marker present) left by a crash resumes the swap
+    on the next compact(); an unmarked park (crash before the marker)
+    is discarded and the compact restarts from the intact live table;
+    a park older than the live table's applied batches is refused."""
+    from kpipe_spark.functions.sketches import HllSketch
+
+    table = f"hll_park_{uuid.uuid4().hex[:8]}"
+    tmp = f"{table}__compacting"
+    sk = HllSketch.build(spark, corpus, table, m=64)
+    try:
+        sk.update_batch(_docs(spark, [(1, "aa bb cc")]), batch_id=0)
+        merged = sorted(map(tuple, sk.registers_df.collect()))
+
+        # complete park, crash before swap: fabricate what step 1 leaves
+        sk.registers_df.coalesce(1).write.mode("overwrite").saveAsTable(
+            tmp, format="parquet"
+        )
+        spark.sql(
+            f"ALTER TABLE {tmp} SET TBLPROPERTIES "
+            f"('kpipe.hll.compact_merged_max_batch_id' = '0')"
+        )
+        sk.compact()  # resumes the swap from the park
+        assert not spark.catalog.tableExists(tmp)
+        assert sorted(map(tuple, sk.registers_df.collect())) == merged
+        assert sk.state_rows_and_files()[1] == 1
+
+        # unmarked park: dropped, compact restarts from live
+        spark.createDataFrame(
+            [(0, 63)], "bucket int, mrho int"
+        ).write.saveAsTable(tmp, format="parquet")
+        sk.compact()
+        assert not spark.catalog.tableExists(tmp)
+        got = sorted(map(tuple, sk.registers_df.collect()))
+        assert got == merged  # the bogus (0, 63) row never leaked in
+
+        # stale park vs newer live batches: refused, nothing touched
+        sk.registers_df.coalesce(1).write.mode("overwrite").saveAsTable(
+            tmp, format="parquet"
+        )
+        spark.sql(
+            f"ALTER TABLE {tmp} SET TBLPROPERTIES "
+            f"('kpipe.hll.compact_merged_max_batch_id' = '0')"
+        )
+        sk.update_batch(_docs(spark, [(2, "dd ee ff")]), batch_id=7)
+        with pytest.raises(RuntimeError, match="recovery refused"):
+            sk.compact()
+        assert spark.catalog.tableExists(tmp)
+    finally:
+        sk.drop()
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
