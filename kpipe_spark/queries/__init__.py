@@ -54,21 +54,28 @@ def register(
 # stalest-first evidence rotation (sentinels -> first-time grades ->
 # ascending latest-grade round, registry-order ties) over the committed
 # CORRECTNESS_r0*.json artifacts — see rotation.py's docstring for the
-# rule, including why rows-only queries (d23/d27/d28) don't occupy
-# hash-pass slots. tests/test_rotation_window.py asserts this literal
+# rule (the rows-only exclusion is dormant since round 11: every
+# registry entry is oracle-backed now). tests/test_rotation_window.py
+# asserts this literal
 # equals the computation, so a drifted list fails CI instead of
 # silently aging a grade (that drift happened once: round 8's
 # hand-typed list dropped d24_dup_clusters from its own count).
-# Round 11 = the round-7-era block stalest-first in registry order
-# (q71-q83 relational, the d49-d54 selection/packing family, the
-# adaptive-nprobe and unigram/KN families d90-d95, m03/m04). All
-# oracle-backed queries run the identical DuckDB compare in pytest
-# regardless of window position.
+# Round 11 = the freshly-oracled d23/d27/d28 (rows-only grades from
+# round 5 are the registry's stalest — their first-ever HASH grades),
+# then the round-7-era block stalest-first in registry order (q71-q80
+# relational, the d49-d54 selection/packing family, the adaptive-nprobe
+# and unigram/KN families d90-d95, m03/m04; q81-q83 defer to round 12
+# by the self-correcting deferral rule). All oracle-backed queries run
+# the identical DuckDB compare in pytest regardless of window position.
 FLAGSHIP_50: tuple[str, ...] = (
     # sentinels for cross-round comparability
     "q01_pricing_summary",
     "p01_outcome_accounting",
     "d05_minhash_neardup",
+    # round-5-era rows-only grades, now oracle-backed (round-11 work)
+    "d23_mllib_minhash_join",
+    "d27_ivf_kmeans_topk",
+    "d28_bpe_train",
     # round-7-era re-grades, stalest-first in registry order
     "q71_event_funnel",
     "m03_media_features",
@@ -114,9 +121,6 @@ FLAGSHIP_50: tuple[str, ...] = (
     "q78_revenue_pareto",
     "q79_gap_fill_locf",
     "q80_nation_profit",
-    "q81_important_parts",
-    "q82_part_supplier_counts",
-    "q83_best_supplier_per_part",
 )
 
 

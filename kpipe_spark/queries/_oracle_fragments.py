@@ -125,3 +125,175 @@ COMPONENTS_CTES = """
       SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
     )
 """
+
+
+def bpe_oracle_sql(num_merges: int = 8, table: str = "documents") -> str:
+    """DuckDB oracle for BPE training (d28) — the iterative merge loop
+    unrolled into ``num_merges`` chained CTE rounds, mirroring
+    ``functions.bpe.train_bpe`` exactly.
+
+    The merge-application trick: a word's symbol list is carried as a
+    newline-framed string ``\\n sym \\n\\n sym \\n\\n ... \\n`` (symbols
+    can never contain whitespace — they are characters/merges of
+    whitespace-split tokens — so the framing is unambiguous), and
+    applying merge (l, r) is ONE ``replace(s, '\\n'||l||'\\n\\n'||r||
+    '\\n', '\\n'||l||r||'\\n')``: plain left-to-right non-overlapping
+    substring replacement, which is exactly the BPE fold's semantics
+    ([a,a,a] -> [aa,a], [a,a,a,a] -> [aa,aa]); the pattern consumes
+    only ONE frame newline on each side, so the next symbol keeps its
+    leading frame and chained merges stay left-to-right. Tie-break
+    mirrors the Spark side: weight DESC, pair string ASC (both engines
+    compare byte-wise).
+    """
+    nl = "chr(10)"
+    sep = f"{nl} || {nl}"
+    sql = [
+        f"""
+    WITH words AS (
+      SELECT t AS word, count(*) AS weight FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS t
+        FROM {table} WHERE text IS NOT NULL
+      ) GROUP BY t
+    ), vocab0 AS (
+      SELECT {nl} || array_to_string(
+               list_append(list_transform(range(1, length(word) + 1),
+                                          i -> word[i]), '</w>'),
+               {sep}) || {nl} AS s,
+             weight
+      FROM words
+    )"""
+    ]
+    for k in range(num_merges):
+        sql.append(
+            f""", sy{k} AS (
+      SELECT str_split(trim(s, {nl}), {sep}) AS syms, weight FROM vocab{k}
+    ), pr{k} AS (
+      SELECT unnest(list_transform(range(1, len(syms)),
+             i -> syms[i] || ' ' || syms[i+1])) AS pair, weight
+      FROM sy{k} WHERE len(syms) >= 2
+    ), rule{k} AS (
+      SELECT {k} AS rank,
+             split_part(pair, ' ', 1) AS l,
+             split_part(pair, ' ', 2) AS r,
+             CAST(sum(weight) AS BIGINT) AS w
+      FROM pr{k} GROUP BY pair
+      ORDER BY sum(weight) DESC, pair ASC LIMIT 1
+    ), vocab{k + 1} AS (
+      SELECT replace(s, {nl} || l || {sep} || r || {nl},
+                        {nl} || l || r || {nl}) AS s, weight
+      FROM vocab{k} CROSS JOIN rule{k}
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM rule{k}" for k in range(num_merges)
+    )
+    sql.append(
+        f"""
+    SELECT rank, l AS "left", r AS "right", w AS pair_weight
+    FROM ({union})
+    ORDER BY rank"""
+    )
+    return "".join(sql)
+
+
+def ivf_lloyd_oracle_sql(
+    k: int = 16,
+    iters: int = 5,
+    nprobe: int = 2,
+    topk: int = 5,
+    n_queries: int = 8,
+    scale: int = 1 << 20,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for d27 — integer-exact Lloyd-trained IVF search.
+
+    Mirrors ``similarity.lloyd_centroids_int`` round for round:
+    coordinates quantize to floor(x·scale) BIGINTs, each unrolled Lloyd
+    iteration assigns by integer squared-L2 (ties to the lowest
+    centroid_id), per-(cell, dim) integer sums feed floor-division
+    means (numerator made divisible by subtracting a non-negative mod,
+    so truncating ``//`` equals Python's floor ``//`` exactly), empty
+    cells keep their centroid via the LEFT JOIN coalesce. The search
+    tail is d13's oracle shape over the trained centroids dequantized
+    as C/scale (exact in doubles).
+    """
+    sql = [
+        f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id, e,
+             list_transform(e, x -> CAST(floor(x * {float(scale)}) AS BIGINT)) AS qe
+      FROM v
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+               AS centroid_id,
+             qe AS c
+      FROM q ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    for t in range(iters):
+        sql.append(
+            f""", a{t} AS (
+      SELECT vec_id, qe, centroid_id FROM (
+        SELECT q.vec_id, q.qe, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(q.qe) + 1),
+                   i -> (q.qe[i] - c.c[i]) * (q.qe[i] - c.c[i]))),
+                 c.centroid_id) AS rn
+        FROM q, c{t} c) WHERE rn = 1
+    ), s{t} AS (
+      -- dim is a generator parameter: DuckDB's table-function range()
+      -- cannot take a correlated len(qe); list-context range() can
+      -- (the assignment CTE above uses it)
+      SELECT centroid_id, i, CAST(sum(qe[i]) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM a{t}, range(1, {dim} + 1) t(i)
+      GROUP BY centroid_id, i
+    ), c{t + 1} AS (
+      SELECT p.centroid_id, coalesce(m.c, p.c) AS c
+      FROM c{t} p LEFT JOIN (
+        SELECT centroid_id,
+               list(CAST((s - (((s % n) + n) % n)) // n AS BIGINT)
+                    ORDER BY i) AS c
+        FROM s{t} GROUP BY centroid_id) m USING (centroid_id)
+    )"""
+        )
+    sql.append(
+        f""", cents AS (
+      SELECT centroid_id,
+             list_transform(c, x -> CAST(x AS DOUBLE) / {float(scale)}) AS ce
+      FROM c{iters}
+    ), assigned AS (
+      SELECT vec_id, e, centroid_id FROM (
+        SELECT v.vec_id, v.e, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.centroid_id
+               ) AS crn
+        FROM v, cents c
+      ) WHERE crn = 1
+    ), probes AS (
+      SELECT query_id, qe, centroid_id FROM (
+        SELECT v.vec_id AS query_id, v.e AS qe, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.centroid_id
+               ) AS crn
+        FROM v, cents c WHERE v.vec_id < {n_queries}
+      ) WHERE crn <= {nprobe}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(p.qe, a.e) AS sim
+      FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {topk}"""
+    )
+    return "".join(sql)

@@ -775,36 +775,100 @@ def d22_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d23_mllib_minhash_join",
-    oracle=None,  # randomized hash family (seed-fixed) — semantics in pytest
+    # round-11 (retiring the registry's last no_oracle asterisks): the
+    # REPORTED distance is now the exact distinct-3-gram Jaccard
+    # (integer algebra both sides), so the result is fully
+    # SQL-expressible; MLlib's seed-fixed LSH stays the candidate
+    # DISCOVERY mechanism with a loosened 0.45 hashed-distance net and
+    # the exact <= 0.3 filter applied after. Oracle = the exact
+    # all-pairs set; equality holds because single-minhash OR over 8
+    # tables misses a sim>=0.7 pair w.p. (1-s)^8 <= 0.3^8 ~ 7e-5 and
+    # the graded fixtures are fixed + seed-fixed (deterministic run to
+    # run) — the d05 sentinel argument. Mirrors RegexTokenizer's
+    # LOWERCASING and NGram's no-short-doc-fallback (docs under 3
+    # tokens produce no grams), which differ from word_shingles.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), gr AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+      FROM toks WHERE len(t) >= 3
+    ), grams AS (
+      SELECT DISTINCT doc_id, g FROM gr
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor((sa.n + sb.n - 2 * i) * 1.0
+                 / (sa.n + sb.n - i) * 10000 + 0.5) / 10000
+             AS jaccard_dist
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 10 * (sa.n + sb.n - 2 * i) <= 3 * (sa.n + sb.n - i)
+    """,
     description="MLlib-path near-dup: RegexTokenizer -> NGram(3) -> "
-    "HashingTF -> MinHashLSH.approxSimilarityJoin (seed-fixed), "
-    "3-gram-set Jaccard distance <= 0.3 — the built-in alternative to "
-    "the custom expression-level MinHash (d05); same shingling, same "
+    "HashingTF -> MinHashLSH.approxSimilarityJoin (seed-fixed) finds "
+    "the candidate pairs; the reported distance is the EXACT distinct-"
+    "3-gram Jaccard over the candidates, thresholded <= 0.3 in integer "
+    "algebra (10*(u-i) <= 3*u — no float boundary), so the op is "
+    "oracle-gradeable against the exact all-pairs SQL. The built-in "
+    "alternative to the custom expression-level MinHash (d05): same "
     "bucketed-join shape under the hood, vectors instead of signature "
-    "arrays.",
+    "arrays; the LSH net uses a loosened 0.45 hashed-distance "
+    "threshold so hashed-vs-exact drift can't drop a boundary pair.",
     tags=("llm", "dedup", "minhash", "mllib"),
 )
 def d23_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
+    from kpipe_spark.util import ieee_round
+
     docs = load_tables(spark, sf_dir).documents
     tok = RegexTokenizer(
         inputCol="text", outputCol="_words", pattern=r"\s+"
-    ).transform(ensure_parallelism(docs))
-    grams = NGram(n=3, inputCol="_words", outputCol="_grams").transform(tok)
+    ).transform(ensure_parallelism(docs.filter(F.col("text").isNotNull())))
+    grams = (
+        NGram(n=3, inputCol="_words", outputCol="_grams")
+        .transform(tok)
+        .withColumn("_gset", F.array_distinct("_grams"))
+        # empty feature vectors (docs under 3 tokens) would fail the
+        # LSH fit; they also have no grams to near-dup on either side
+        .filter(F.size("_gset") >= 1)
+    )
     tf = HashingTF(
         inputCol="_grams", outputCol="_features", numFeatures=1 << 18
     ).transform(grams)
     model = MinHashLSH(
         inputCol="_features", outputCol="_hashes", numHashTables=8, seed=42
     ).fit(tf)
-    pairs = model.approxSimilarityJoin(tf, tf, 0.3, distCol="jaccard_dist")
+    pairs = model.approxSimilarityJoin(tf, tf, 0.45, distCol="_lsh_dist")
+    ga, gb = F.col("datasetA._gset"), F.col("datasetB._gset")
+    i = F.size(F.array_intersect(ga, gb))
+    u = F.size(ga) + F.size(gb) - i
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("id_a"),
             F.col("datasetB.doc_id").alias("id_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+            i.alias("_i"),
+            u.alias("_u"),
+        )
+        .filter(10 * (F.col("_u") - F.col("_i")) <= 3 * F.col("_u"))
+        .select(
+            "id_a",
+            "id_b",
+            ieee_round(
+                (F.col("_u") - F.col("_i")) / F.col("_u"), 4
+            ).alias("jaccard_dist"),
         )
         .orderBy("id_a", "id_b")
     )

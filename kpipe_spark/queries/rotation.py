@@ -25,13 +25,17 @@ Window composition rule (stalest-first evidence rotation):
    NEXT round's window — the deferral is self-correcting, no note
    required.
 
-Rows-only queries (no oracle SQL: d23/d27/d28, MLlib-random or
-iterative by nature) are excluded by default: the driver records
-``err: no_oracle`` for them, which would spend a hash-pass slot on a
-weaker check they already received in rounds 2–5. Each has a
-deterministic hash-graded twin that DOES rotate. Pass
-``include_rows_only=True`` to refresh their rows-only evidence
-explicitly.
+Rows-only queries (no oracle SQL) are excluded by default: the driver
+records ``err: no_oracle`` for them, which would spend a hash-pass
+slot on a weaker check. Pass ``include_rows_only=True`` to refresh
+rows-only evidence explicitly. As of round 11 the registry has NO
+rows-only entries — the last three asterisks were retired (d23
+reports the exact 3-gram Jaccard over MLlib-LSH candidates, d27
+trains with the integer-exact fixed-point Lloyd, d28's merge loop is
+unrolled into CTE rounds), so every query can hold a hash grade and
+the exclusion is a dormant safety valve. Their pre-oracle rows-only
+grades (rounds 2–5) still count for staleness ordering, which queues
+them early in the round-11 window.
 """
 
 from __future__ import annotations

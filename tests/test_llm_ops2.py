@@ -209,6 +209,39 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"IVF-kmeans recall collapsed: {recall}"
 
 
+def test_ivf_lloyd_recall_and_determinism(spark):
+    """d27's trained path since round 11: the integer-exact fixed-point
+    Lloyd must (a) keep a decent recall floor vs brute force and
+    (b) train BIT-IDENTICAL centroids across runs — the property MLlib
+    KMeans lacks (float partial-agg order) and the reason d27 is now
+    oracle-gradeable."""
+    from kpipe_spark.functions import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    cents = S.lloyd_centroids_int(v, "_e", "vec_id", k=8, iters=5)
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
+    )
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(v, q, cents, nprobe=3, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF-lloyd recall collapsed: {recall}"
+    again = S.lloyd_centroids_int(v, "_e", "vec_id", k=8, iters=5)
+    assert sorted(map(tuple, cents.collect())) == sorted(
+        map(tuple, again.collect())
+    ), "integer-exact training must be bit-identical run to run"
+
+
 def test_semdedup_pairs_subset_of_brute_force(spark):
     """d37's within-cluster dup pairs must be exactly a subset of the
     brute-force >=0.35 cosine pairs (d11): clustering prunes candidates,
