@@ -237,52 +237,62 @@ def lloyd_centroids_int(
     cents = [
         list(r["_q"]) for r in qv.orderBy(id_col).limit(k).collect()
     ]
+    dim = len(cents[0])
+
+    def round_partials(cents_rows: list[list[int]]):
+        """Per-partition (cell, count, coord-sum) partials for one Lloyd
+        round — Arrow-batched numpy, ALL integer ops (exact, so the
+        partial order can't matter): squared-L2 in int64 (bounded by
+        dim·(2·scale)² ≈ 2^48), argmin ties to the FIRST index =
+        lowest centroid_id (numpy argmin semantics = the oracle's
+        tie rule). The expression-tree form of this (k zip_with folds
+        per row) is interpreted, not codegen'd, and measured 2.5-3×
+        slower than MLlib; vectorized Arrow batches are the sanctioned
+        Python path and land within its envelope."""
+        import numpy as np
+        import pandas as pd
+
+        cnp = np.asarray(cents_rows, dtype=np.int64)
+
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qm = np.stack(pdf["_q"].values).astype(np.int64)
+                diff = qm[:, None, :] - cnp[None, :, :]
+                cell = (diff * diff).sum(axis=2).argmin(axis=1)
+                cells, counts, sums = [], [], []
+                for c in np.unique(cell):
+                    member = qm[cell == c]
+                    cells.append(int(c))
+                    counts.append(int(member.shape[0]))
+                    sums.append(member.sum(axis=0).tolist())
+                yield pd.DataFrame(
+                    {"_cell": cells, "_n": counts, "_s": sums}
+                )
+
+        return fn
+
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "centroid_id int, _c array<long>",
-        )
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col("_q"), F.col("_c"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        assigned = (
-            qv.crossJoin(F.broadcast(cent_df))
-            .select(id_col, "_q", "centroid_id", d2.alias("_d2"))
-            .groupBy(id_col)
-            .agg(
-                # argmin with deterministic ties: lexicographic min over
-                # (distance, centroid_id) — map-side combinable
-                F.min_by(
-                    "centroid_id", F.struct("_d2", "centroid_id")
-                ).alias("centroid_id"),
-                F.any_value("_q").alias("_q"),
+        # one job per round; the collected frame is <= k × n_partitions
+        # partial rows (k centroids on the driver — the MLlib KMeans
+        # state shape), merged in exact integer arithmetic
+        partials = qv.mapInPandas(
+            round_partials([list(c) for c in cents]),
+            "_cell int, _n long, _s array<long>",
+        ).collect()
+        acc: dict[int, tuple[int, list[int]]] = {}
+        for r in partials:
+            n0, s0 = acc.get(r["_cell"], (0, [0] * dim))
+            acc[r["_cell"]] = (
+                n0 + int(r["_n"]),
+                [a + int(b) for a, b in zip(s0, r["_s"])],
             )
-        )
-        sums = (
-            assigned.select(
-                "centroid_id", F.posexplode("_q").alias("_i", "_x")
-            )
-            .groupBy("centroid_id", "_i")
-            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .collect()  # bounded: k × dim rows of integer sums
-        )
-        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in sums:
-            by_cell.setdefault(r["centroid_id"], {})[r["_i"]] = (
-                int(r["_s"]),
-                int(r["_n"]),
-            )
-        for cid, dims in by_cell.items():
+        for cid, (n, s) in acc.items():
             # floor division — python // floors, matching the oracle's
             # divisible-numerator integer division exactly
-            cents[cid] = [
-                dims[i][0] // dims[i][1] for i in range(len(cents[cid]))
-            ]
-        # cells absent from `sums` (no members) keep their centroid
+            cents[cid] = [si // n for si in s]
+        # cells absent from the partials (no members) keep their centroid
     return spark.createDataFrame(
         [(i, [c / float(scale) for c in cc]) for i, cc in enumerate(cents)],
         "centroid_id int, _ce array<double>",

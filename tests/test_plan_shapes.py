@@ -113,8 +113,6 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         "vocab16",     # llm_ops11 d76: top-16 vocab (LIMIT-bounded)
         # --- bounded-by-construction model artifacts ---
         "cents", "centroids", "probes",  # k centroids / n_probe cells
-        "cent_df",     # similarity.lloyd_centroids_int: k-row (16)
-                       # integer centroid table per training round
         "cellcnt",      # llm_ops13 d93/d94: k_cells-row cell-count profile
         "cms",         # llm_ops15 d96: lanes*width-row sketch (4096, fixed)
         "bits",        # llm_ops15 d97: <=2^14-row Bloom bit table (fixed)
