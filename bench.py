@@ -940,11 +940,18 @@ def _total_busy_jiffies() -> int:
 
 
 def _tree_cpu_jiffies() -> int:
-    """utime+stime jiffies summed over THIS process and all its live
-    descendants (the Spark JVM and its pyspark daemon/workers are
-    children of the driver). Reaped children's time is not recouped,
-    but over a seconds-long window with a persistent JVM that error is
-    negligible."""
+    """utime+stime+cutime+cstime jiffies summed over THIS process and
+    all its live descendants (the Spark JVM and its pyspark
+    daemon/workers are children of the driver). cutime/cstime matter:
+    a pyspark worker that idle-times-out mid-window is REAPED, and its
+    whole lifetime burn vanishes from the live tree — without the
+    reaped-children counters the delta goes negative by that lifetime
+    and the 'external' residue reads impossible values (round 11
+    shipped a physically impossible 80-core ambient on a 32-vCPU box
+    exactly this way). POSIX accrues a reaped child's utime+stime AND
+    its own cutime/cstime into the parent's cutime/cstime at wait(),
+    and only at reap time, so live descendants are never
+    double-counted."""
     me = os.getpid()
     stats: dict[int, tuple[int, int]] = {}
     for ent in os.listdir("/proc"):
@@ -958,7 +965,14 @@ def _tree_cpu_jiffies() -> int:
         rp = raw.rfind(")")
         fields = raw[rp + 2 :].split()
         # post-comm fields: [0]=state [1]=ppid ... [11]=utime [12]=stime
-        stats[int(ent)] = (int(fields[1]), int(fields[11]) + int(fields[12]))
+        # [13]=cutime [14]=cstime (reaped descendants)
+        stats[int(ent)] = (
+            int(fields[1]),
+            int(fields[11])
+            + int(fields[12])
+            + int(fields[13])
+            + int(fields[14]),
+        )
     children: dict[int, list[int]] = {}
     for pid, (ppid, _) in stats.items():
         children.setdefault(ppid, []).append(pid)

@@ -36,9 +36,9 @@ def test_own_burn_lands_in_tree_not_ambient():
     show up in the tree counter, leaving external cores near zero —
     the exact property that lets the bench run 32 threads without
     gating on its own footprint. (The child lingers through the
-    sample: exited-and-reaped children's jiffies are not recouped,
-    the documented — and for a persistent-JVM bench, irrelevant —
-    limitation.)"""
+    sample to pin the LIVE-descendant path; reaped children are now
+    recouped via cutime/cstime and pinned separately by
+    test_tree_jiffies_recoup_reaped_children.)"""
     b0, t0 = bench._total_busy_jiffies(), bench._tree_cpu_jiffies()
     w0 = time.perf_counter()
     child = multiprocessing.Process(target=_burn_then_linger, args=(0.5,))
@@ -263,3 +263,26 @@ def test_ratio_mover_pass_policy():
     # every quiet-ref row carries its ratio, movers or not
     assert set(ratios) == set(timings)
     assert ratios["improved"] == 0.5
+
+
+def test_tree_jiffies_recoup_reaped_children():
+    """Round-11 artifact wart: a pyspark worker reaped mid-window made
+    its lifetime burn vanish from the live tree and the 'external'
+    residue read 80 cores on a 32-vCPU box. The tree measure must
+    recoup reaped descendants via the parent's cutime/cstime — burn
+    CPU in a child that exits and is waited on, and the tree delta
+    must contain that burn."""
+    import subprocess
+    import sys
+
+    before = bench._tree_cpu_jiffies()
+    subprocess.run(
+        [sys.executable, "-c", "i=0\nfor _ in range(2 * 10**7): i += 1"],
+        check=True,
+    )
+    after = bench._tree_cpu_jiffies()
+    # the loop burns well over 0.3 s of CPU on any machine this runs on
+    assert after - before >= int(0.3 * bench._HZ), (
+        f"reaped child's burn missing from the tree: delta "
+        f"{after - before} jiffies"
+    )
