@@ -1025,9 +1025,12 @@ def _await_ambient_quiet(
         time.sleep(2)
         waited += 2
         budget.consume(2)
-        ext = (
-            (_total_busy_jiffies() - b0) - (_tree_cpu_jiffies() - t0)
-        ) / _HZ / 2.0
+        # _ext_cores, not the raw difference: a reap-corrupted window
+        # reads NEGATIVE raw (tree out-counts the machine), which the
+        # old form mistook for instant quiet — keep waiting instead
+        ext = _ext_cores(
+            _total_busy_jiffies() - b0, _tree_cpu_jiffies() - t0, 2.0
+        )
         if ext < gate * 0.75:
             break
     return waited
@@ -1091,6 +1094,7 @@ def _ratio_mover_pass(
     prev_ratios: dict[str, float],
     capture,
     budget: "_RequeueBudget | None" = None,
+    already_recaptured: set[str] | None = None,
 ) -> tuple[dict[str, float], dict[str, dict]]:
     """Headline self-adjudication (round-10 verdict item #5): every
     row carries ``vs_sweep_ratio`` = headline time / the same query's
@@ -1103,6 +1107,7 @@ def _ratio_mover_pass(
     minimum in place. Improvements (ratio moving DOWN) are not
     re-captured — only inflation needs adjudication."""
     evidence: dict[str, dict] = {}
+    skip = already_recaptured or set()
     for name in names:
         ref = sweep_q.get(name)
         if not ref or sweep_amb.get(name, 0.0) > gate > 0:
@@ -1112,6 +1117,11 @@ def _ratio_mover_pass(
             continue
         ratio = timings[name] / ref
         if ratio <= 1.25 * prev:
+            continue
+        if name in skip:
+            # the suspect pass already re-captured this row this run;
+            # its evidence stands — don't burn 3 more executions + an
+            # ambient wait on the same drifted row (round-11 review)
             continue
         if budget is not None and gate > 0:
             _await_ambient_quiet(gate, budget)
@@ -1130,9 +1140,34 @@ def _ratio_mover_pass(
     ratios = {
         n: round(timings[n] / sweep_q[n], 3)
         for n in names
-        if sweep_q.get(n)
+        # hot sweep references are excluded from adjudication above —
+        # exclude them from the SHIPPED ratios too, or an inflated ref
+        # becomes next round's deflated prev_ratio baseline and fires
+        # spurious movers (round-11 review)
+        if sweep_q.get(n) and not (sweep_amb.get(n, 0.0) > gate > 0)
     }
     return ratios, evidence
+
+
+# Ambient marker for a REAP-CORRUPTED window: a reaped descendant's
+# PRE-window lifetime burn lands in the parent's cutime inside the
+# window it is reaped in, so tree-delta can exceed busy-delta and the
+# honest external residue is unknowable for that window. Attribution
+# failing silently toward 0 would let a genuinely hot window pass the
+# gate (the round-11 review catch), so a corrupted window reads as this
+# gate-failing sentinel instead — the capture loop retries it and, if
+# it ships, the artifact visibly says "attribution corrupted", never
+# "quiet".
+AMBIENT_REAP_CORRUPTED = 99.0
+
+
+def _ext_cores(busy_delta: int, tree_delta: int, wall: float) -> float:
+    """External cores over a window, or the corrupted-window sentinel
+    when the tree out-counts the machine (a reap folded pre-window
+    burn into this window — small jitter tolerated)."""
+    if tree_delta > busy_delta + int(0.25 * _HZ * max(wall, 0.1)):
+        return AMBIENT_REAP_CORRUPTED
+    return max(0, busy_delta - tree_delta) / _HZ / max(wall, 1e-9)
 
 
 def _timed_capture(build, runs: int = 3) -> tuple[float, float]:
@@ -1146,10 +1181,9 @@ def _timed_capture(build, runs: int = 3) -> tuple[float, float]:
         build().write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     wall = max(time.perf_counter() - w0, 1e-9)
-    ext = max(
-        0,
-        (_total_busy_jiffies() - b0) - (_tree_cpu_jiffies() - t0j),
-    ) / _HZ / wall
+    ext = _ext_cores(
+        _total_busy_jiffies() - b0, _tree_cpu_jiffies() - t0j, wall
+    )
     return best, ext
 
 
@@ -1487,6 +1521,7 @@ def main(out_path: str | None = None) -> None:
                 lambda: queries[name].build(spark, sf_dir)
             ),
             budget,
+            already_recaptured=set(suspect_recaptures),
         )
 
     _streaming_pipeline_rate(spark, sf_dir, n_batches=3)

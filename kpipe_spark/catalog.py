@@ -51,7 +51,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # conf would break the frame (known old-Spark-only trade).
         try:
             df = spark.read.parquet(table_path(sf_dir, name))
-        except Exception:
+        except Exception as e:
+            # engage the fallback ONLY for the nanos schema-conversion
+            # refusal — a bare except here would set the session-wide
+            # legacy conf on ANY failure (missing path, permissions),
+            # re-introducing the pollution this branch exists to avoid
+            msg = str(e)
+            if "NANOS" not in msg and "PARQUET_TYPE_ILLEGAL" not in msg:
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(table_path(sf_dir, name))
     else:

@@ -238,17 +238,48 @@ class ClusterIndex(StoredArtifact):
         )
         stored = self.components_df
         ids = F.col(self.id_col)
-        lab_a = stored.select(
-            ids.alias("_ida"), F.col("cluster_id").alias("_laba")
+        # endpoint -> stored-label mapping with ONE pass over the
+        # corpus-order label table (the fold's one corpus-order term —
+        # a per-endpoint join would scan and shuffle it twice): unpivot
+        # the batch-sized pairs to (edge, role, id) rows, join labels
+        # once, regroup by edge. The edge ids are FROZEN by an eager
+        # localCheckpoint before the two unpivot branches reference
+        # them — monotonically_increasing_id is evaluation-dependent,
+        # and without the freeze each branch would re-derive ids over
+        # its own task ordering and the regroup could pair role-a rows
+        # with the wrong role-b rows. Batch-sized, so the checkpoint is
+        # cheap (use checkpoint() on a real cluster).
+        pairs_e = pairs.select(
+            F.monotonically_increasing_id().alias("_eid"),
+            "id_new",
+            "id_other",
+        ).localCheckpoint(eager=True)
+        endpoints = pairs_e.select(
+            "_eid", F.lit("a").alias("_role"), F.col("id_new").alias("_id")
+        ).unionByName(
+            pairs_e.select(
+                "_eid",
+                F.lit("b").alias("_role"),
+                F.col("id_other").alias("_id"),
+            )
         )
-        lab_b = stored.select(
-            ids.alias("_idb"), F.col("cluster_id").alias("_labb")
+        lab = stored.select(
+            ids.alias("_id"), F.col("cluster_id").alias("_lab")
+        )
+        mapped = endpoints.join(lab, "_id", "left").select(
+            "_eid", "_role", F.coalesce("_lab", F.col("_id")).alias("_q")
         )
         edges = (
-            pairs.join(lab_a, pairs["id_new"] == F.col("_ida"), "left")
-            .select(F.coalesce("_laba", "id_new").alias("qa"), "id_other")
-            .join(lab_b, F.col("id_other") == F.col("_idb"), "left")
-            .select("qa", F.coalesce("_labb", "id_other").alias("qb"))
+            mapped.groupBy("_eid")
+            .agg(
+                F.max(F.when(F.col("_role") == "a", F.col("_q"))).alias(
+                    "qa"
+                ),
+                F.max(F.when(F.col("_role") == "b", F.col("_q"))).alias(
+                    "qb"
+                ),
+            )
+            .select("qa", "qb")
             .filter(F.col("qa") != F.col("qb"))
         )
         sub = connected_components(edges, "qa", "qb")

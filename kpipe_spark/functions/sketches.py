@@ -253,14 +253,19 @@ class BloomGate(StoredArtifact):
         }
 
     def compact(self) -> None:
-        """Rewrite the accreted per-batch bit files into one distinct
-        file set (park-then-swap — ``_compact_unpartitioned_via_park``
-        for the containment contract). Set-union state: the merged
-        form is simply DISTINCT bits, and racing-append duplicate rows
-        fold away here instead of at every probe. Run with streams
-        stopped."""
+        """Rewrite the accreted per-batch bit files into a compact
+        distinct file set (park-then-swap —
+        ``_compact_unpartitioned_via_park`` for the containment
+        contract). Set-union state: the merged form is simply DISTINCT
+        bits, and racing-append duplicate rows fold away here instead
+        of at every probe. File count scales with the GEOMETRY, not
+        hard-coded 1: a production gate sized for billions of keys
+        holds up to m set-bit rows, and funnelling those through one
+        task would re-create (inverted) the very bottleneck compaction
+        exists to remove. Run with streams stopped."""
+        n_files = max(1, self.m // 8_000_000)  # ~8M bigint rows/file
         self._compact_unpartitioned_via_park(
-            self.bits_df.select("bit").distinct().coalesce(1)
+            self.bits_df.select("bit").distinct().repartition(n_files)
         )
 
     def probe(

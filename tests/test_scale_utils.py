@@ -582,3 +582,28 @@ def test_salted_join_rejects_right_and_full_outer(spark):
     plain = set(r["k"] for r in a.join(b, "k", "left_anti").collect())
     salted = set(r["k"] for r in salted_join(a, b, "k", "left_anti").collect())
     assert plain == salted == set()
+
+
+def test_load_table_events_fallback_is_nanos_scoped(spark):
+    """Round-11 review: the events nanos fallback must engage ONLY on
+    the nanos schema-conversion refusal — any other failure (missing
+    path) propagates unchanged and never sets the session-wide legacy
+    conf (the pollution the conditional read exists to avoid)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    from kpipe_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert ev.count() > 0
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        is None
+    )
+    with pytest.raises((AnalysisException, Py4JJavaError)):
+        load_table(spark, "/nonexistent_sf_dir", "events").count()
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        is None
+    ), "a non-nanos failure must not engage the legacy-conf fallback"
