@@ -60,67 +60,63 @@ def register(
 # equals the computation, so a drifted list fails CI instead of
 # silently aging a grade (that drift happened once: round 8's
 # hand-typed list dropped d24_dup_clusters from its own count).
-# Round 11 = the freshly-oracled d23/d27/d28 (rows-only grades from
-# round 5 are the registry's stalest — their first-ever HASH grades),
-# then the round-7-era block stalest-first in registry order (q71-q80
-# relational, the d49-d54 selection/packing family, the adaptive-nprobe
-# and unigram/KN families d90-d95, m03/m04; q81-q83 defer to round 12
-# by the self-correcting deferral rule). All oracle-backed queries run
-# the identical DuckDB compare in pytest regardless of window position.
+# Round 12 = the q81-q84 deferred block (round-7 grades, deferred out
+# of round 11 by the self-correcting rule), then the round-8-era block
+# stalest-first in registry order (d01/d08/d13/d17 families, m01/m05-m07,
+# the d54-d79 curation/eval families, d96/d97 sketch gates, p04, and the
+# q06-q40 relational tail). All oracle-backed queries run the identical
+# DuckDB compare in pytest regardless of window position.
 FLAGSHIP_50: tuple[str, ...] = (
-    # sentinels for cross-round comparability
     "q01_pricing_summary",
     "p01_outcome_accounting",
     "d05_minhash_neardup",
-    # round-5-era rows-only grades, now oracle-backed (round-11 work)
-    "d23_mllib_minhash_join",
-    "d27_ivf_kmeans_topk",
-    "d28_bpe_train",
-    # round-7-era re-grades, stalest-first in registry order
-    "q71_event_funnel",
-    "m03_media_features",
-    "d49_semantic_decontamination",
-    "d50_quality_weighted_sampling",
-    "d51_packing_efficiency",
-    "d52_leakage_safe_split",
-    "m04_resize_plan",
-    "d53_cdc_chunk_dedup",
-    "d93_adaptive_nprobe_topk",
-    "d94_adaptive_nprobe_recall",
-    "d90_unigram_train",
-    "d91_unigram_fertility",
-    "d92_unigram_piece_coverage",
-    "d95_kneser_ney_logprob",
-    "q41_sliding_window",
-    "q43_distribution_ranks",
-    "q47_time_bucket_window",
-    "q48_null_handling_and_editdist",
-    "q50_histogram_buckets",
-    "q52_posexplode_lateral",
-    "q53_large_volume_orders",
-    "q54_nation_volume_shipping",
-    "q55_inactive_rich_customers",
-    "q57_filtered_aggregates",
-    "q58_customer_order_distribution",
-    "q59_promo_revenue",
-    "q60_small_quantity_revenue",
-    "q61_disjunctive_part_revenue",
-    "q62_waiting_supplier",
-    "q63_market_share",
-    "q64_returned_item_revenue",
-    "q65_top_supplier",
-    "q66_stat_aggregates",
-    "q67_activity_streaks",
-    "q69_lateral_topk",
-    "q72_retention_cohorts",
-    "q73_event_transitions",
-    "q74_loyal_customers_by_nation",
-    "q75_boolean_aggregates",
-    "q76_error_rate_anomaly",
-    "q77_monthly_revenue_growth",
-    "q78_revenue_pareto",
-    "q79_gap_fill_locf",
-    "q80_nation_profit",
+    "q81_important_parts",
+    "q82_part_supplier_counts",
+    "q83_best_supplier_per_part",
+    "q84_excess_share_shippers",
+    "d01_dedup_exact",
+    "d08_similarity_topk",
+    "d13_ivf_topk",
+    "m01_media_metadata",
+    "d17_unigram_logprob",
+    "d54_incremental_dedup",
+    "d55_dedup_adjusted_mixture",
+    "m06_image_patch_stats",
+    "m05_audio_frame_energy",
+    "d56_contamination_spans",
+    "d57_token_budget_selection",
+    "d58_shard_plan",
+    "d59_priority_source_dedup",
+    "d60_curation_funnel",
+    "m07_multimodal_packing",
+    "d61_dup_substring_spans",
+    "d62_ivf_cell_profile",
+    "d64_blocklist_gate",
+    "d65_cluster_size_histogram",
+    "d66_shared_prefix_templates",
+    "d67_passage_chunks",
+    "d68_dsir_importance",
+    "d69_bigram_interp_logprob",
+    "d70_ann_recall_eval",
+    "d71_ngram_novelty",
+    "d72_source_kl_drift",
+    "d73_zipf_fit",
+    "d74_embedding_drift",
+    "d75_vocab_coverage",
+    "d76_oov_rate",
+    "d77_snapshot_diff",
+    "d78_source_dup_rate",
+    "d79_text_normalization",
+    "d96_cms_heavy_hitters",
+    "d97_bloom_dedup_gate",
+    "p04_curation_composition",
+    "q06_revenue_forecast",
+    "q26_having_filter",
+    "q13_window_rank",
+    "q30_events_top_users",
+    "q34_explode_token_freq",
+    "q39_first_last_per_group",
+    "q40_regexp_extract",
 )
 
 
