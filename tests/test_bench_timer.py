@@ -1,0 +1,196 @@
+"""Round-12 bench evidence units: the sleep-timer health gate that
+adjudicates the 10 ms streaming rows, the carried-rows provenance that
+refuses to overwrite committed values from a degraded window, the
+reap-sentinel cap in the ambient wait, and the fresh-session mover
+check's verdict mapping. All probe-free logic is tested directly; the
+one real probe runs with small parameters so a CI box finishes in
+under a second."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def test_timer_health_shape_and_consistency():
+    """The probe must report p50/p90/p99 in ms, count every sample,
+    and derive `healthy` from p90 vs 1.5x nominal — the exact
+    threshold the artifact's carry decision keys on."""
+    probe = bench._timer_health(nominal_ms=5.0, threads=4, sleeps=3)
+    assert probe["samples"] == 12
+    assert probe["nominal_ms"] == 5.0
+    # sleep(5ms) can never return early; p50 ordering is structural
+    assert 5.0 <= probe["p50_ms"] <= probe["p90_ms"] <= probe["p99_ms"]
+    assert probe["healthy"] == (probe["p90_ms"] <= 7.5)
+
+
+def test_await_timer_health_returns_immediately_when_healthy(monkeypatch):
+    calls = []
+
+    def fake_probe(*a, **k):
+        calls.append(1)
+        return {"healthy": True, "p90_ms": 10.1}
+
+    monkeypatch.setattr(bench, "_timer_health", fake_probe)
+    budget = bench._RequeueBudget()
+    probe = bench._await_timer_health(budget)
+    assert probe["wait_sec"] == 0
+    assert len(calls) == 1
+    assert budget.spent == 0
+
+
+def test_await_timer_health_bounded_on_degraded_window(monkeypatch):
+    """A window that never heals must stop at the wait bound (and at
+    the shared requeue budget), not spin forever."""
+    monkeypatch.setattr(
+        bench, "_timer_health", lambda *a, **k: {"healthy": False, "p90_ms": 30.0}
+    )
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    budget = bench._RequeueBudget()
+    probe = bench._await_timer_health(budget, max_wait=45.0)
+    assert probe["healthy"] is False
+    assert probe["wait_sec"] == 45  # 3 x 15 s re-probe waits
+    assert budget.spent == 45
+
+
+def test_await_ambient_quiet_breaks_on_persistent_reap_sentinel(monkeypatch):
+    """A persistent reap pattern makes every sample read the 99.0
+    sentinel; the wait must break after 5 consecutive sentinels
+    instead of burning the entire budget before capturing hot anyway
+    (round-11 ADVICE)."""
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "_total_busy_jiffies", lambda: 0)
+    monkeypatch.setattr(bench, "_tree_cpu_jiffies", lambda: 0)
+    monkeypatch.setattr(
+        bench, "_ext_cores", lambda *a: bench.AMBIENT_REAP_CORRUPTED
+    )
+    budget = bench._RequeueBudget()
+    waited = bench._await_ambient_quiet(10.0, budget, max_wait=240.0)
+    assert waited == 10.0  # 5 corrupted 2 s windows, then break
+
+
+def test_await_ambient_quiet_sentinel_streak_resets(monkeypatch):
+    """An isolated corrupted window between hot samples must NOT trip
+    the cap — only a consecutive run means quiet is unobservable."""
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "_total_busy_jiffies", lambda: 0)
+    monkeypatch.setattr(bench, "_tree_cpu_jiffies", lambda: 0)
+    seq = iter(
+        [bench.AMBIENT_REAP_CORRUPTED, 50.0] * 4 + [0.0]  # quiet at last
+    )
+    monkeypatch.setattr(bench, "_ext_cores", lambda *a: next(seq))
+    budget = bench._RequeueBudget()
+    waited = bench._await_ambient_quiet(10.0, budget, max_wait=240.0)
+    assert waited == 18.0  # 9 windows: streak never reached 5
+
+
+def _healthy_prev() -> dict:
+    doc = {k: 1 for k in bench._KEYS_10MS}
+    doc["timer_health"] = {"healthy": True, "p90_ms": 10.2}
+    return doc
+
+
+def test_carried_rows_from_healthy_prev():
+    rows = bench._carried_10ms_rows(_healthy_prev())
+    assert rows["streaming_10ms_timer_degraded"] is True
+    assert rows["streaming_10ms_carry_age"] == 1
+    assert all(rows[k] == 1 for k in bench._KEYS_10MS)
+
+
+def test_carried_rows_chain_through_prior_carry():
+    """A prev artifact that was itself carrying (degraded probe, but
+    marked) chains forward with the hop count incremented — its values
+    originate from a healthy capture."""
+    prev = _healthy_prev()
+    prev["timer_health"] = {"healthy": False, "p90_ms": 31.0}
+    prev["streaming_10ms_carry_age"] = 2
+    rows = bench._carried_10ms_rows(prev)
+    assert rows["streaming_10ms_carry_age"] == 3
+    assert rows["streaming_rps_10ms_work"] == 1
+
+
+def test_carried_rows_refuse_unproven_legacy_artifact():
+    """An artifact with no timer_health (every round <= 11) may be a
+    degraded capture — it must NOT launder forward; the keys ship as
+    explicit nulls."""
+    prev = {k: 1 for k in bench._KEYS_10MS}  # values present, no probe
+    rows = bench._carried_10ms_rows(prev)
+    assert rows["streaming_10ms_timer_degraded"] is True
+    assert "streaming_10ms_carry_age" not in rows
+    assert all(rows[k] is None for k in bench._KEYS_10MS)
+
+
+def test_carried_rows_refuse_incomplete_prev():
+    prev = _healthy_prev()
+    prev.pop("work_overlap_ab")
+    rows = bench._carried_10ms_rows(prev)
+    assert all(rows[k] is None for k in bench._KEYS_10MS)
+
+
+class _FakeProc:
+    def __init__(self, stdout: str):
+        self.stdout = stdout
+        self.stderr = ""
+        self.returncode = 0
+
+
+def test_fresh_session_check_verdicts(monkeypatch):
+    """Verdict mapping from the fresh best-of-3: a mover that relaxed
+    back is session_weather; one still over the _is_mover threshold
+    while the sentinel sits at its prev level is confirmed_fresh."""
+    import subprocess
+
+    fresh = {
+        bench._FRESH_SENTINEL: 0.50,
+        "d08_similarity_topk": 0.9,  # prev 0.8 -> relaxed back
+        "d62_ivf_cell_profile": 3.0,  # prev 1.0 -> still 3x + >0.3s
+    }
+
+    def fake_run(*a, **k):
+        return _FakeProc("noise\nFRESHJSON:" + json.dumps(fresh) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = bench._fresh_session_check(
+        "/unused",
+        {"d08_similarity_topk": 0.8, "d62_ivf_cell_profile": 1.0},
+        sentinel_prev=0.51,
+    )
+    assert out["sentinel"]["ratio"] < 1.25
+    assert out["movers"]["d08_similarity_topk"]["verdict"] == "session_weather"
+    assert out["movers"]["d62_ivf_cell_profile"]["verdict"] == "confirmed_fresh"
+
+
+def test_fresh_session_check_drifted_sentinel(monkeypatch):
+    """When the sentinel itself reads >1.25x prev, the fresh session
+    is also bad weather — no mover verdict can be concluded."""
+    import subprocess
+
+    fresh = {bench._FRESH_SENTINEL: 0.80, "d62_ivf_cell_profile": 3.0}
+
+    def fake_run(*a, **k):
+        return _FakeProc("FRESHJSON:" + json.dumps(fresh))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    out = bench._fresh_session_check(
+        "/unused", {"d62_ivf_cell_profile": 1.0}, sentinel_prev=0.51
+    )
+    assert (
+        out["movers"]["d62_ivf_cell_profile"]["verdict"]
+        == "fresh_session_also_drifted"
+    )
+
+
+def test_fresh_session_check_no_output(monkeypatch):
+    import subprocess
+
+    monkeypatch.setattr(
+        subprocess, "run", lambda *a, **k: _FakeProc("no marker here")
+    )
+    out = bench._fresh_session_check("/unused", {"x": 1.0}, 0.5)
+    assert "error" in out
