@@ -4,12 +4,23 @@ round 11's `ClusterIndex.refresh_incremental` exists for.
 
 A 100 TB corpus is not re-deduped per batch; the steady state is:
 
-    daily:        ledger = bands.admit(batch)      # batch-sized equi-join
-                  bands.append(admitted)           # keep the index current
-    per release:  clusters.refresh_incremental(release_batch, bands)
-                  bands.append(release_batch)      # AFTER the fold
-                  reports = {n: fn(corpus, clusters.components_df) ...}
+    per batch:    ledger = bands.admit(batch)      # batch-sized equi-join
+                  clusters.refresh_incremental(admitted, bands)  # fold FIRST
+                  bands.append(admitted)           # then keep index current
+    per release:  reports = {n: fn(corpus, clusters.components_df) ...}
                   train   = clusters.survivors(corpus)
+
+The fold-then-append order is ENFORCED by release markers (round-12):
+``append`` bumps the band index's ``release_seq`` TBLPROPERTY, the fold
+stamps the ``folded_release_seq`` it covered, and
+``refresh_incremental`` refuses — repair recipe in the error — when the
+band index has moved ahead (a batch appended but never folded would
+leave edges the stored labels don't cover). The one tolerated skew is
+the documented crash replay: fold landed, append didn't, and the SAME
+batch (fingerprint-checked) is re-folded idempotently. An
+admission-only deployment (no ClusterIndex — see
+examples/streaming_admission.py) appends freely; the markers only bind
+indexes that are actually folded from.
 
 The fold never re-reads the old corpus: candidate edges come from the
 stored band table (the same join `admit` uses), the old dup graph
@@ -108,7 +119,22 @@ def main() -> None:
         }
         ledger_ok = dup_ids.issubset(set(members))
 
-        ok = fold_ok and reports_ok and keep_one_ok and ledger_ok
+        # ---- contract 4: the cadence refusal ------------------------------
+        # violate the discipline on purpose: append a batch WITHOUT
+        # folding it, then try to fold a different one — the marker
+        # check must refuse with the repair recipe, not mislabel
+        skipped = grown.filter(F.col("doc_id") % 7 == 3).limit(5)
+        bands.append(skipped)  # never folded — bands now AHEAD
+        refused = False
+        try:
+            clusters.refresh_incremental(
+                grown.filter(F.col("doc_id") % 7 == 5).limit(5), bands
+            )
+        except ValueError as e:
+            refused = "release-cadence violation" in str(e)
+        print(f"append-without-fold refused with repair recipe = {refused}")
+
+        ok = fold_ok and reports_ok and keep_one_ok and ledger_ok and refused
         print(
             "incremental fold == full rebuild, stored reports == graded "
             f"shape, keep-one + ledger sound = {ok}"

@@ -195,7 +195,13 @@ class ClusterIndex(StoredArtifact):
         Caller discipline: ``corpus_index`` must cover exactly the
         corpus this table was last refreshed against — call
         ``corpus_index.append(new_docs)`` AFTER this method, not
-        before. Crash containment is the CmsSketch park pattern: the
+        before. Since round 12 this is ENFORCED, not advisory: append
+        bumps the band index's ``release_seq`` marker, this method
+        stamps the ``folded_release_seq`` it covered, and a band index
+        that moved AHEAD (a batch appended but never folded) or a NEW
+        batch folded while the previous fold was never appended
+        (batch-fingerprint check) is refused with the repair recipe in
+        the error. Crash containment is the CmsSketch park pattern: the
         touched-bucket content is parked first (``__refreshing``), the
         swap is idempotent from the park, and a crash between park and
         swap is resumed at the next call's entry.
@@ -211,6 +217,60 @@ class ClusterIndex(StoredArtifact):
                     "different family than the stored components would "
                     "silently mislabel every cluster"
                 )
+        # release-cadence enforcement (round-11 verdict item #5): the
+        # caller discipline — fold THEN corpus_index.append — used to
+        # live only in the docstring. The markers make a violation a
+        # loud refusal with the repair in the error instead of silently
+        # mislabeled clusters. Consistent states at entry:
+        #   corpus.release_seq == folded_release_seq   (idle)
+        #   folded == corpus+1 AND same batch          (crash replay:
+        #       fold landed, the append after it didn't — re-folding
+        #       the SAME batch is the documented idempotent recovery)
+        # A legacy table without the marker adopts the current corpus
+        # seq (discipline enforced from the first stamped fold onward).
+        corpus_seq = corpus_index.release_seq()
+        props = self._read_props()
+        folded = props.get("folded_release_seq")
+        batch_fp: tuple[int, int] | None = None
+        if folded is not None:
+            if corpus_seq > folded:
+                raise ValueError(
+                    f"release-cadence violation: band index "
+                    f"{corpus_index.table} is at release_seq "
+                    f"{corpus_seq} but component table {self.table} "
+                    f"last folded release {folded} — a batch was "
+                    "appended to the band index without being folded "
+                    "into the components. Folding a NEW batch now "
+                    "would derive edges against documents the stored "
+                    "labels don't cover and mislabel clusters. "
+                    "Repair: rebuild the components from the full "
+                    "current corpus (ClusterIndex.refresh(corpus) or "
+                    ".build), which resynchronizes the markers; then "
+                    "resume the fold-then-append cadence "
+                    "(examples/release_cadence.py)"
+                )
+            if folded > corpus_seq:
+                batch_fp = self._batch_fingerprint(new_docs)
+                stamped = (
+                    props.get("folded_batch_n"),
+                    props.get("folded_batch_hash"),
+                )
+                if batch_fp != stamped:
+                    raise ValueError(
+                        f"release-cadence violation: component table "
+                        f"{self.table} already folded release "
+                        f"{folded} but band index {corpus_index.table} "
+                        f"is still at release_seq {corpus_seq} — the "
+                        "previously folded batch was never appended, "
+                        "and this call carries a DIFFERENT batch, so "
+                        "its edges against the missing documents would "
+                        "be silently lost. Repair: call "
+                        f"corpus_index.append(<the release-{folded} "
+                        "batch>) first, then fold this one; if that "
+                        "batch is gone, rebuild both artifacts from "
+                        "the full current corpus "
+                        "(examples/release_cadence.py)"
+                    )
         park = f"{self.table}__refreshing"
         n = self._layout_buckets()
         if self.spark.catalog.tableExists(park):
@@ -343,7 +403,34 @@ class ClusterIndex(StoredArtifact):
             f"'{','.join(str(b) for b in touched)}')"
         )
         self._swap_from_park(park)
+        # stamp AFTER the swap: a crash before this line leaves the
+        # old marker, and the documented same-batch re-run passes the
+        # entry check and re-stamps. corpus_seq + 1 anticipates the
+        # append the caller performs next — equal markers is idle.
+        if batch_fp is None:
+            batch_fp = self._batch_fingerprint(new_docs)
+        self._set_props(
+            folded_release_seq=corpus_seq + 1,
+            folded_batch_n=batch_fp[0],
+            folded_batch_hash=batch_fp[1],
+        )
         return {"overwritten_buckets": len(touched), "num_comp_buckets": n}
+
+    def _batch_fingerprint(self, batch: DataFrame) -> tuple[int, int]:
+        """Order-insensitive batch identity, batch-scaled: (row count,
+        sum of pmod(xxhash64(id), 2^31)). Distinguishes the documented
+        crash-replay (same batch re-folded — allowed, idempotent) from
+        a NEW batch folded while the previous one was never appended
+        (refused). The summands are < 2^31, so the int64 sum is exact
+        for any batch under 2^32 rows."""
+        row = batch.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64(self.id_col), F.lit(1 << 31))),
+                F.lit(0),
+            ).alias("_h"),
+        ).collect()[0]
+        return int(row["_n"]), int(row["_h"])
 
     def _park_touched_buckets(self, park: str) -> list[int] | None:
         """The touched-bucket list recorded on a park table, or None
@@ -389,16 +476,22 @@ class ClusterIndex(StoredArtifact):
         """The stored table's comp_bucket partition count (from
         TBLPROPERTIES). A legacy unpartitioned table (pre-incremental
         layout) is migrated in place first — an index-sized rewrite,
-        no corpus pass (localCheckpoint materializes the rows so the
-        overwrite never reads the table it replaces; on a real cluster
-        checkpoint to durable storage instead)."""
+        no corpus pass. The old rows are materialized through the
+        injectable strategy (``util.materialize``, scale="corpus": the
+        component table is corpus-proportional) before the overwrite,
+        so the rewrite never reads the table it replaces AND a cluster
+        deployment that installed ``table_materializer`` holds the only
+        copy in durable storage — a bare localCheckpoint would lose it
+        to one executor eviction mid-overwrite (round-11 ADVICE)."""
         props = self._read_props()
         if "num_comp_buckets" in props:
             return props["num_comp_buckets"]
-        rows = (
-            self.spark.table(self.table)
-            .select(self.id_col, "cluster_id")
-            .localCheckpoint(eager=True)
+        from kpipe_spark.util import materialize
+
+        rows = materialize(
+            self.spark.table(self.table).select(self.id_col, "cluster_id"),
+            eager=True,
+            scale="corpus",
         )
         self._write_full(rows)
         return self.num_comp_buckets

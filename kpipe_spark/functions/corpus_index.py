@@ -120,8 +120,18 @@ class CorpusIndex(StoredArtifact):
             keys=["band", "bucket"],
             num_buckets=num_buckets,
         )
-        idx._set_props(num_buckets=num_buckets)
+        # release_seq starts the fold/append cadence marker: append()
+        # bumps it, ClusterIndex.refresh_incremental stamps the value
+        # it folded and refuses when this index has moved ahead (a
+        # batch appended but never folded into the components)
+        idx._set_props(num_buckets=num_buckets, release_seq=0)
         return idx
+
+    def release_seq(self) -> int:
+        """Monotone release marker: bumped by every ``append``. A
+        pre-round-12 table has no marker and reads 0 — the release
+        discipline is enforced from the first stamped append onward."""
+        return int(self._read_props().get("release_seq", 0))
 
     def _bands_of(self, docs: DataFrame) -> DataFrame:
         return minhash_bands_df(
@@ -270,6 +280,12 @@ class CorpusIndex(StoredArtifact):
         # rows). Refresh so the next admit() through this handle
         # collides against what was just appended.
         self.spark.catalog.refreshTable(self.table)
+        # bump the release marker AFTER the data landed: the cadence is
+        # fold-then-append, so components at folded_release_seq == K
+        # and this index moving to K+1 is the consistent idle state;
+        # an append that never gets folded leaves the index AHEAD and
+        # the next refresh_incremental refuses with the repair recipe
+        self._set_props(release_seq=self.release_seq() + 1)
         n_files = len(self.spark.table(self.table).inputFiles())
         if n_files > self.advisory_files_per_bucket * n_buckets:
             log.warning(

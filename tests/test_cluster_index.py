@@ -288,6 +288,99 @@ def test_incremental_refresh_migrates_legacy_layout(spark, corpus):
         bands.drop()
 
 
+def test_release_cadence_refuses_append_without_fold(spark, corpus):
+    """The round-12 marker discipline: a batch appended to the band
+    index but never folded leaves the index AHEAD — the next fold must
+    refuse with the repair recipe, not silently mislabel (the caller
+    discipline that used to live only in the docstring)."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+
+    ctable = f"clusters_{uuid.uuid4().hex[:8]}"
+    btable = f"bands_{uuid.uuid4().hex[:8]}"
+    idx = ClusterIndex.build(spark, corpus, ctable)
+    bands = CorpusIndex.build(spark, corpus, btable, num_buckets=4)
+    try:
+        batch1 = _df(spark, [(90, SPAM)])
+        idx.refresh_incremental(batch1, bands)
+        bands.append(batch1)
+        assert bands.release_seq() == 1
+        assert idx._read_props()["folded_release_seq"] == 1
+        # violation: append batch2 without folding it
+        bands.append(_df(spark, [(91, SPAM)]))
+        with pytest.raises(ValueError, match="release-cadence violation"):
+            idx.refresh_incremental(_df(spark, [(92, SPAM)]), bands)
+    finally:
+        idx.drop()
+        bands.drop()
+
+
+def test_release_cadence_allows_same_batch_replay_only(spark, corpus):
+    """Fold landed, append didn't (the documented crash window):
+    re-folding the SAME batch is the idempotent recovery and must
+    pass the fingerprint check; folding a DIFFERENT batch in that
+    state must refuse (its edges against the un-appended docs would
+    be silently lost)."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+
+    ctable = f"clusters_{uuid.uuid4().hex[:8]}"
+    btable = f"bands_{uuid.uuid4().hex[:8]}"
+    idx = ClusterIndex.build(spark, corpus, ctable)
+    bands = CorpusIndex.build(spark, corpus, btable, num_buckets=4)
+    try:
+        batch = _df(spark, [(90, SPAM), (200, "novel dup a"), (201, "novel dup a")])
+        idx.refresh_incremental(batch, bands)
+        # no append — markers now folded=1 vs corpus=0
+        before = sorted(map(tuple, idx.components_df.collect()))
+        idx.refresh_incremental(batch, bands)  # same batch: allowed
+        assert sorted(map(tuple, idx.components_df.collect())) == before
+        with pytest.raises(ValueError, match="never appended"):
+            idx.refresh_incremental(_df(spark, [(300, SPAM)]), bands)
+        # the repair: append the folded batch, then the new fold runs
+        bands.append(batch)
+        idx.refresh_incremental(_df(spark, [(300, SPAM)]), bands)
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in idx.components_df.collect()
+        }
+        assert labels.get(300) is not None  # 300 joined the SPAM cluster
+    finally:
+        idx.drop()
+        bands.drop()
+
+
+def test_legacy_migration_uses_injectable_materializer(spark, corpus):
+    """The legacy-layout rewrite must route the old rows through
+    util.materialize (scale="corpus"), not a bare localCheckpoint: a
+    cluster deployment installs table_materializer so the only copy of
+    the pre-migration rows lives in durable storage while the table
+    they came from is overwritten (round-11 ADVICE)."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+    from kpipe_spark.functions.dedup import dup_components
+    from kpipe_spark.util import set_materializer
+
+    ctable = f"clusters_{uuid.uuid4().hex[:8]}"
+    btable = f"bands_{uuid.uuid4().hex[:8]}"
+    idx = ClusterIndex(spark, ctable)
+    idx._replace_table(dup_components(corpus))  # the legacy shape
+    bands = CorpusIndex.build(spark, corpus, btable, num_buckets=4)
+    seen: list[str] = []
+
+    def recording(df, *, eager, scale):
+        seen.append(scale)
+        return df.localCheckpoint(eager=eager)
+
+    prev = set_materializer(recording)
+    try:
+        idx.refresh_incremental(_df(spark, [(105, SPAM)]), bands)
+        assert "corpus" in seen, (
+            "legacy migration bypassed the injectable materializer"
+        )
+    finally:
+        set_materializer(prev)
+        idx.drop()
+        bands.drop()
+
+
 def test_incremental_refresh_resumes_crashed_swap(spark, corpus, monkeypatch):
     """Crash between park write and swap: the park is complete (its
     touched_buckets property landed), so the NEXT call resumes the
