@@ -432,11 +432,20 @@ class AnnIndex(StoredArtifact):
         and the top k survive. The returned frame then carries
         ``exact_dist`` (the ranking key) alongside ``adc_dist``;
         recall approaches exact search while the ADC pass still
-        pruned the corpus to nprobe cells' codes."""
-        cents = self.spark.table(self._centroids_table).select(
+        pruned the corpus to nprobe cells' codes.
+
+        The stored tables are resolved in the QUERY frame's session,
+        not the handle's: inside a foreachBatch sink the batch frame
+        belongs to a per-batch session clone, and joining it against
+        handle-session frames is undefined — resolving everything in
+        ``queries.sparkSession`` makes the same method serve both the
+        batch path (same session, unchanged) and the streaming path
+        (``serving_sink``/``serve``)."""
+        session = queries.sparkSession
+        cents = session.table(self._centroids_table).select(
             "cell", F.col("centroid").alias("_ce")
         )
-        cb = self.spark.table(self._codebooks_table).select(
+        cb = session.table(self._codebooks_table).select(
             "code", "j", F.col("subvector").alias("_cb")
         )
         q = self._vectors(queries).withColumnRenamed("vec_id", "query_id")
@@ -474,7 +483,7 @@ class AnnIndex(StoredArtifact):
         probed_cells = [
             r["cell"] for r in probes.select("cell").distinct().collect()
         ]
-        codes = self.spark.table(self.table).filter(
+        codes = session.table(self.table).filter(
             F.col("cell").isin(probed_cells)
         )
         enc = codes.select(
@@ -537,6 +546,93 @@ class AnnIndex(StoredArtifact):
                 "rn",
             )
         )
+
+    # -- streaming serving ---------------------------------------------
+
+    def serving_sink(
+        self,
+        deliver,
+        k: int = 10,
+        nprobe: int = 2,
+        refine_with_table: str | None = None,
+        refine_factor: int = 4,
+    ):
+        """foreachBatch enrichment closing the 100 TB serving loop: a
+        STREAM of query vectors searched per micro-batch against the
+        stored cell-partitioned index (round-11 verdict item #6 —
+        ingest was already streaming via ``update_batch``; this is the
+        other direction).
+
+        Each batch runs the d88 shape exactly as the batch path does:
+        the batch's probe-cell set is bounded (|batch| × nprobe ids),
+        collects to the driver, and lands as a STATIC partition filter
+        — so every micro-batch's code-table scan opens only its own
+        probed cells' files, no matter how the stream's queries drift
+        across cells (pinned in tests/test_ann_streaming_serving.py).
+        ``deliver(hits, batch_id)`` receives the search result frame
+        (same schema as ``search``); ``refine_with_table``, when set,
+        names a table of full-precision vectors resolved in the
+        BATCH's session for the IVFADC+R re-rank.
+
+        Returns a ``sink(df, batch_id)`` callable — compose it with a
+        bare ``writeStream.foreachBatch`` (``serve``), or hand it to a
+        ``StreamRunner`` whose pipeline decodes Kafka frames into
+        vector rows (examples/ann_streaming_serving.py)."""
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            refine = (
+                batch_df.sparkSession.table(refine_with_table)
+                if refine_with_table
+                else None
+            )
+            hits = self.search(
+                batch_df,
+                k=k,
+                nprobe=nprobe,
+                refine_with=refine,
+                refine_factor=refine_factor,
+            )
+            deliver(hits, batch_id)
+
+        return sink
+
+    def serve(
+        self,
+        query_stream: DataFrame,
+        checkpoint_dir: str,
+        deliver,
+        k: int = 10,
+        nprobe: int = 2,
+        refine_with_table: str | None = None,
+        refine_factor: int = 4,
+        query_name: str = "ann-serving",
+    ):
+        """Start serving a stream of query-vector rows: each
+        micro-batch is searched via ``serving_sink`` and the hits go to
+        ``deliver``. Returns the kpipe ``Handle`` (await/close/health/
+        metrics) over the streaming query."""
+        from kpipe_spark.streaming.runner import Handle, Metrics
+
+        sink = self.serving_sink(
+            deliver,
+            k=k,
+            nprobe=nprobe,
+            refine_with_table=refine_with_table,
+            refine_factor=refine_factor,
+        )
+        metrics = Metrics()
+
+        def _counted(batch_df: DataFrame, batch_id: int) -> None:
+            sink(batch_df, batch_id)
+            metrics.add("batches.completed")
+
+        query = (
+            query_stream.writeStream.queryName(query_name)
+            .foreachBatch(_counted)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        return Handle(query, metrics)
 
     def drop(self) -> None:
         for t in (self.table, self._centroids_table, self._codebooks_table):

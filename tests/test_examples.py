@@ -42,8 +42,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ),
         ("examples/ann_serving.py", "search == oracle-checked d88 rows = True"),
         ("examples/cluster_reuse.py", "stored == inline for all consumers, keep-one + attach sound = True"),
-        ("examples/release_cadence.py", "incremental fold == full rebuild, stored reports == graded shape, keep-one + ledger sound = True"),
+        (
+            "examples/release_cadence.py",
+            (
+                "append-without-fold refused with repair recipe = True",
+                "incremental fold == full rebuild, stored reports == graded shape, keep-one + ledger sound = True",
+            ),
+        ),
         ("examples/ann_streaming_append.py", "replay-safe streaming append -> advisory -> compact, search == oracle d88 rows = True"),
+        ("examples/ann_streaming_serving.py", "streaming ANN serving sound = True"),
         ("examples/tokenizer_training.py", "stored vocab == oracle-checked d90 rows = True"),
         ("examples/streaming_admission.py", "replay admitted 0, gate sound, index and bitmap unchanged = True"),
     ],
