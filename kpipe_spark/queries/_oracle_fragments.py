@@ -204,7 +204,6 @@ def ivf_lloyd_oracle_sql(
     topk: int = 5,
     n_queries: int = 8,
     scale: int = 1 << 20,
-    dim: int = 64,
 ) -> str:
     """DuckDB oracle for d27 — integer-exact Lloyd-trained IVF search.
 
@@ -244,12 +243,20 @@ def ivf_lloyd_oracle_sql(
                  c.centroid_id) AS rn
         FROM q, c{t} c) WHERE rn = 1
     ), s{t} AS (
-      -- dim is a generator parameter: DuckDB's table-function range()
-      -- cannot take a correlated len(qe); list-context range() can
-      -- (the assignment CTE above uses it)
-      SELECT centroid_id, i, CAST(sum(qe[i]) AS BIGINT) AS s,
+      -- the embedding width comes from the DATA (zipped parallel
+      -- unnests over list-context range + the vector), not a
+      -- generator parameter: a fixture with a different width keeps
+      -- the oracle exact instead of summing the wrong number of
+      -- coordinates (round-11 ADVICE). DuckDB's table-function
+      -- range() cannot take a correlated len(qe); list-context
+      -- range() can, and same-SELECT unnests zip positionally.
+      SELECT centroid_id, i, CAST(sum(val) AS BIGINT) AS s,
              CAST(count(*) AS BIGINT) AS n
-      FROM a{t}, range(1, {dim} + 1) t(i)
+      FROM (
+        SELECT centroid_id,
+               unnest(range(1, len(qe) + 1)) AS i,
+               unnest(qe) AS val
+        FROM a{t})
       GROUP BY centroid_id, i
     ), c{t + 1} AS (
       SELECT p.centroid_id, coalesce(m.c, p.c) AS c

@@ -773,6 +773,55 @@ def d22_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d23_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d23's candidate DISCOVERY stage, exposed so the coverage test
+    can assert the seeded LSH net finds every exact pair on a fixture
+    (round-11 ADVICE: the oracle is the exact all-pairs set, so a
+    regenerated fixture needs this coverage re-established — run
+    tests/test_d23_candidate_coverage.py after any fixture change;
+    a loud hash-fail at the driver plus a red coverage test means the
+    net missed a boundary pair, not an engine bug).
+
+    Returns (id_a, id_b, _i, _u): the ordered candidate pairs from the
+    seed-fixed 8-table MinHashLSH join at the loosened 0.45
+    hashed-distance threshold, with exact distinct-3-gram intersection
+    and union sizes attached — the exact <= 0.3 report filter is the
+    caller's."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    docs = load_tables(spark, sf_dir).documents
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="_words", pattern=r"\s+"
+    ).transform(ensure_parallelism(docs.filter(F.col("text").isNotNull())))
+    grams = (
+        NGram(n=3, inputCol="_words", outputCol="_grams")
+        .transform(tok)
+        .withColumn("_gset", F.array_distinct("_grams"))
+        # empty feature vectors (docs under 3 tokens) would fail the
+        # LSH fit; they also have no grams to near-dup on either side
+        .filter(F.size("_gset") >= 1)
+    )
+    tf = HashingTF(
+        inputCol="_grams", outputCol="_features", numFeatures=1 << 18
+    ).transform(grams)
+    model = MinHashLSH(
+        inputCol="_features", outputCol="_hashes", numHashTables=8, seed=42
+    ).fit(tf)
+    pairs = model.approxSimilarityJoin(tf, tf, 0.45, distCol="_lsh_dist")
+    ga, gb = F.col("datasetA._gset"), F.col("datasetB._gset")
+    i = F.size(F.array_intersect(ga, gb))
+    u = F.size(ga) + F.size(gb) - i
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            i.alias("_i"),
+            u.alias("_u"),
+        )
+    )
+
+
 @register(
     "d23_mllib_minhash_join",
     # round-11 (retiring the registry's last no_oracle asterisks): the
@@ -828,40 +877,10 @@ def d22_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "minhash", "mllib"),
 )
 def d23_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
-
     from kpipe_spark.util import ieee_round
 
-    docs = load_tables(spark, sf_dir).documents
-    tok = RegexTokenizer(
-        inputCol="text", outputCol="_words", pattern=r"\s+"
-    ).transform(ensure_parallelism(docs.filter(F.col("text").isNotNull())))
-    grams = (
-        NGram(n=3, inputCol="_words", outputCol="_grams")
-        .transform(tok)
-        .withColumn("_gset", F.array_distinct("_grams"))
-        # empty feature vectors (docs under 3 tokens) would fail the
-        # LSH fit; they also have no grams to near-dup on either side
-        .filter(F.size("_gset") >= 1)
-    )
-    tf = HashingTF(
-        inputCol="_grams", outputCol="_features", numFeatures=1 << 18
-    ).transform(grams)
-    model = MinHashLSH(
-        inputCol="_features", outputCol="_hashes", numHashTables=8, seed=42
-    ).fit(tf)
-    pairs = model.approxSimilarityJoin(tf, tf, 0.45, distCol="_lsh_dist")
-    ga, gb = F.col("datasetA._gset"), F.col("datasetB._gset")
-    i = F.size(F.array_intersect(ga, gb))
-    u = F.size(ga) + F.size(gb) - i
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-            i.alias("_i"),
-            u.alias("_u"),
-        )
+        d23_candidate_pairs(spark, sf_dir)
         .filter(10 * (F.col("_u") - F.col("_i")) <= 3 * F.col("_u"))
         .select(
             "id_a",
