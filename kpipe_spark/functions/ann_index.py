@@ -414,8 +414,26 @@ class AnnIndex(StoredArtifact):
         nprobe: int = 2,
         refine_with: DataFrame | None = None,
         refine_factor: int = 4,
+        probe_budget: int | None = None,
+        cell_counts: DataFrame | None = None,
     ) -> DataFrame:
         """IVFADC search: (query_id, neighbor_id, adc_dist, cell, rn).
+
+        ``probe_budget`` switches the probe rule from fixed-count to
+        MASS-adaptive (the d93/d94 probe-by-mass refinement, wired
+        into the stored artifact): each query extends its
+        distance-ranked cell list until the cells' cumulative vector
+        count reaches budget/n_cells of the corpus — the mass a fixed
+        nprobe=budget would get on perfectly balanced cells — so a
+        query whose nearest cells are tiny probes more and one at a
+        fat cell stops early. The gate is integer cross-multiplication
+        (cum_prev × n_cells < budget × total), no float threshold.
+        ``cell_counts`` supplies the (cell, n) profile; when omitted
+        it is derived from the code table — fine for a bench/eval
+        corpus, but at 100 TB pass the d62-style stored profile (a
+        n_cells-row table maintained at append/compact time) so the
+        probe DECISION never scans the index it exists to avoid
+        scanning.
 
         The query batch is bounded (a serving batch / eval panel), so
         its probe-cell set collects to the driver (≤ |queries|×nprobe
@@ -450,7 +468,7 @@ class AnnIndex(StoredArtifact):
         )
         q = self._vectors(queries).withColumnRenamed("vec_id", "query_id")
         wp = Window.partitionBy("query_id").orderBy("_cdq", "cell")
-        probes = (
+        ranked = (
             q.crossJoin(F.broadcast(cents))
             .select(
                 "query_id",
@@ -460,12 +478,40 @@ class AnnIndex(StoredArtifact):
                 _fixed_sq_l2("_e", "_ce", self.m * self.sub_dim).alias("_cdq"),
             )
             .withColumn("_prn", F.row_number().over(wp))
-            .filter(F.col("_prn") <= nprobe)
-            .select(
-                "query_id",
-                "cell",
-                F.zip_with("_e", "_ce", lambda x, y: x - y).alias("_qr"),
+        )
+        if probe_budget is None:
+            admitted = ranked.filter(F.col("_prn") <= nprobe)
+        else:
+            counts = cell_counts
+            if counts is None:
+                counts = session.table(self.table).groupBy("cell").agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+            counts = counts.select(
+                "cell", F.col("n").cast("long").alias("_n")
             )
+            total = counts.agg(F.sum("_n").alias("_total"))
+            # cumulative mass of the cells ranked BEFORE this one —
+            # probe while cum_prev × n_cells < budget × total (the
+            # d93 gate): rank 1 always passes (cum_prev = 0)
+            wcum = wp.rowsBetween(Window.unboundedPreceding, -1)
+            admitted = (
+                ranked.join(F.broadcast(counts), "cell", "left")
+                .withColumn("_n", F.coalesce("_n", F.lit(0)))
+                .withColumn(
+                    "_cum_prev",
+                    F.coalesce(F.sum("_n").over(wcum), F.lit(0)),
+                )
+                .crossJoin(F.broadcast(total))
+                .filter(
+                    F.col("_cum_prev") * F.lit(self.n_cells)
+                    < F.lit(int(probe_budget)) * F.col("_total")
+                )
+            )
+        probes = admitted.select(
+            "query_id",
+            "cell",
+            F.zip_with("_e", "_ce", lambda x, y: x - y).alias("_qr"),
         )
         qsubs = self._subvectors(
             probes.withColumnRenamed("query_id", "vec_id"), "_qr"
@@ -556,6 +602,8 @@ class AnnIndex(StoredArtifact):
         nprobe: int = 2,
         refine_with_table: str | None = None,
         refine_factor: int = 4,
+        probe_budget: int | None = None,
+        cell_counts_table: str | None = None,
     ):
         """foreachBatch enrichment closing the 100 TB serving loop: a
         STREAM of query vectors searched per micro-batch against the
@@ -585,12 +633,19 @@ class AnnIndex(StoredArtifact):
                 if refine_with_table
                 else None
             )
+            counts = (
+                batch_df.sparkSession.table(cell_counts_table)
+                if cell_counts_table
+                else None
+            )
             hits = self.search(
                 batch_df,
                 k=k,
                 nprobe=nprobe,
                 refine_with=refine,
                 refine_factor=refine_factor,
+                probe_budget=probe_budget,
+                cell_counts=counts,
             )
             deliver(hits, batch_id)
 
@@ -605,6 +660,8 @@ class AnnIndex(StoredArtifact):
         nprobe: int = 2,
         refine_with_table: str | None = None,
         refine_factor: int = 4,
+        probe_budget: int | None = None,
+        cell_counts_table: str | None = None,
         query_name: str = "ann-serving",
     ):
         """Start serving a stream of query-vector rows: each
@@ -619,6 +676,8 @@ class AnnIndex(StoredArtifact):
             nprobe=nprobe,
             refine_with_table=refine_with_table,
             refine_factor=refine_factor,
+            probe_budget=probe_budget,
+            cell_counts_table=cell_counts_table,
         )
         metrics = Metrics()
 

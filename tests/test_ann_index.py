@@ -273,6 +273,99 @@ def caplog_at(level):
         logger.setLevel(old)
 
 
+def test_adaptive_probe_uniform_counts_equals_fixed_nprobe(spark, built):
+    """Mass-adaptive probing (the d93 gate in the stored artifact):
+    with a UNIFORM injected cell profile the gate admits exactly
+    ``budget`` cells per query — cum_prev of rank r is (r-1)·n̄ and
+    (r-1)·n̄·n_cells < budget·n_cells·n̄ ⇔ r ≤ budget — so the result
+    must equal the fixed-nprobe search row for row."""
+    idx, emb = built
+    panel = emb.filter("vec_id % 25 = 0 AND vec_id < 500")
+    uniform = spark.createDataFrame(
+        [(c, 10) for c in range(idx.n_cells)], "cell int, n long"
+    )
+    adaptive = sorted(
+        tuple(r)
+        for r in idx.search(
+            panel, k=10, probe_budget=2, cell_counts=uniform
+        ).collect()
+    )
+    fixed = sorted(
+        tuple(r) for r in idx.search(panel, k=10, nprobe=2).collect()
+    )
+    assert adaptive == fixed
+
+
+def test_adaptive_probe_full_budget_equals_all_cells(spark, built):
+    """budget = n_cells admits every ranked cell (cum_prev < total
+    always) — identical to exhaustive fixed probing."""
+    idx, emb = built
+    panel = emb.filter("vec_id % 50 = 0 AND vec_id < 300")
+    adaptive = sorted(
+        tuple(r)
+        for r in idx.search(panel, k=5, probe_budget=idx.n_cells).collect()
+    )
+    fixed = sorted(
+        tuple(r)
+        for r in idx.search(panel, k=5, nprobe=idx.n_cells).collect()
+    )
+    assert adaptive == fixed
+
+
+def test_adaptive_probe_skew_widens_and_narrows(spark, built):
+    """The point of the rule: a query whose nearest cell is FAT stops
+    at 1 probe, one whose nearest cells are TINY probes more — checked
+    with injected skewed profiles so the expectation is exact. With
+    the top-ranked cell holding half the corpus, rank 2's gate is
+    (total/2)·n_cells < 2·total ⇔ n_cells < 4, false at 16 cells ⇒
+    exactly 1 probed cell per query; with counts concentrated AWAY
+    from everyone's first cells the gate keeps admitting until the
+    cumulative prefix holds 2/n_cells of the mass."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    idx, emb = built
+    one_query = emb.filter("vec_id = 100")
+    ranked_first = (
+        idx.search(one_query, k=5, nprobe=1).select("cell").distinct()
+    ).collect()[0]["cell"]
+    # profile A: the query's own first cell holds half the corpus
+    half = [
+        (c, 160 if c == ranked_first else 160 // (idx.n_cells - 1))
+        for c in range(idx.n_cells)
+    ]
+    prof_a = spark.createDataFrame(half, "cell int, n long")
+    hits_a = idx.search(
+        one_query, k=5, probe_budget=2, cell_counts=prof_a
+    )
+    assert hits_a.select("cell").distinct().count() == 1
+    # profile B: every cell tiny and equal except a far one — uniform
+    # again, so exactly 2 cells probed; more cells than profile A
+    prof_b = spark.createDataFrame(
+        [(c, 10) for c in range(idx.n_cells)], "cell int, n long"
+    )
+    hits_b = idx.search(
+        one_query, k=5, probe_budget=2, cell_counts=prof_b
+    )
+    assert hits_b.select("cell").distinct().count() == 2
+
+
+def test_adaptive_probe_derives_counts_and_prunes(spark, built):
+    """Without an injected profile the counts derive from the code
+    table; results stay inside the probed cells and the code-table
+    scan still carries the static partition filter (the probe
+    DECISION must not defeat the pruning it serves)."""
+    idx, emb = built
+    one_query = emb.filter("vec_id = 100")
+    res = idx.search(one_query, k=5, probe_budget=2)
+    rows = res.collect()
+    assert rows
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        idx.table in ln and "PartitionFilters: [cell" in ln
+        for ln in plan.splitlines()
+    ), plan[:4000]
+
+
 def test_refine_reranks_toward_exact(spark, built):
     """IVFADC+R (Jégou 2011 §V): re-ranking the ADC shortlist with
     exact distances must (a) return exact_dist-ascending rows drawn

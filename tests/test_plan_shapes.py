@@ -114,6 +114,9 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         # --- bounded-by-construction model artifacts ---
         "cents", "centroids", "probes",  # k centroids / n_probe cells
         "cellcnt",      # llm_ops13 d93/d94: k_cells-row cell-count profile
+        "counts",      # ann_index adaptive probe: n_cells-row profile
+                       # (derived groupBy(cell) or the injected d62-style
+                       # stored table — bounded by the cell count either way)
         "cms",         # llm_ops15 d96: lanes*width-row sketch (4096, fixed)
         "bits",        # llm_ops15 d97: <=2^14-row Bloom bit table (fixed)
         "summary",     # llm_ops15 d98: 1-row HLL register summary
