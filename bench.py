@@ -1414,6 +1414,23 @@ def _ext_cores(busy_delta: int, tree_delta: int, wall: float) -> float:
     return max(0, busy_delta - tree_delta) / _HZ / max(wall, 1e-9)
 
 
+def _ambient_during(fn):
+    """(fn(), external cores burned during fn's wall window) — the
+    query loop's ambient evidence extended to the STREAMING captures,
+    which rounds <=11 shipped with no contention record at all: a 0 µs
+    streaming row that read 2x slow was unadjudicable from the
+    artifact (the round-12 gap — the 10 ms rows got the timer probe,
+    the 0 µs rows got nothing)."""
+    b0, t0 = _total_busy_jiffies(), _tree_cpu_jiffies()
+    w0 = time.perf_counter()
+    out = fn()
+    wall = max(time.perf_counter() - w0, 1e-9)
+    ext = _ext_cores(
+        _total_busy_jiffies() - b0, _tree_cpu_jiffies() - t0, wall
+    )
+    return out, round(ext, 2)
+
+
 def _timed_capture(build, runs: int = 3) -> tuple[float, float]:
     """(best-of-runs seconds, ambient cores during the whole capture
     window). The noop write forces execution of every output column."""
@@ -1505,6 +1522,11 @@ def _compact_headline_line(doc: dict, limit: int = 1900) -> str:
     th = doc.get("timer_health")
     if th:
         compact["timer_p90_ms"] = th.get("p90_ms")
+    samb = doc.get("streaming_ambient")
+    if samb:
+        compact["streaming_ambient_max"] = max(
+            (v for vs in samb.values() for v in vs), default=0.0
+        )
     if doc.get("streaming_10ms_timer_degraded"):
         compact["streaming_10ms_timer_degraded"] = True
         if doc.get("streaming_10ms_carry_age"):
@@ -1548,6 +1570,7 @@ def _compact_headline_line(doc: dict, limit: int = 1900) -> str:
     compact["detail"] = doc.get("detail_artifact", "BENCH_HEADLINE.json")
     # drop order: evidence summaries first, never the contract fields
     droppable = (
+        "streaming_ambient_max",
         "sweep_movers_verdicts",
         "sweep_movers",
         "sweep_quiet_subtotals",
@@ -1781,13 +1804,20 @@ def main(out_path: str | None = None) -> None:
         spark, sf_dir, n_batches=3, mode=ProcessingMode.KEY_ORDERED
     )
     stream_runs, ko_runs = [], []
+    stream_amb, ko_amb = [], []
     for _ in range(3):
-        stream_runs.append(_streaming_pipeline_rate(spark, sf_dir))
-        ko_runs.append(
-            _streaming_pipeline_rate(
+        r, ext = _ambient_during(
+            lambda: _streaming_pipeline_rate(spark, sf_dir)
+        )
+        stream_runs.append(r)
+        stream_amb.append(ext)
+        r, ext = _ambient_during(
+            lambda: _streaming_pipeline_rate(
                 spark, sf_dir, mode=ProcessingMode.KEY_ORDERED
             )
         )
+        ko_runs.append(r)
+        ko_amb.append(ext)
     whole_rates = sorted(r for r, _ in stream_runs)
     steady_rates = sorted(s for _, s in stream_runs)
     streaming_rate = whole_rates[-1]
@@ -1817,16 +1847,19 @@ def main(out_path: str | None = None) -> None:
     # measurement beats a capture that bakes the degradation in).
     timer_probe = _await_timer_health(budget)
     w_runs, wko_runs = [], []
+    w_amb, wko_amb = [], []
     if timer_probe["healthy"]:
         _streaming_pipeline_rate(spark, sf_dir, n_batches=2, work_ms=10.0)
         for _ in range(3):
-            w_runs.append(
-                _streaming_pipeline_rate(
+            r, ext = _ambient_during(
+                lambda: _streaming_pipeline_rate(
                     spark, sf_dir, n_batches=5, work_ms=10.0
                 )
             )
-            wko_runs.append(
-                _streaming_pipeline_rate(
+            w_runs.append(r)
+            w_amb.append(ext)
+            r, ext = _ambient_during(
+                lambda: _streaming_pipeline_rate(
                     spark,
                     sf_dir,
                     n_batches=5,
@@ -1834,6 +1867,8 @@ def main(out_path: str | None = None) -> None:
                     mode=ProcessingMode.KEY_ORDERED,
                 )
             )
+            wko_runs.append(r)
+            wko_amb.append(ext)
     work_steady = sorted(s for _, s in w_runs)
     work_ko_steady = sorted(s for _, s in wko_runs)
     # input-basis companions for the 10 ms rows (ADVICE r9 #4): the
@@ -1983,6 +2018,17 @@ def main(out_path: str | None = None) -> None:
         # timer_health is the probe that adjudicates the window:
         # sleep(10 ms) p50/p90 under 64 threads, healthy = p90 ≤ 15 ms
         "timer_health": timer_probe,
+        # external cores during each streaming run's wall window (the
+        # query loop's ambient evidence, extended to the rows that
+        # shipped contention-blind through round 11) — the rate lists
+        # and these align positionally; compare a run against its own
+        # window, and distrust any row whose ambient exceeded the gate
+        "streaming_ambient": {
+            "zero_us": stream_amb,
+            "zero_us_ko": ko_amb,
+            "ten_ms": w_amb,
+            "ten_ms_ko": wko_amb,
+        },
         **work_rows,
         # the per-batch cost the reference's dispatch benchmark doesn't
         # pay (accounting groupBy + DLQ split): with the sink-only

@@ -133,6 +133,27 @@ def test_carried_rows_refuse_incomplete_prev():
     assert all(rows[k] is None for k in bench._KEYS_10MS)
 
 
+def test_ambient_during_passes_result_through():
+    """The streaming-row ambient evidence wrapper: fn's return value
+    passes through and the measurement is a non-negative core count
+    (or the corrupted-window sentinel). The own-burn-lands-in-tree
+    attribution property is _ext_cores'/_tree_cpu_jiffies' and is
+    pinned in test_bench_ambient.py — asserting a LOW value here would
+    make this test fail whenever a real neighbor runs."""
+    import time as _t
+
+    def burn():
+        end = _t.perf_counter() + 0.2
+        x = 0
+        while _t.perf_counter() < end:
+            x += 1
+        return 42
+
+    out, ext = bench._ambient_during(burn)
+    assert out == 42
+    assert ext >= 0.0
+
+
 class _FakeProc:
     def __init__(self, stdout: str):
         self.stdout = stdout
