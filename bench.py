@@ -1431,6 +1431,25 @@ def _ambient_during(fn):
     return out, round(ext, 2)
 
 
+def _gated_stream_run(fn, gate: float, budget: "_RequeueBudget"):
+    """One streaming capture with the query loop's hot-window
+    discipline: measure ambient over the run's wall window; if it
+    exceeded the gate, wait out the contention (bounded, shared
+    budget) and capture once more, keeping the run with the higher
+    STEADY rate (contention only deflates a throughput row — max is
+    the quiet-side analogue of the query loop's min). Returns
+    ((whole, steady), ambient, retried)."""
+    r, ext = _ambient_during(fn)
+    retried = 0
+    if gate > 0 and ext > gate and budget.remaining > 0:
+        _await_ambient_quiet(gate, budget)
+        r2, ext2 = _ambient_during(fn)
+        retried = 1
+        if r2[1] > r[1]:
+            r, ext = r2, ext2
+    return r, ext, retried
+
+
 def _timed_capture(build, runs: int = 3) -> tuple[float, float]:
     """(best-of-runs seconds, ambient cores during the whole capture
     window). The noop write forces execution of every output column."""
@@ -1805,19 +1824,24 @@ def main(out_path: str | None = None) -> None:
     )
     stream_runs, ko_runs = [], []
     stream_amb, ko_amb = [], []
+    streaming_requeues = 0
     for _ in range(3):
-        r, ext = _ambient_during(
-            lambda: _streaming_pipeline_rate(spark, sf_dir)
+        r, ext, rq = _gated_stream_run(
+            lambda: _streaming_pipeline_rate(spark, sf_dir), gate, budget
         )
         stream_runs.append(r)
         stream_amb.append(ext)
-        r, ext = _ambient_during(
+        streaming_requeues += rq
+        r, ext, rq = _gated_stream_run(
             lambda: _streaming_pipeline_rate(
                 spark, sf_dir, mode=ProcessingMode.KEY_ORDERED
-            )
+            ),
+            gate,
+            budget,
         )
         ko_runs.append(r)
         ko_amb.append(ext)
+        streaming_requeues += rq
     whole_rates = sorted(r for r, _ in stream_runs)
     steady_rates = sorted(s for _, s in stream_runs)
     streaming_rate = whole_rates[-1]
@@ -1851,24 +1875,30 @@ def main(out_path: str | None = None) -> None:
     if timer_probe["healthy"]:
         _streaming_pipeline_rate(spark, sf_dir, n_batches=2, work_ms=10.0)
         for _ in range(3):
-            r, ext = _ambient_during(
+            r, ext, rq = _gated_stream_run(
                 lambda: _streaming_pipeline_rate(
                     spark, sf_dir, n_batches=5, work_ms=10.0
-                )
+                ),
+                gate,
+                budget,
             )
             w_runs.append(r)
             w_amb.append(ext)
-            r, ext = _ambient_during(
+            streaming_requeues += rq
+            r, ext, rq = _gated_stream_run(
                 lambda: _streaming_pipeline_rate(
                     spark,
                     sf_dir,
                     n_batches=5,
                     work_ms=10.0,
                     mode=ProcessingMode.KEY_ORDERED,
-                )
+                ),
+                gate,
+                budget,
             )
             wko_runs.append(r)
             wko_amb.append(ext)
+            streaming_requeues += rq
     work_steady = sorted(s for _, s in w_runs)
     work_ko_steady = sorted(s for _, s in wko_runs)
     # input-basis companions for the 10 ms rows (ADVICE r9 #4): the
@@ -1911,10 +1941,28 @@ def main(out_path: str | None = None) -> None:
     # not derived from the flagship loop's single p01 timing
     n_events = queries["p01_outcome_accounting"].build(spark, sf_dir) \
         .agg(F.sum("n").alias("t")).collect()[0]["t"]
-    pipe_stats = _pipeline_throughput(
-        lambda: queries["p01_outcome_accounting"].build(spark, sf_dir),
-        n_events,
+    # ambient-gated like the query loop (round-12: a 59-core steal
+    # episode during this capture halved the committed rate while
+    # every gated row stayed clean) — re-run once after waiting out a
+    # hot window, keep the faster capture
+    pipe_stats, pipe_ext = _ambient_during(
+        lambda: _pipeline_throughput(
+            lambda: queries["p01_outcome_accounting"].build(spark, sf_dir),
+            n_events,
+        )
     )
+    if gate > 0 and pipe_ext > gate:
+        _await_ambient_quiet(gate, budget)
+        retry, retry_ext = _ambient_during(
+            lambda: _pipeline_throughput(
+                lambda: queries["p01_outcome_accounting"].build(
+                    spark, sf_dir
+                ),
+                n_events,
+            )
+        )
+        if retry["best"] > pipe_stats["best"]:
+            pipe_stats, pipe_ext = retry, retry_ext
     out_path = out_path or os.environ.get(
         "SPARK_GRAFT_BENCH_OUT", "BENCH_HEADLINE.json"
     )
@@ -1999,6 +2047,7 @@ def main(out_path: str | None = None) -> None:
             "spread_over_median"
         ],
         "pipeline_rps_runs": pipe_stats["runs"],
+        "pipeline_rps_ambient": pipe_ext,
         "streaming_records_per_sec": streaming_rate,
         # steady-state = batch-1 completion -> last-batch completion
         # (startup excluded); spread stats over the 3 runs' steady
@@ -2029,6 +2078,9 @@ def main(out_path: str | None = None) -> None:
             "ten_ms": w_amb,
             "ten_ms_ko": wko_amb,
         },
+        # hot streaming windows waited out + re-captured (keep-max on
+        # the steady rate — contention only deflates throughput)
+        "streaming_requeues": streaming_requeues,
         **work_rows,
         # the per-batch cost the reference's dispatch benchmark doesn't
         # pay (accounting groupBy + DLQ split): with the sink-only
