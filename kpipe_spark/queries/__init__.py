@@ -60,63 +60,62 @@ def register(
 # equals the computation, so a drifted list fails CI instead of
 # silently aging a grade (that drift happened once: round 8's
 # hand-typed list dropped d24_dup_clusters from its own count).
-# Round 12 = the q81-q84 deferred block (round-7 grades, deferred out
-# of round 11 by the self-correcting rule), then the round-8-era block
-# stalest-first in registry order (d01/d08/d13/d17 families, m01/m05-m07,
-# the d54-d79 curation/eval families, d96/d97 sketch gates, p04, and the
-# q06-q40 relational tail). All oracle-backed queries run the identical
+# Round 13 = the r9-era stalest block in registry order (the
+# q42/q46/q51/q85 relational tail, the d02-d43 text-quality /
+# dedup-variant families, m02, d63/d80-d85 curation-eval rows, and
+# d98's HLL gate). All oracle-backed queries run the identical
 # DuckDB compare in pytest regardless of window position.
 FLAGSHIP_50: tuple[str, ...] = (
     "q01_pricing_summary",
     "p01_outcome_accounting",
     "d05_minhash_neardup",
-    "q81_important_parts",
-    "q82_part_supplier_counts",
-    "q83_best_supplier_per_part",
-    "q84_excess_share_shippers",
-    "d01_dedup_exact",
-    "d08_similarity_topk",
-    "d13_ivf_topk",
-    "m01_media_metadata",
-    "d17_unigram_logprob",
-    "d54_incremental_dedup",
-    "d55_dedup_adjusted_mixture",
-    "m06_image_patch_stats",
-    "m05_audio_frame_energy",
-    "d56_contamination_spans",
-    "d57_token_budget_selection",
-    "d58_shard_plan",
-    "d59_priority_source_dedup",
-    "d60_curation_funnel",
-    "m07_multimodal_packing",
-    "d61_dup_substring_spans",
-    "d62_ivf_cell_profile",
-    "d64_blocklist_gate",
-    "d65_cluster_size_histogram",
-    "d66_shared_prefix_templates",
-    "d67_passage_chunks",
-    "d68_dsir_importance",
-    "d69_bigram_interp_logprob",
-    "d70_ann_recall_eval",
-    "d71_ngram_novelty",
-    "d72_source_kl_drift",
-    "d73_zipf_fit",
-    "d74_embedding_drift",
-    "d75_vocab_coverage",
-    "d76_oov_rate",
-    "d77_snapshot_diff",
-    "d78_source_dup_rate",
-    "d79_text_normalization",
-    "d96_cms_heavy_hitters",
-    "d97_bloom_dedup_gate",
-    "p04_curation_composition",
-    "q06_revenue_forecast",
-    "q26_having_filter",
-    "q13_window_rank",
-    "q30_events_top_users",
-    "q34_explode_token_freq",
-    "q39_first_last_per_group",
-    "q40_regexp_extract",
+    "q42_distinct_projection",
+    "q46_union_by_name",
+    "q51_date_arithmetic",
+    "q85_mode_per_group",
+    "d02_token_stats",
+    "d03_quality_score",
+    "d04_lang_id",
+    "d06_simhash",
+    "d07_ngram_jaccard_pairs",
+    "d09_lsh_similarity_topk",
+    "d10_embedding_norms",
+    "d11_embedding_neardup",
+    "d12_doc_fingerprint",
+    "m02_frame_sample",
+    "d14_doc_embedding_quality",
+    "d15_simhash_neardup",
+    "d16_pii_scrub",
+    "d18_bpe_token_stats",
+    "d19_stratified_sample",
+    "d20_dataset_split",
+    "d21_embedding_quantize",
+    "d22_repetition_score",
+    "d24_dup_clusters",
+    "d25_vocab_build",
+    "d26_tfidf_keywords",
+    "d29_column_profile",
+    "d30_k_anonymity",
+    "d31_contamination_check",
+    "d32_source_mixing_weights",
+    "d33_boilerplate_ngrams",
+    "d34_gopher_quality_rules",
+    "d35_source_document_cap",
+    "d36_lm_quality_buckets",
+    "d38_key_skew_profile",
+    "d39_sequence_packing",
+    "d40_corpus_card",
+    "d41_word_entropy",
+    "d42_lexical_diversity",
+    "d43_srp_near_dup",
+    "d63_tokenizer_fertility",
+    "d80_block_dedup_retention",
+    "d81_intradoc_dup_grams",
+    "d82_doc_stitching",
+    "d83_truncation_loss_curve",
+    "d84_ivf_cell_purity",
+    "d85_data_constrained_epochs",
+    "d98_hll_distinct_tokens",
 )
 
 
