@@ -21,8 +21,11 @@ Storage layout (the part that matters at 100 TB):
   configuration — genuinely 16 bytes of code payload per vector
   here) plus its id: the whole index for a 100 TB float corpus fits
   the page cache;
-- centroids and codebooks live in side tables ({table}__centroids,
-  {table}__codebooks) — n_cells and m×k rows, broadcast at search;
+- centroids, codebooks, and the cell-count probe profile live in side
+  tables ({table}__centroids, {table}__codebooks, {table}__cellcounts)
+  — n_cells, m×k, and n_cells rows, broadcast at search; the profile
+  is folded at append time and recounted at compact time so adaptive
+  probe_budget searches never scan the code table to pick cells;
 - the quantization family (m, sub_dim, k_codes, n_cells) persists as
   TBLPROPERTIES and attach() validates it, the CorpusIndex discipline:
   searching with a different family than the index was encoded with
@@ -114,6 +117,10 @@ class AnnIndex(StoredArtifact):
     def _codebooks_table(self) -> str:
         return f"{self.table}__codebooks"
 
+    @property
+    def _profile_table(self) -> str:
+        return f"{self.table}__cellcounts"
+
     def _vectors(self, df: DataFrame) -> DataFrame:
         return df.select(
             F.col(self.id_col).alias("vec_id"),
@@ -150,7 +157,12 @@ class AnnIndex(StoredArtifact):
         # a crashed prior build leaves managed directories with no
         # catalog entry; saveAsTable would die with
         # LOCATION_ALREADY_EXISTS on the first driver-OOM rerun
-        for t in (table, idx._centroids_table, idx._codebooks_table):
+        for t in (
+            table,
+            idx._centroids_table,
+            idx._codebooks_table,
+            idx._profile_table,
+        ):
             reclaim_orphaned_table_location(spark, t)
         v = idx._vectors(vectors)
         if centroids is not None:
@@ -184,6 +196,9 @@ class AnnIndex(StoredArtifact):
             "cell"
         ).saveAsTable(table, format="parquet")
         idx._set_props()
+        # seed the cell-count profile from the table just written (the
+        # build is the one corpus-sized pass; this groupBy rides on it)
+        idx._rewrite_profile_from_table()
         return idx
 
     # -- shared encode plumbing ----------------------------------------
@@ -288,7 +303,18 @@ class AnnIndex(StoredArtifact):
         accretes small files until ``compact()`` is the difference
         between a pruned two-cell probe and a footer-reading straggler
         (CorpusIndex.append's discipline). The count is a catalog
-        listing, not a data scan."""
+        listing, not a data scan.
+
+        The cell-count PROFILE folds here too: the encoded batch is
+        materialized once (batch-scaled), written, and its per-cell
+        counts merge into ``{table}__cellcounts`` — so adaptive
+        ``search(probe_budget=...)`` never scans the code table to
+        decide what not to scan. A crash between the data append and
+        the profile fold leaves the profile undercounting; like the
+        ``update_batch`` marker window, ``compact()`` is the repair
+        (it recomputes the profile exactly from the deduped table)."""
+        from kpipe_spark.util import materialize
+
         v = self._vectors(vectors)
         cents = self.spark.table(self._centroids_table).select(
             "cell", F.col("centroid").alias("_ce")
@@ -297,14 +323,18 @@ class AnnIndex(StoredArtifact):
             "code", "j", F.col("subvector").alias("_cb")
         )
         rsubs = self._subvectors(self._assign_residual(v, cents), "_r")
-        self._encode(rsubs, cb).write.mode("append").partitionBy(
-            "cell"
-        ).saveAsTable(self.table, format="parquet")
+        # materialized so the profile fold reuses the encode instead of
+        # re-running assignment + codebook argmin over the batch
+        enc = materialize(self._encode(rsubs, cb), eager=True)
+        enc.write.mode("append").partitionBy("cell").saveAsTable(
+            self.table, format="parquet"
+        )
         # the write runs in vectors' own session (a foreachBatch sink
         # hands a per-batch session CLONE); refresh this handle's
         # cached listing so the next search sees the appended codes
         # (CorpusIndex.append's fix — same stale-cache failure mode)
         self.spark.catalog.refreshTable(self.table)
+        self._fold_profile(enc)
         n_files = len(self.spark.table(self.table).inputFiles())
         if n_files > self.advisory_files_per_cell * self.n_cells:
             log.warning(
@@ -318,6 +348,75 @@ class AnnIndex(StoredArtifact):
                 self.advisory_files_per_cell,
             )
         return n_files
+
+    # -- cell-count profile ----------------------------------------------
+
+    def _rewrite_profile_from_table(self, session: SparkSession | None = None) -> None:
+        """Recompute ``{table}__cellcounts`` exactly from the code
+        table — the build seed, the compact()-time repair, and the
+        one-time migration of a pre-profile index. One scan of the
+        (bytes-per-vector) code table; the output is ≤ n_cells rows."""
+        from kpipe_spark.util import reclaim_orphaned_table_location
+
+        session = session or self.spark
+        reclaim_orphaned_table_location(session, self._profile_table)
+        counts = (
+            session.table(self.table)
+            .groupBy(F.col("cell").cast("long").alias("cell"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        counts.coalesce(1).write.mode("overwrite").saveAsTable(
+            self._profile_table, format="parquet"
+        )
+        self.spark.catalog.refreshTable(self._profile_table)
+
+    def _fold_profile(self, enc: DataFrame) -> None:
+        """Merge an encoded batch's per-cell counts into the stored
+        profile. The merge collects to the driver — bounded at
+        ≤ n_cells rows — because parquet can't overwrite a table its
+        own plan is reading. A profile-less legacy index migrates via
+        a one-time exact recount instead."""
+        session = enc.sparkSession
+        if not session.catalog.tableExists(self._profile_table):
+            self._rewrite_profile_from_table(session)
+            return
+        fresh = enc.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        merged = (
+            session.table(self._profile_table)
+            .unionByName(fresh)
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"))
+        )
+        rows = [(int(r["cell"]), int(r["n"])) for r in merged.collect()]
+        (
+            session.createDataFrame(rows, "cell long, n long")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .saveAsTable(self._profile_table, format="parquet")
+        )
+        self.spark.catalog.refreshTable(self._profile_table)
+
+    def cell_profile(self, session: SparkSession | None = None) -> DataFrame:
+        """(cell, n) probe-decision profile. Resolves to the STORED
+        ``{table}__cellcounts`` side table when present (the 100 TB
+        contract: the probe decision never scans the index it exists
+        to avoid scanning) and falls back to a derive-by-scan only for
+        a detached/legacy frame without one."""
+        session = session or self.spark
+        if session.catalog.tableExists(self._profile_table):
+            return session.table(self._profile_table)
+        log.warning(
+            "AnnIndex %s has no stored cell-count profile (%s) — "
+            "deriving the probe profile by scanning the code table; "
+            "run any append() or compact() to materialize it",
+            self.table,
+            self._profile_table,
+        )
+        return session.table(self.table).groupBy(
+            F.col("cell").cast("long").alias("cell")
+        ).agg(F.count(F.lit(1)).alias("n"))
 
     def update_batch(self, vectors: DataFrame, batch_id: int) -> bool:
         """Streaming maintenance: ``append`` exactly once per micro-
@@ -404,6 +503,10 @@ class AnnIndex(StoredArtifact):
             _rename(backup, live)
             raise
         self.spark.sql(f"DROP TABLE {backup}")
+        # compaction is the profile's exactness anchor: whatever the
+        # append/fold crash windows did to the counts, recounting the
+        # deduped table restores profile == table, exactly
+        self._rewrite_profile_from_table()
 
     # -- the search loop -----------------------------------------------
 
@@ -428,12 +531,12 @@ class AnnIndex(StoredArtifact):
         query whose nearest cells are tiny probes more and one at a
         fat cell stops early. The gate is integer cross-multiplication
         (cum_prev × n_cells < budget × total), no float threshold.
-        ``cell_counts`` supplies the (cell, n) profile; when omitted
-        it is derived from the code table — fine for a bench/eval
-        corpus, but at 100 TB pass the d62-style stored profile (a
-        n_cells-row table maintained at append/compact time) so the
-        probe DECISION never scans the index it exists to avoid
-        scanning.
+        ``cell_counts`` overrides the (cell, n) profile; when omitted
+        the STORED ``{table}__cellcounts`` side table — maintained
+        automatically at build/append/compact time — supplies it via
+        ``cell_profile``, so the probe DECISION never scans the index
+        it exists to avoid scanning (derive-by-scan survives only as
+        the fallback for a legacy index without the side table).
 
         The query batch is bounded (a serving batch / eval panel), so
         its probe-cell set collects to the driver (≤ |queries|×nprobe
@@ -484,9 +587,7 @@ class AnnIndex(StoredArtifact):
         else:
             counts = cell_counts
             if counts is None:
-                counts = session.table(self.table).groupBy("cell").agg(
-                    F.count(F.lit(1)).alias("n")
-                )
+                counts = self.cell_profile(session)
             counts = counts.select(
                 "cell", F.col("n").cast("long").alias("_n")
             )
@@ -694,5 +795,10 @@ class AnnIndex(StoredArtifact):
         return Handle(query, metrics)
 
     def drop(self) -> None:
-        for t in (self.table, self._centroids_table, self._codebooks_table):
+        for t in (
+            self.table,
+            self._centroids_table,
+            self._codebooks_table,
+            self._profile_table,
+        ):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")

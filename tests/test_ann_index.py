@@ -350,10 +350,10 @@ def test_adaptive_probe_skew_widens_and_narrows(spark, built):
 
 
 def test_adaptive_probe_derives_counts_and_prunes(spark, built):
-    """Without an injected profile the counts derive from the code
-    table; results stay inside the probed cells and the code-table
-    scan still carries the static partition filter (the probe
-    DECISION must not defeat the pruning it serves)."""
+    """Without an injected profile the counts resolve to the STORED
+    cell-count side table; results stay inside the probed cells and
+    the code-table scan still carries the static partition filter (the
+    probe DECISION must not defeat the pruning it serves)."""
     idx, emb = built
     one_query = emb.filter("vec_id = 100")
     res = idx.search(one_query, k=5, probe_budget=2)
@@ -364,6 +364,87 @@ def test_adaptive_probe_derives_counts_and_prunes(spark, built):
         idx.table in ln and "PartitionFilters: [cell" in ln
         for ln in plan.splitlines()
     ), plan[:4000]
+
+
+def _profile_of(spark, table, cast_cell: bool = False):
+    frame = spark.table(table)
+    if cast_cell:
+        frame = frame.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    return {int(r["cell"]): int(r["n"]) for r in frame.collect()}
+
+
+def test_profile_maintained_across_build_append_compact(spark):
+    """The stored cell-count profile tracks the code table exactly at
+    every lifecycle point — build seed, N append folds, compact
+    recount — so adaptive probing's mass gate always sees the true
+    distribution without scanning the index (round-12 verdict #2)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    table = f"ann_prof_{uuid.uuid4().hex[:8]}"
+    idx = AnnIndex.build(spark, emb.filter("vec_id < 300"), table)
+    try:
+        assert spark.catalog.tableExists(idx._profile_table)
+        assert _profile_of(spark, idx._profile_table) == _profile_of(
+            spark, idx.table, cast_cell=True
+        )
+        for lo, hi in ((300, 360), (360, 420)):
+            idx.append(emb.filter(f"vec_id >= {lo} AND vec_id < {hi}"))
+            assert _profile_of(spark, idx._profile_table) == _profile_of(
+                spark, idx.table, cast_cell=True
+            ), f"profile diverged after append [{lo},{hi})"
+        idx.compact()
+        assert _profile_of(spark, idx._profile_table) == _profile_of(
+            spark, idx.table, cast_cell=True
+        )
+        # the profile is ≤ n_cells rows — bounded side state, not index
+        assert spark.table(idx._profile_table).count() <= idx.n_cells
+    finally:
+        idx.drop()
+    assert not spark.catalog.tableExists(f"{table}__cellcounts")
+
+
+def test_probe_decision_reads_profile_not_code_table(spark, built):
+    """The 100 TB contract: with a stored profile present, the probe
+    decision's input plan scans ``__cellcounts`` and never the code
+    table (the table name is anchored with catalog prefix + '[' so the
+    side table's prefixed name can't mask a code-table scan)."""
+    idx, _ = built
+    prof = idx.cell_profile()
+    prof.collect()
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "__cellcounts" in plan, plan[:2000]
+    code_scan = f".{idx.table}["
+    assert not any(
+        code_scan in ln for ln in plan.splitlines()
+    ), plan[:4000]
+
+
+def test_cell_profile_falls_back_for_legacy_index(spark):
+    """An index built before the profile existed (side table absent)
+    still serves adaptive searches via derive-by-scan, and the first
+    append migrates it to an exact stored profile."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    table = f"ann_leg_{uuid.uuid4().hex[:8]}"
+    idx = AnnIndex.build(spark, emb.filter("vec_id < 300"), table)
+    try:
+        spark.sql(f"DROP TABLE {idx._profile_table}")  # simulate legacy
+        derived = {
+            int(r["cell"]): int(r["n"])
+            for r in idx.cell_profile().collect()
+        }
+        assert derived == _profile_of(spark, idx.table, cast_cell=True)
+        hits = idx.search(
+            emb.filter("vec_id = 100"), k=5, probe_budget=2
+        ).collect()
+        assert hits
+        idx.append(emb.filter("vec_id >= 300 AND vec_id < 330"))
+        assert spark.catalog.tableExists(idx._profile_table)
+        assert _profile_of(spark, idx._profile_table) == _profile_of(
+            spark, idx.table, cast_cell=True
+        )
+    finally:
+        idx.drop()
 
 
 def test_refine_reranks_toward_exact(spark, built):
@@ -468,11 +549,20 @@ def test_update_batch_replay_skip_and_crash_window_repair(spark):
         idx._set_props(last_batch_id=-1)
         assert idx.update_batch(batch, 0) is True
         assert spark.table(idx.table).count() == rows + n_batch
+        # each append folds its own counts, so even the duplicated
+        # state keeps profile == table (the fold tracks table content)
+        assert _profile_of(spark, idx._profile_table) == _profile_of(
+            spark, idx.table, cast_cell=True
+        )
 
         # compact() is the repair: exact duplicates dropped, search
-        # restored, marker preserved across the rename swap
+        # restored, marker preserved across the rename swap — and the
+        # profile recounted to match the deduped table
         idx.compact()
         assert spark.table(idx.table).count() == rows
+        assert _profile_of(spark, idx._profile_table) == _profile_of(
+            spark, idx.table, cast_cell=True
+        )
         got = sorted(map(tuple, idx.search(panel, k=5, nprobe=2).collect()))
         assert got == want
         assert idx.last_batch_id() == 0

@@ -90,12 +90,16 @@ def _partition_filter_cells(plan: str, table: str) -> set[int]:
         if table in ln and "PartitionFilters" in ln:
             m = re.search(r"PartitionFilters: \[(.*?)\]", ln)
             assert m, ln
-            # the filter renders as `cell#NNN IN (4,13)` (or `cell#NNN
-            # = 4` for one probe) — parse the literal list only, never
-            # the attribute id
+            # the filter renders as `cell#NNN IN (4,13)`, as `cell#NNN
+            # INSET 0, 1, 4, ...` for longer literal lists, or as
+            # `cell#NNN = 4` for one probe — parse the literal list
+            # only, never the attribute id
             in_list = re.search(r"IN \(([^)]*)\)", m.group(1))
             if in_list:
                 return {int(x) for x in re.findall(r"\d+", in_list.group(1))}
+            inset = re.search(r"INSET ([0-9, ]+)", m.group(1))
+            if inset:
+                return {int(x) for x in re.findall(r"\d+", inset.group(1))}
             eq = re.search(r"= (\d+)", m.group(1))
             assert eq, m.group(1)
             return {int(eq.group(1))}
@@ -146,6 +150,76 @@ def test_each_batch_scan_prunes_to_its_probe_set(spark, built, tmp_path):
     # the two batches probed independently (filters are per-batch
     # STATIC lists, not a union growing across the stream)
     assert all(len(s) <= 2 for s in seen_sets)
+
+
+def test_adaptive_probe_budget_varies_with_cell_mass(spark, built, tmp_path):
+    """Adaptive serving (round-12 verdict #6): the SAME single-query
+    stream probes a different number of cells under different cell-mass
+    profiles — uniform mass admits exactly ``budget`` cells, while half
+    the corpus sitting in the query's first-ranked cell stops the gate
+    at 1 (test_ann_index's exact arithmetic, here asserted on the
+    per-batch STATIC PartitionFilters of the serving path)."""
+    idx, emb = built
+    one = emb.filter("vec_id = 100")
+    first_cell = (
+        idx.search(one, k=5, nprobe=1).select("cell").distinct().collect()
+    )[0]["cell"]
+    uniform_t = f"prof_uni_{uuid.uuid4().hex[:8]}"
+    skew_t = f"prof_skew_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        [(c, 10) for c in range(idx.n_cells)], "cell long, n long"
+    ).write.saveAsTable(uniform_t)
+    spark.createDataFrame(
+        [
+            (c, 160 if c == first_cell else 160 // (idx.n_cells - 1))
+            for c in range(idx.n_cells)
+        ],
+        "cell long, n long",
+    ).write.saveAsTable(skew_t)
+    try:
+        probe_sizes = {}
+        for name, prof in (("uniform", uniform_t), ("skew", skew_t)):
+            sub = tmp_path / name
+            sub.mkdir()
+            captured = _run_query_stream(
+                spark, idx, emb, sub, ["vec_id = 100"],
+                probe_budget=2, cell_counts_table=prof,
+            )
+            ((_, rows, plan),) = captured
+            assert rows
+            probe_sizes[name] = len(
+                _partition_filter_cells(plan, idx.table)
+            )
+        assert probe_sizes == {"uniform": 2, "skew": 1}, probe_sizes
+    finally:
+        for t in (uniform_t, skew_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_adaptive_default_resolves_stored_profile_per_batch(
+    spark, built, tmp_path
+):
+    """probe_budget with NO cell_counts_table: each micro-batch's
+    session clone resolves the artifact's stored ``__cellcounts`` side
+    table (maintained at build/append/compact — round-12 verdict #2),
+    and the streamed hits equal the adaptive BATCH search that reads
+    the same stored profile."""
+    idx, emb = built
+    assert spark.catalog.tableExists(idx._profile_table)
+    pred = "vec_id % 25 = 0 AND vec_id < 250"
+    captured = _run_query_stream(
+        spark, idx, emb, tmp_path, [pred], probe_budget=2,
+    )
+    ((_, rows, plan),) = captured
+    streamed = sorted(tuple(r) for r in rows)
+    want = sorted(
+        tuple(r)
+        for r in idx.search(emb.filter(pred), k=10, probe_budget=2).collect()
+    )
+    assert streamed == want
+    # the scan still prunes to the batch's (adaptively chosen) cells
+    n_cells = idx.spark.table(idx._centroids_table).count()
+    assert len(_partition_filter_cells(plan, idx.table)) < n_cells
 
 
 def test_streaming_refine_resolves_table_in_batch_session(
