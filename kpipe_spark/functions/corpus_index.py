@@ -284,8 +284,17 @@ class CorpusIndex(StoredArtifact):
         # fold-then-append, so components at folded_release_seq == K
         # and this index moving to K+1 is the consistent idle state;
         # an append that never gets folded leaves the index AHEAD and
-        # the next refresh_incremental refuses with the repair recipe
-        self._set_props(release_seq=self.release_seq() + 1)
+        # the next refresh_incremental refuses with the repair recipe.
+        # The batch fingerprint rides in the SAME ALTER TABLE (one
+        # statement — marker and identity can't diverge), so the
+        # data-landed-but-marker-lost crash window is detectable:
+        # ``append_if_missing`` re-stamps instead of re-appending.
+        n_b, h_b = self._batch_fingerprint(admitted_docs)
+        self._set_props(
+            release_seq=self.release_seq() + 1,
+            last_append_n=n_b,
+            last_append_hash=h_b,
+        )
         n_files = len(self.spark.table(self.table).inputFiles())
         if n_files > self.advisory_files_per_bucket * n_buckets:
             log.warning(
@@ -299,6 +308,62 @@ class CorpusIndex(StoredArtifact):
                 self.advisory_files_per_bucket,
             )
         return n_files
+
+    def append_if_missing(self, batch: DataFrame) -> str:
+        """Crash-safe (idempotent) form of ``append`` for the
+        append/marker crash window (round-12 ADVICE): ``append`` lands
+        the band rows first and bumps ``release_seq`` + the batch
+        fingerprint in a separate statement, so a crash between them
+        leaves DATA AHEAD OF MARKER — and blindly re-appending would
+        duplicate every band row of the batch.
+
+        This method checks which state the table is actually in (one
+        batch-sized anti-join into the bucketed band table — the same
+        exchange-free shape ``admit`` plans) and repairs accordingly:
+
+        - no band row of the batch present  → full ``append``
+          (returns ``"appended"``),
+        - all present, fingerprint already stamped for THIS batch →
+          nothing to do (returns ``"already_appended"``),
+        - all present, fingerprint stale/absent → the marker bump was
+          the thing the crash lost: re-stamp release_seq + fingerprint
+          WITHOUT touching data (returns ``"restamped"``),
+        - partially present → the append job itself died mid-commit;
+          raises with the rebuild recipe (parquet's committer makes
+          this near-impossible on one table, but silently guessing
+          either way would corrupt the index).
+
+        Use it on the replay path only (``ClusterIndex.update_batch``
+        routes through it exactly when its fold reported a replay);
+        the steady-state path keeps the cheap blind ``append``."""
+        bands = self._bands_of(batch).localCheckpoint(eager=True)
+        total = bands.count()
+        missing = bands.join(
+            self.bands_df, [self.id_col, "band", "bucket"], "left_anti"
+        ).count()
+        if missing == total:
+            self.append(batch)
+            return "appended"
+        if missing > 0:
+            raise RuntimeError(
+                f"append_if_missing({self.table}): {missing} of {total} "
+                "band rows of this batch are absent but the rest "
+                "already landed — a partially committed append. "
+                "Rebuild the index from the full corpus "
+                "(CorpusIndex.build) rather than guessing which half "
+                "to trust."
+            )
+        n_b, h_b = self._batch_fingerprint(batch)
+        props = self._read_props()
+        stamped = (props.get("last_append_n"), props.get("last_append_hash"))
+        if stamped == (n_b, h_b):
+            return "already_appended"
+        self._set_props(
+            release_seq=self.release_seq() + 1,
+            last_append_n=n_b,
+            last_append_hash=h_b,
+        )
+        return "restamped"
 
     def compact(self) -> None:
         """Rewrite the band table into one file per bucket, preserving

@@ -46,6 +46,7 @@ class StoredArtifact:
 
     spark: SparkSession
     table: str
+    id_col: str  # required only by _batch_fingerprint-using artifacts
 
     # -- lifecycle -----------------------------------------------------
 
@@ -84,6 +85,24 @@ class StoredArtifact:
         maintainer; -1 when never updated (or the artifact kind keeps
         no marker)."""
         return int(self._read_props().get("last_batch_id", -1))
+
+    def _batch_fingerprint(self, batch: DataFrame) -> tuple[int, int]:
+        """Order-insensitive batch identity, batch-scaled: (row count,
+        sum of pmod(xxhash64(id_col), 2^31)). Lets cadence markers
+        distinguish a crash-replay of the SAME batch (allowed,
+        idempotent) from a DIFFERENT batch arriving in an inconsistent
+        marker state (refused / repaired). The summands are < 2^31, so
+        the int64 sum is exact for any batch under 2^32 rows."""
+        from pyspark.sql import functions as F
+
+        row = batch.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64(self.id_col), F.lit(1 << 31))),
+                F.lit(0),
+            ).alias("_h"),
+        ).collect()[0]
+        return int(row["_n"]), int(row["_h"])
 
     # -- internals -----------------------------------------------------
 

@@ -451,3 +451,141 @@ def test_incremental_refresh_drops_incomplete_park(spark, corpus):
     finally:
         idx.drop()
         bands.drop()
+
+
+def test_idle_refold_of_appended_batch_is_noop(spark, corpus):
+    """Round-12 ADVICE #2: re-folding a batch AFTER its append (idle
+    state, folded == corpus) must be a no-op — the old behavior
+    re-stamped folded = corpus + 1, leaving the marker permanently one
+    ahead and poisoning the NEXT legitimate fold with a misleading
+    fingerprint refusal."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+
+    ctable = f"clusters_{uuid.uuid4().hex[:8]}"
+    btable = f"bands_{uuid.uuid4().hex[:8]}"
+    idx = ClusterIndex.build(spark, corpus, ctable)
+    bands = CorpusIndex.build(spark, corpus, btable, num_buckets=4)
+    try:
+        batch = _df(spark, [(90, SPAM)])
+        out = idx.refresh_incremental(batch, bands)
+        assert out["state"] == "folded"
+        bands.append(batch)
+        # idle state: both markers at 1. Re-fold the SAME batch.
+        out2 = idx.refresh_incremental(batch, bands)
+        assert out2["state"] == "already_applied"
+        assert out2["overwritten_buckets"] == 0
+        assert idx._read_props()["folded_release_seq"] == 1  # not 2
+        # the next legitimate fold proceeds (no bogus refusal)
+        nxt = _df(spark, [(91, SPAM)])
+        assert idx.refresh_incremental(nxt, bands)["state"] == "folded"
+        bands.append(nxt)
+        labels = {
+            r["doc_id"]: r["cluster_id"] for r in idx.components_df.collect()
+        }
+        assert labels.get(91) is not None
+    finally:
+        idx.drop()
+        bands.drop()
+
+
+def test_edge_free_batch_still_advances_fold_marker(spark, corpus):
+    """A batch with NO collision edges changes no components, but the
+    fold marker must still advance — otherwise the caller's append
+    leaves the band index ahead and the next fold is refused even
+    though the cadence was followed to the letter."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+
+    ctable = f"clusters_{uuid.uuid4().hex[:8]}"
+    btable = f"bands_{uuid.uuid4().hex[:8]}"
+    idx = ClusterIndex.build(spark, corpus, ctable)
+    bands = CorpusIndex.build(spark, corpus, btable, num_buckets=4)
+    try:
+        lonely = _df(spark, [(500, "utterly unique text colliding with nothing")])
+        out = idx.refresh_incremental(lonely, bands)
+        assert out == {
+            "overwritten_buckets": 0,
+            "num_comp_buckets": idx.num_comp_buckets,
+            "state": "folded",
+        }
+        assert idx._read_props()["folded_release_seq"] == 1
+        bands.append(lonely)
+        # no refusal on the next fold
+        assert idx.refresh_incremental(_df(spark, [(501, SPAM)]), bands)[
+            "state"
+        ] == "folded"
+    finally:
+        idx.drop()
+        bands.drop()
+
+
+def test_update_batch_streaming_fold_crash_matrix(spark, corpus):
+    """Round-12 verdict #3: ClusterIndex.update_batch is the
+    foreachBatch-composable fold-then-append wrapper, idempotent per
+    batch id across every crash window the markers police — and no
+    window duplicates a single band row."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+
+    ctable = f"clusters_{uuid.uuid4().hex[:8]}"
+    btable = f"bands_{uuid.uuid4().hex[:8]}"
+    idx = ClusterIndex.build(spark, corpus, ctable)
+    bands = CorpusIndex.build(spark, corpus, btable, num_buckets=4)
+    try:
+        b0 = _df(spark, [(90, SPAM), (210, "stream novel a"), (211, "stream novel a")])
+        assert idx.update_batch(b0, bands, 0) is True
+        assert idx.last_batch_id() == 0
+        assert bands.release_seq() == 1
+        band_rows = spark.table(btable).count()
+
+        # re-delivery fast path: same id is a full no-op
+        assert idx.update_batch(b0, bands, 0) is False
+        assert spark.table(btable).count() == band_rows
+
+        # window 1 — crash after fold, before append: replay re-folds
+        # (refolded) and append_if_missing APPENDS the missing bands
+        b1 = _df(spark, [(212, SPAM)])
+        idx.refresh_incremental(b1, bands)  # fold landed, append lost
+        assert idx.update_batch(b1, bands, 1) is True
+        rows_after_b1 = spark.table(btable).count()
+        assert rows_after_b1 > band_rows
+        assert bands.release_seq() == 2
+
+        # window 2 — crash after append DATA, before its marker bump:
+        # replay re-folds and append_if_missing RE-STAMPS, zero dup rows
+        b2 = _df(spark, [(213, SPAM)])
+        idx.refresh_incremental(b2, bands)
+        bands._bands_of(b2).write.mode("append").bucketBy(
+            4, "band", "bucket"
+        ).saveAsTable(btable, format="parquet")  # data landed, marker lost
+        spark.catalog.refreshTable(btable)
+        rows_mid = spark.table(btable).count()
+        assert idx.update_batch(b2, bands, 2) is True
+        assert spark.table(btable).count() == rows_mid  # no duplicates
+        assert bands.release_seq() == 3
+
+        # window 3 — crash after append, before the batch marker: the
+        # fold reports already_applied, append skipped, marker stamped
+        b3 = _df(spark, [(214, SPAM)])
+        idx.refresh_incremental(b3, bands)
+        bands.append(b3)
+        rows_b3 = spark.table(btable).count()
+        assert idx.update_batch(b3, bands, 3) is True
+        assert spark.table(btable).count() == rows_b3
+        assert bands.release_seq() == 4
+        assert idx.last_batch_id() == 3
+
+        # the invariant everything above serves: the streamed result
+        # equals a full rebuild over the final corpus
+        streamed = corpus.unionByName(b0).unionByName(b1).unionByName(
+            b2
+        ).unionByName(b3)
+        rebuilt = f"clusters_rb_{uuid.uuid4().hex[:8]}"
+        full = ClusterIndex.build(spark, streamed, rebuilt)
+        try:
+            assert sorted(map(tuple, idx.components_df.collect())) == sorted(
+                map(tuple, full.components_df.collect())
+            )
+        finally:
+            full.drop()
+    finally:
+        idx.drop()
+        bands.drop()

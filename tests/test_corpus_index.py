@@ -391,3 +391,65 @@ def test_streaming_admission_replay_is_idempotent(spark, corpus_rows, tmp_path):
         assert spark.table(table).count() == rows_after_first
     finally:
         idx.drop()
+
+
+def test_append_if_missing_repairs_marker_and_data_windows(spark, corpus_rows):
+    """The append/marker crash matrix (round-12 ADVICE): append lands
+    band rows, then bumps release_seq + batch fingerprint in a separate
+    statement — a crash between them leaves data ahead of marker.
+    append_if_missing must (a) re-stamp WITHOUT duplicating band rows
+    in that state, (b) fully append when nothing landed, (c) no-op when
+    both data and marker landed, and (d) refuse a partial landing."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+
+    table = f"bands_aim_{uuid.uuid4().hex[:8]}"
+    idx = CorpusIndex.build(spark, _df(spark, corpus_rows), table, num_buckets=4)
+    try:
+        batch = _df(spark, [(900, SPAM), (901, "novel text nine oh one")])
+
+        # (b) nothing landed yet: full append
+        assert idx.append_if_missing(batch) == "appended"
+        assert idx.release_seq() == 1
+        rows_after = spark.table(table).count()
+
+        # (c) both data and marker landed: no-op
+        assert idx.append_if_missing(batch) == "already_appended"
+        assert idx.release_seq() == 1
+        assert spark.table(table).count() == rows_after
+
+        # (a) simulate the crash window: marker bump lost (stale
+        # fingerprint + seq), data present — re-stamp only
+        idx._set_props(release_seq=0, last_append_n=0, last_append_hash=0)
+        assert idx.append_if_missing(batch) == "restamped"
+        assert idx.release_seq() == 1
+        props = idx._read_props()
+        n_b, h_b = idx._batch_fingerprint(batch)
+        assert (props["last_append_n"], props["last_append_hash"]) == (n_b, h_b)
+        assert spark.table(table).count() == rows_after  # no duplicates
+
+        # (d) partial landing: half the batch's band rows missing
+        half = _df(spark, [(902, FOX), (903, "another novel document")])
+        idx.append(half.filter("doc_id = 902"))
+        with pytest.raises(RuntimeError, match="partially committed"):
+            idx.append_if_missing(half)
+    finally:
+        idx.drop()
+
+
+def test_append_stamps_fingerprint_with_release_seq(spark, corpus_rows):
+    """append() writes release_seq and the batch fingerprint in ONE
+    ALTER TABLE — the atomicity that makes the crash window detectable
+    (either both survive or neither does)."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+
+    table = f"bands_fp_{uuid.uuid4().hex[:8]}"
+    idx = CorpusIndex.build(spark, _df(spark, corpus_rows), table, num_buckets=4)
+    try:
+        batch = _df(spark, [(910, "fingerprint stamping batch")])
+        idx.append(batch)
+        props = idx._read_props()
+        n_b, h_b = idx._batch_fingerprint(batch)
+        assert props["release_seq"] == 1
+        assert (props["last_append_n"], props["last_append_hash"]) == (n_b, h_b)
+    finally:
+        idx.drop()

@@ -53,6 +53,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ("examples/ann_streaming_serving.py", "streaming ANN serving sound = True"),
         ("examples/tokenizer_training.py", "stored vocab == oracle-checked d90 rows = True"),
         ("examples/streaming_admission.py", "replay admitted 0, gate sound, index and bitmap unchanged = True"),
+        ("examples/streaming_cluster_fold.py", "streaming cluster fold sound = True"),
     ],
 )
 def test_example_runs(script, expect):
