@@ -256,3 +256,129 @@ def test_fresh_session_check_no_output(monkeypatch):
     )
     out = bench._fresh_session_check("/unused", {"x": 1.0}, 0.5)
     assert "error" in out
+
+
+def test_headline_carry_candidates_prefers_committed_headline(tmp_path, monkeypatch):
+    """Round-12 ADVICE #3: a degraded-timer run with a FRESH --out path
+    must fall back to committed headline artifacts — BENCH_HEADLINE
+    first, then the newest BENCH_r{NN} — never ship nulls while a
+    healthy committed capture exists, and never list its own out
+    path."""
+    monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
+    for name in ("BENCH_HEADLINE.json", "BENCH_r11.json", "BENCH_r12.json"):
+        (tmp_path / name).write_text("{}")
+    cands = bench._headline_carry_candidates(str(tmp_path / "BENCH_r13.json"))
+    names = [os.path.basename(p) for p in cands]
+    assert names == ["BENCH_HEADLINE.json", "BENCH_r12.json", "BENCH_r11.json"]
+    # writing over an EXISTING committed artifact excludes it
+    cands2 = bench._headline_carry_candidates(
+        str(tmp_path / "BENCH_HEADLINE.json")
+    )
+    assert os.path.basename(cands2[0]) == "BENCH_r12.json"
+
+
+def test_carry_fallback_reads_committed_headline_rows(tmp_path, monkeypatch):
+    """End-to-end shape of the fallback: out_path missing, committed
+    BENCH_HEADLINE healthy — the carry sources its rows, not nulls."""
+    monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
+    committed = _healthy_prev()
+    (tmp_path / "BENCH_HEADLINE.json").write_text(json.dumps(committed))
+    out_path = str(tmp_path / "BENCH_r13.json")
+    prev_10ms = {}
+    for cand in [out_path, *bench._headline_carry_candidates(out_path)]:
+        try:
+            with open(cand) as f:
+                prev_10ms = json.load(f)
+            break
+        except (OSError, json.JSONDecodeError):
+            continue
+    rows = bench._carried_10ms_rows(prev_10ms)
+    assert rows["streaming_10ms_carry_age"] == 1
+    assert all(rows[k] == 1 for k in bench._KEYS_10MS)
+
+
+def _sweep_doc(queries, ambient=None, total=None, loadavg=0.5):
+    return {
+        "queries": queries,
+        "ambient_load_per_query": ambient or {n: 0.0 for n in queries},
+        "value": total if total is not None else round(sum(queries.values()), 1),
+        "loadavg_start": loadavg,
+    }
+
+
+def test_anchor_delta_flags_persisted_elevation(tmp_path, monkeypatch):
+    """Round-12 verdict What's-wrong #2: a step-change that persists
+    reads as an IMPROVEMENT in the round-over-round delta (r12 vs r11
+    after stepping up in r11); the anchor delta keeps it flagged until
+    it returns to anchor level. q02 stepped 1.0 -> 2.0 and stayed —
+    sweep_delta vs prev sees 2.0 -> 1.9 (green), anchor sees 1.9x."""
+    monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
+    monkeypatch.setattr(bench, "_ambient_gate", lambda: 8.0)
+    anchor = _sweep_doc({"q01_pricing_summary": 0.5, "q02": 1.0, "q03": 3.0})
+    prev = _sweep_doc({"q01_pricing_summary": 0.55, "q02": 2.0, "q03": 3.1})
+    (tmp_path / "SWEEP_r10.json").write_text(json.dumps(anchor))
+    (tmp_path / "SWEEP_r11.json").write_text(json.dumps(prev))
+    cur = _sweep_doc({"q01_pricing_summary": 0.56, "q02": 1.9, "q03": 3.0})
+    out_path = str(tmp_path / "SWEEP_r12.json")
+
+    apath = bench._anchor_sweep_artifact(out_path)
+    assert os.path.basename(apath) == "SWEEP_r10.json"
+    ad = bench._anchor_delta(cur, apath)
+    assert ad["anchor_artifact"] == "SWEEP_r10.json"
+    assert ad["vs_anchor_ratio"]["q02"] == 1.9
+    assert list(ad["rows_elevated_vs_anchor"]) == ["q02"]
+    # while the round-over-round delta reads q02 as an improvement
+    sd = bench._sweep_delta(cur, str(tmp_path / "SWEEP_r11.json"))
+    assert "q02" not in sd["movers"]
+
+
+def test_anchor_delta_ignores_hot_rows_and_small_absolutes(tmp_path, monkeypatch):
+    """Rows hot in EITHER artifact aren't compared (the standing
+    evidence rule), and a 1.5x ratio on a sub-0.3s delta is not an
+    elevation (the shared two-part mover discipline)."""
+    monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
+    monkeypatch.setattr(bench, "_ambient_gate", lambda: 8.0)
+    anchor = _sweep_doc(
+        {"q01_pricing_summary": 0.5, "qhot": 1.0, "qtiny": 0.1},
+        ambient={"q01_pricing_summary": 0.0, "qhot": 50.0, "qtiny": 0.0},
+    )
+    (tmp_path / "SWEEP_r10.json").write_text(json.dumps(anchor))
+    cur = _sweep_doc(
+        {"q01_pricing_summary": 0.5, "qhot": 9.0, "qtiny": 0.2}
+    )
+    ad = bench._anchor_delta(cur, str(tmp_path / "SWEEP_r10.json"))
+    assert "qhot" not in ad["vs_anchor_ratio"]  # hot in the anchor
+    assert ad["vs_anchor_ratio"]["qtiny"] == 2.0
+    assert "qtiny" not in ad["rows_elevated_vs_anchor"]  # < 0.3s abs
+    assert "bisect_flag" not in ad
+
+
+def test_anchor_delta_bisect_flag_on_cumulative_drift(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
+    monkeypatch.setattr(bench, "_ambient_gate", lambda: 8.0)
+    anchor = _sweep_doc({"qa": 10.0, "qb": 10.0})
+    (tmp_path / "SWEEP_r06.json").write_text(json.dumps(anchor))
+    cur = _sweep_doc({"qa": 16.0, "qb": 15.0})
+    ad = bench._anchor_delta(cur, str(tmp_path / "SWEEP_r06.json"))
+    assert ad["quiet_subtotal_ratio_vs_anchor"] >= 1.5
+    assert "bisect_flag" in ad
+
+
+def test_sentinel_series_spans_all_committed_sweeps(tmp_path, monkeypatch):
+    """The q01/total trend is carried IN the artifact, oldest first,
+    current run last — the monotone-creep view (0.488 -> 0.626 -> 0.91
+    across r10-r12) that used to require opening every artifact."""
+    monkeypatch.setattr(bench, "_REPO_DIR", str(tmp_path))
+    for rnd, q01 in ((10, 0.488), (11, 0.626), (12, 0.91)):
+        (tmp_path / f"SWEEP_r{rnd}.json").write_text(
+            json.dumps(
+                _sweep_doc({"q01_pricing_summary": q01}, total=100.0 + rnd)
+            )
+        )
+    cur = _sweep_doc({"q01_pricing_summary": 0.88}, total=115.0)
+    series = bench._sentinel_series(str(tmp_path / "SWEEP_r13.json"), cur)
+    assert [s["artifact"] for s in series] == [
+        "SWEEP_r10.json", "SWEEP_r11.json", "SWEEP_r12.json", "SWEEP_r13.json"
+    ]
+    assert [s["q01"] for s in series] == [0.488, 0.626, 0.91, 0.88]
+    assert series[-1]["total"] == 115.0
