@@ -337,6 +337,24 @@ def _sweep_delta(cur_doc: dict, prev_path: str) -> dict | None:
     return out
 
 
+def _env_versions(spark) -> dict:
+    """Toolchain pin for the sweep artifact: python / pyspark / JVM.
+    Lets an anchor_delta drift bisect toolchain-vs-host in one diff."""
+    import platform
+
+    try:
+        jvm = spark.sparkContext._jvm.System.getProperty("java.version")
+    except Exception:
+        jvm = None
+    import pyspark
+
+    return {
+        "python": platform.python_version(),
+        "pyspark": pyspark.__version__,
+        "java": jvm,
+    }
+
+
 def _anchor_sweep_artifact(out_path: str) -> str | None:
     """The OLDEST committed SWEEP_r{NN}.json — the fixed anchor the
     round-12 verdict asked for (What's wrong #1/#2): every round's
@@ -1071,6 +1089,10 @@ def sweep(out_path: str | None = None) -> None:
         ),
         "sf": sf_dir,
         "loadavg_start": loadavg_start,
+        # environment pin (round-12 What's-wrong #1 bisect helper): a
+        # cumulative anchor_delta drift with CHANGED versions here
+        # bisects to the toolchain before anything else
+        "versions": _env_versions(spark),
     }
     # round-over-round quiet-rows comparison vs the newest committed
     # sweep artifact (excluding the file this run is about to write)
