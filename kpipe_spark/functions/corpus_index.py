@@ -266,6 +266,11 @@ class CorpusIndex(StoredArtifact):
         straggler. The count is a catalog file listing, not a data
         scan."""
         n_buckets = self._num_buckets()
+        # fingerprint BEFORE the data lands: a lazily-derived batch
+        # frame (e.g. streaming_admission's admit-ledger join) flips to
+        # EMPTY once its docs are indexed, so a post-write agg would
+        # stamp (0, 0) instead of the batch's identity
+        n_b, h_b = self._batch_fingerprint(admitted_docs)
         (
             self._bands_of(admitted_docs)
             .write.mode("append")
@@ -289,7 +294,6 @@ class CorpusIndex(StoredArtifact):
         # statement — marker and identity can't diverge), so the
         # data-landed-but-marker-lost crash window is detectable:
         # ``append_if_missing`` re-stamps instead of re-appending.
-        n_b, h_b = self._batch_fingerprint(admitted_docs)
         self._set_props(
             release_seq=self.release_seq() + 1,
             last_append_n=n_b,

@@ -773,20 +773,29 @@ def d22_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def d23_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d23_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    lsh_threshold: float = 0.45,
+    num_tables: int = 8,
+) -> DataFrame:
     """d23's candidate DISCOVERY stage, exposed so the coverage test
     can assert the seeded LSH net finds every exact pair on a fixture
     (round-11 ADVICE: the oracle is the exact all-pairs set, so a
     regenerated fixture needs this coverage re-established — run
     tests/test_d23_candidate_coverage.py after any fixture change;
     a loud hash-fail at the driver plus a red coverage test means the
-    net missed a boundary pair, not an engine bug).
+    net missed a boundary pair, not an engine bug). ``lsh_threshold``/
+    ``num_tables`` parameterize the net ONLY for that coverage suite's
+    regeneration drill (tightening the net on a boundary-pair corpus
+    must turn the test red; the registered query always uses the
+    shipped 0.45/8 defaults).
 
     Returns (id_a, id_b, _i, _u): the ordered candidate pairs from the
-    seed-fixed 8-table MinHashLSH join at the loosened 0.45
-    hashed-distance threshold, with exact distinct-3-gram intersection
-    and union sizes attached — the exact <= 0.3 report filter is the
-    caller's."""
+    seed-fixed MinHashLSH join at the loosened hashed-distance
+    threshold, with exact distinct-3-gram intersection and union sizes
+    attached — the exact <= 0.3 report filter is the caller's."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
     docs = load_tables(spark, sf_dir).documents
@@ -805,9 +814,14 @@ def d23_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="_grams", outputCol="_features", numFeatures=1 << 18
     ).transform(grams)
     model = MinHashLSH(
-        inputCol="_features", outputCol="_hashes", numHashTables=8, seed=42
+        inputCol="_features",
+        outputCol="_hashes",
+        numHashTables=num_tables,
+        seed=42,
     ).fit(tf)
-    pairs = model.approxSimilarityJoin(tf, tf, 0.45, distCol="_lsh_dist")
+    pairs = model.approxSimilarityJoin(
+        tf, tf, lsh_threshold, distCol="_lsh_dist"
+    )
     ga, gb = F.col("datasetA._gset"), F.col("datasetB._gset")
     i = F.size(F.array_intersect(ga, gb))
     u = F.size(ga) + F.size(gb) - i
