@@ -464,6 +464,69 @@ def _sentinel_series(out_path: str, cur_doc: dict) -> list[dict]:
     return series
 
 
+def _confirm_anchor_elevations(
+    spark, sf_dir, queries, anchor_delta: dict
+) -> dict:
+    """Best-of-3 adjudication of ``rows_elevated_vs_anchor`` — the
+    anchor analogue of ``_confirm_movers`` (round-13: the first live
+    anchor_delta flagged 12 rows; the q01-sentinel best-of-3 protocol
+    cleared every one as single-capture noise, so the adjudication is
+    machine-side from now on). Each elevated row re-times best-of-3
+    in the warmed session with the q01 sentinel alongside; verdict
+    ``single_capture_noise`` when the best-of-3 fails the two-part
+    test vs the anchor value (>0.3 s AND >1.5×), else
+    ``persisted_elevation`` — investigate or re-anchor deliberately.
+    A drifted confirmation session (sentinel >1.5× its own anchor
+    value) stamps ``session_drifted`` on every row instead of a
+    trustable verdict."""
+    try:
+        with open(
+            os.path.join(_REPO_DIR, anchor_delta["anchor_artifact"])
+        ) as f:
+            aq = json.load(f).get("queries", {})
+    except (OSError, json.JSONDecodeError, KeyError):
+        return {}
+
+    def best3(name: str) -> float:
+        q = queries[name]
+        q.build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q.build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    sentinel = best3(_FRESH_SENTINEL)
+    sentinel_anchor = aq.get(_FRESH_SENTINEL)
+    drifted = (
+        sentinel_anchor is not None and sentinel > 1.5 * sentinel_anchor
+    )
+    out: dict[str, dict] = {
+        "_sentinel": {
+            "query": _FRESH_SENTINEL,
+            "best3": sentinel,
+            "anchor": sentinel_anchor,
+        }
+    }
+    for name in anchor_delta.get("rows_elevated_vs_anchor", {}):
+        if name not in queries or name not in aq:
+            continue
+        b3 = best3(name)
+        if drifted:
+            verdict = "session_drifted"
+        elif _is_mover(b3, aq[name]):
+            verdict = "persisted_elevation"
+        else:
+            verdict = "single_capture_noise"
+        out[name] = {"anchor": aq[name], "best3": b3, "verdict": verdict}
+    return out
+
+
 def _is_mover(cur: float, ref: float) -> bool:
     """THE two-part mover threshold — >0.3 s absolute AND >1.5× ratio,
     directional (``cur`` worse than ``ref``). One definition shared by
@@ -1165,6 +1228,20 @@ def sweep(out_path: str | None = None) -> None:
     if anchor:
         anchor_delta = _anchor_delta(doc, anchor)
         if anchor_delta:
+            if anchor_delta.get("rows_elevated_vs_anchor"):
+                try:
+                    # the fresh_session_check path may have stopped the
+                    # session; a dead session means no adjudication —
+                    # the flags ship raw and the protocol runs by hand
+                    anchor_delta["anchor_confirmation"] = (
+                        _confirm_anchor_elevations(
+                            spark, sf_dir, queries, anchor_delta
+                        )
+                    )
+                except Exception as e:  # pragma: no cover
+                    anchor_delta["anchor_confirmation"] = {
+                        "_error": repr(e)
+                    }
             doc["anchor_delta"] = anchor_delta
     doc["sentinel_series"] = _sentinel_series(out_path, doc)
     with open(out_path, "w") as f:
