@@ -322,8 +322,11 @@ class CorpusIndex(StoredArtifact):
         duplicate every band row of the batch.
 
         This method checks which state the table is actually in (one
-        batch-sized anti-join into the bucketed band table — the same
-        exchange-free shape ``admit`` plans) and repairs accordingly:
+        batch-sized presence join into the bucketed band table, equi
+        on (band, bucket) with the id as a post-join filter — the same
+        exchange-free shape ``admit`` plans; joining on all three
+        columns would re-partition the bucketed side, an index-sized
+        shuffle) and repairs accordingly:
 
         - no band row of the batch present  → full ``append``
           (returns ``"appended"``),
@@ -342,9 +345,8 @@ class CorpusIndex(StoredArtifact):
         the steady-state path keeps the cheap blind ``append``."""
         bands = self._bands_of(batch).localCheckpoint(eager=True)
         total = bands.count()
-        missing = bands.join(
-            self.bands_df, [self.id_col, "band", "bucket"], "left_anti"
-        ).count()
+        present = self._batch_presence(bands).count()
+        missing = total - present
         if missing == total:
             self.append(batch)
             return "appended"
@@ -368,6 +370,34 @@ class CorpusIndex(StoredArtifact):
             last_append_hash=h_b,
         )
         return "restamped"
+
+    def _batch_presence(self, bands: DataFrame) -> DataFrame:
+        """Distinct (id_new, band, bucket) rows of a batch's bands that
+        ALREADY exist in the stored table — equi-join on (band, bucket)
+        only, so the bucketed corpus side plans no Exchange (admit's
+        shape; pinned in tests). The id match lives INSIDE the
+        aggregate, not as a post-join filter: Catalyst canonicalizes a
+        bare ``id_new = id_other`` filter into a third join key, which
+        re-partitions the bucketed side on a key set the bucket spec
+        doesn't satisfy — the index-sized shuffle this method exists
+        to avoid."""
+        new_side = bands.select(
+            F.col(self.id_col).alias("id_new"), "band", "bucket"
+        )
+        return (
+            new_side.join(
+                self.bands_df.select(
+                    F.col(self.id_col).alias("id_other"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .groupBy("id_new", "band", "bucket")
+            .agg(
+                F.max(F.col("id_other") == F.col("id_new")).alias("_hit")
+            )
+            .filter("_hit")
+            .drop("_hit")
+        )
 
     def compact(self) -> None:
         """Rewrite the band table into one file per bucket, preserving

@@ -436,6 +436,32 @@ def test_append_if_missing_repairs_marker_and_data_windows(spark, corpus_rows):
         idx.drop()
 
 
+def test_batch_presence_corpus_side_exchange_free(spark, corpus_rows):
+    """append_if_missing's presence probe must keep the bucketed band
+    table exchange-free (admit's shape): joining on all three columns
+    would hash-partition the corpus side on a key set the bucket spec
+    doesn't satisfy — an index-sized shuffle on every crash repair."""
+    from kpipe_spark.functions.corpus_index import CorpusIndex
+
+    table = f"bands_px_{uuid.uuid4().hex[:8]}"
+    idx = CorpusIndex.build(spark, _df(spark, corpus_rows), table, num_buckets=4)
+    # broadcast off: at test scale AQE broadcasts the tiny corpus side,
+    # hiding the shape that matters at 100 TB (the admit tests' rule)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = _df(spark, [(100, SPAM), (930, "a novel probe doc")])
+        presence = idx._batch_presence(
+            idx._bands_of(batch).localCheckpoint(eager=True)
+        )
+        presence.collect()
+        _assert_corpus_side_exchange_free(presence, table)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        idx.drop()
+
+
 def test_append_stamps_fingerprint_with_release_seq(spark, corpus_rows):
     """append() writes release_seq and the batch fingerprint in ONE
     ALTER TABLE — the atomicity that makes the crash window detectable
