@@ -365,7 +365,10 @@ def _anchor_sweep_artifact(out_path: str) -> str | None:
     it is explained or deliberately re-anchored."""
     arts = [
         p
-        for p in _latest_sweep_artifacts(n=100)
+        # unbounded listing: a capped one would silently advance the
+        # "fixed" anchor one round per round once the cap is exceeded —
+        # the exact re-anchoring drift this function exists to prevent
+        for p in _latest_sweep_artifacts(n=10**9)
         if os.path.abspath(p) != os.path.abspath(out_path)
     ]
     return arts[-1] if arts else None
@@ -399,10 +402,12 @@ def _anchor_delta(cur_doc: dict, anchor_path: str) -> dict | None:
     vs_anchor = {
         n: round(cq[n] / max(aq[n], 1e-9), 2) for n in sorted(quiet)
     }
+    # the shared two-part threshold on UNROUNDED values — an inline
+    # re-implementation (or flagging off the display-rounded ratio)
+    # would desynchronize detection from _confirm_anchor_elevations'
+    # re-test, which adjudicates with _is_mover
     elevated = {
-        n: r
-        for n, r in vs_anchor.items()
-        if r >= 1.5 and cq[n] - aq[n] > 0.3
+        n: vs_anchor[n] for n in vs_anchor if _is_mover(cq[n], aq[n])
     }
     out = {
         "anchor_artifact": os.path.basename(anchor_path),
@@ -437,7 +442,7 @@ def _sentinel_series(out_path: str, cur_doc: dict) -> list[dict]:
     visible inside one artifact instead of requiring a reader to open
     seven."""
     series = []
-    for p in reversed(_latest_sweep_artifacts(n=100)):
+    for p in reversed(_latest_sweep_artifacts(n=10**9)):
         if os.path.abspath(p) == os.path.abspath(out_path):
             continue
         try:
@@ -465,7 +470,12 @@ def _sentinel_series(out_path: str, cur_doc: dict) -> list[dict]:
 
 
 def _confirm_anchor_elevations(
-    spark, sf_dir, queries, anchor_delta: dict
+    spark,
+    sf_dir,
+    queries,
+    anchor_delta: dict,
+    anchor_queries: dict,
+    reuse_best3: dict | None = None,
 ) -> dict:
     """Best-of-3 adjudication of ``rows_elevated_vs_anchor`` — the
     anchor analogue of ``_confirm_movers`` (round-13: the first live
@@ -478,14 +488,13 @@ def _confirm_anchor_elevations(
     ``persisted_elevation`` — investigate or re-anchor deliberately.
     A drifted confirmation session (sentinel >1.5× its own anchor
     value) stamps ``session_drifted`` on every row instead of a
-    trustable verdict."""
-    try:
-        with open(
-            os.path.join(_REPO_DIR, anchor_delta["anchor_artifact"])
-        ) as f:
-            aq = json.load(f).get("queries", {})
-    except (OSError, json.JSONDecodeError, KeyError):
-        return {}
+    trustable verdict. ``anchor_queries`` is the anchor artifact's
+    already-parsed queries dict; ``reuse_best3`` maps rows that
+    movers_confirmation best-of-3'd moments earlier in this same
+    session to those values — the anchor verdict reuses them instead
+    of timing a third identical best-of-3 of the same query."""
+    aq = anchor_queries
+    reuse_best3 = reuse_best3 or {}
 
     def best3(name: str) -> float:
         q = queries[name]
@@ -516,14 +525,18 @@ def _confirm_anchor_elevations(
     for name in anchor_delta.get("rows_elevated_vs_anchor", {}):
         if name not in queries or name not in aq:
             continue
-        b3 = best3(name)
+        reused = name in reuse_best3
+        b3 = reuse_best3[name] if reused else best3(name)
         if drifted:
             verdict = "session_drifted"
         elif _is_mover(b3, aq[name]):
             verdict = "persisted_elevation"
         else:
             verdict = "single_capture_noise"
-        out[name] = {"anchor": aq[name], "best3": b3, "verdict": verdict}
+        row = {"anchor": aq[name], "best3": b3, "verdict": verdict}
+        if reused:
+            row["best3_from"] = "movers_confirmation"
+        out[name] = row
     return out
 
 
@@ -1230,12 +1243,29 @@ def sweep(out_path: str | None = None) -> None:
         if anchor_delta:
             if anchor_delta.get("rows_elevated_vs_anchor"):
                 try:
+                    with open(anchor) as f:
+                        anchor_queries = json.load(f).get("queries", {})
+                    # rows movers_confirmation best-of-3'd moments ago
+                    # hand those values over instead of a third
+                    # identical re-timing of the same query
+                    reuse = {
+                        n: c["cur_best3"]
+                        for n, c in (
+                            doc.get("sweep_delta", {}) or {}
+                        ).get("movers_confirmation", {}).items()
+                        if "cur_best3" in c
+                    }
                     # the fresh_session_check path may have stopped the
                     # session; a dead session means no adjudication —
                     # the flags ship raw and the protocol runs by hand
                     anchor_delta["anchor_confirmation"] = (
                         _confirm_anchor_elevations(
-                            spark, sf_dir, queries, anchor_delta
+                            spark,
+                            sf_dir,
+                            queries,
+                            anchor_delta,
+                            anchor_queries,
+                            reuse_best3=reuse,
                         )
                     )
                 except Exception as e:  # pragma: no cover
@@ -2180,6 +2210,12 @@ def main(out_path: str | None = None) -> None:
     work_overlap_ab = (
         _work_overlap_ab(spark, sf_dir) if timer_probe["healthy"] else None
     )
+    # closing probe (round-12 ADVICE #4) IMMEDIATELY after the last
+    # sleep-built capture: it gates exactly the window the 10 ms rows
+    # were measured in — probing after the CPU-bound A/Bs and the p01
+    # throughput capture would discard healthy fresh rows for a stall
+    # that began minutes after the sleep captures finished
+    timer_probe_closing = _timer_health() if timer_probe["healthy"] else None
     signature_ab = _d05_signature_ab(spark, sf_dir)
     admit_ab = _incremental_admit_ab(spark, sf_dir)
     cluster_ab = _cluster_reuse_ab(spark, sf_dir)
@@ -2217,13 +2253,12 @@ def main(out_path: str | None = None) -> None:
     out_path = out_path or os.environ.get(
         "SPARK_GRAFT_BENCH_OUT", "BENCH_HEADLINE.json"
     )
-    # closing probe (round-12 ADVICE #4): the opening probe gates entry
-    # but the ~6 multi-minute sleep-built captures leave a window where
-    # a stall episode can BEGIN mid-capture and still ship as fresh
-    # "healthy" rows (ambient gating catches CPU steal, not pure timer
-    # degradation). Re-probe after every sleep-built capture finished;
-    # fresh rows require BOTH probes healthy, else fall to the carry.
-    timer_probe_closing = _timer_health() if timer_probe["healthy"] else None
+    # fresh 10 ms rows require BOTH probes healthy (round-12 ADVICE
+    # #4: the opening probe gates entry, but a stall episode can BEGIN
+    # mid-capture and still ship as fresh "healthy" rows — ambient
+    # gating catches CPU steal, not pure timer degradation); the
+    # closing probe itself ran right after the last sleep-built
+    # capture, above
     window_healthy = timer_probe["healthy"] and timer_probe_closing["healthy"]
     # 10 ms rows: fresh when the timer window was healthy end to end;
     # otherwise CARRIED from the previous committed artifact — but only
@@ -2261,15 +2296,20 @@ def main(out_path: str | None = None) -> None:
         # newest BENCH_r{N}.json), the same committed-artifact
         # discipline the sweep-delta path uses, instead of shipping
         # nulls while a healthy committed capture sits in the repo.
-        prev_10ms = {}
+        # first candidate with a CARRY-WORTHY capture wins — breaking
+        # on the first file that merely parses would ship nulls when a
+        # legacy/degraded artifact sits in front of a healthy one
+        work_rows = _carried_10ms_rows({})
         for cand in [out_path, *_headline_carry_candidates(out_path)]:
             try:
                 with open(cand) as f:
                     prev_10ms = json.load(f)
-                break
             except (OSError, json.JSONDecodeError):
                 continue
-        work_rows = _carried_10ms_rows(prev_10ms)
+            rows = _carried_10ms_rows(prev_10ms)
+            if rows.get(_KEYS_10MS[0]) is not None:
+                work_rows = rows
+                break
     # full artifact: everything, including the per-query ambient dict.
     # Methodology prose lives in ARCHITECTURE.md §6.5 (moving it out of
     # the JSON is half of what keeps the stdout line under the driver's

@@ -73,28 +73,38 @@ def main() -> None:
         arriving.filter(pred).coalesce(1).write.mode("append").parquet(src)
 
     admitted_frames: dict[int, list] = {}
+    gate_unsound = [0]
 
     def fold_sink(df, batch_id):
         batch = df.select("doc_id", "text")
+        ledger = bands.admit(batch).localCheckpoint(eager=True)
         # the sketch front door: docs whose EVERY band key probes
         # negative certainly have no corpus collision — at 100 TB they
-        # skip the stored band join; here it feeds the admit audit
+        # skip the stored band join entirely. Audited per batch: every
+        # gate-cleared doc must show zero corpus dups in the ledger
+        # (streaming_admission's soundness check, kept live here too)
         keys = bands.band_keys(batch)
-        doc_gate = (
+        cleared = (
             keys.join(gate.probe_keys(keys.select("key")), "key")
             .groupBy("doc_id")
             .agg(F.max("bloom_positive").alias("may_collide"))
+            .filter("may_collide = 0")
         )
-        ledger = bands.admit(batch)
+        gate_unsound[0] += (
+            ledger.join(cleared, "doc_id", "semi")
+            .filter("n_corpus_dups > 0")
+            .count()
+        )
         # materialize BEFORE the fold appends: 'admitted' is lazy over
         # the ledger, and once the batch's bands land a re-execution
         # would see every doc colliding with its own indexed copy
         admitted = batch.join(
             ledger.filter("admitted").select("doc_id"), "doc_id", "semi"
         ).localCheckpoint(eager=True)
-        admitted_frames.setdefault(
-            batch_id, [r["doc_id"] for r in admitted.select("doc_id").collect()]
-        )
+        if batch_id not in admitted_frames:  # replay admits nothing new
+            admitted_frames[batch_id] = [
+                r["doc_id"] for r in admitted.select("doc_id").collect()
+            ]
         gate_keys = bands.band_keys(admitted).localCheckpoint(eager=True)
         # fold-then-append, exactly once per batch id
         clusters.update_batch(admitted, bands, batch_id)
@@ -167,6 +177,7 @@ def main() -> None:
             {
                 "batches": len(admitted_frames),
                 "admitted_docs": len(admitted_ids),
+                "gate_unsound_docs": gate_unsound[0],
                 "replay_noop": replay_ok,
                 "crash_window_restamped_no_dup": crash_ok,
                 "incremental_equals_full_rebuild": parity_ok,
@@ -175,7 +186,7 @@ def main() -> None:
     )
     for art in (rebuilt, clusters, bands, gate):
         art.drop()
-    ok = replay_ok and crash_ok and parity_ok
+    ok = replay_ok and crash_ok and parity_ok and gate_unsound[0] == 0
     print(f"streaming cluster fold sound = {ok}")
     spark.stop()
     if not ok:

@@ -38,7 +38,30 @@ def test_own_burn_lands_in_tree_not_ambient():
     gating on its own footprint. (The child lingers through the
     sample to pin the LIVE-descendant path; reaped children are now
     recouped via cutime/cstime and pinned separately by
-    test_tree_jiffies_recoup_reaped_children.)"""
+    test_tree_jiffies_recoup_reaped_children.)
+
+    The assertion's margin assumes a quiet box: REAL neighbors burning
+    ~1 core make external read ~1.0 with perfectly correct attribution
+    (measured live in round 13 — identical failure on two adjacent
+    commits while an idle-window probe read 0.5-1.0 external cores).
+    So the test applies its own discipline: sample ambient FIRST and
+    skip when the window can't distinguish mis-attribution from
+    genuine neighbors."""
+    import pytest
+
+    pb0, pt0 = bench._total_busy_jiffies(), bench._tree_cpu_jiffies()
+    time.sleep(1.0)
+    pre_ext = max(
+        0,
+        (bench._total_busy_jiffies() - pb0)
+        - (bench._tree_cpu_jiffies() - pt0),
+    ) / bench._HZ / 1.0
+    if pre_ext >= 0.5:
+        pytest.skip(
+            f"box not quiet ({pre_ext:.2f} external cores idle-sampled) "
+            "— genuine neighbors are indistinguishable from "
+            "mis-attributed self-burn at this level"
+        )
     b0, t0 = bench._total_busy_jiffies(), bench._tree_cpu_jiffies()
     w0 = time.perf_counter()
     child = multiprocessing.Process(target=_burn_then_linger, args=(0.5,))
