@@ -40,9 +40,33 @@ def cosine(a: Column, b: Column) -> Column:
     FIRST under desc(), so an all-zeros embedding (a failed embed run)
     would become the #1 neighbor of every query in the top-k windows.
     NULL sorts last under desc() and fails every >= threshold filter —
-    a zero vector is similar to nothing."""
+    a zero vector is similar to nothing.
+
+    PERF: ``aggregate``/``zip_with`` folds evaluate INTERPRETED, and
+    this expression pays ~5 of them per row (the norms appear in both
+    the guard and the denominator; Catalyst does not CSE interpreted
+    HOFs — measured 0.99 s vs 0.39 s over a 40k-pair panel join at
+    sf0.1). On any JOINED frame compute ``norm`` per ROW before the
+    join and use ``cosine_pre``; keep this form for one-off per-row
+    scoring. (Unrolling the fold into 64 element_at terms was tried
+    and is ~3× SLOWER: the generated code blows the janino method
+    limit — codegen fails and the giant tree evaluates interpreted.)"""
     d = norm(a) * norm(b)
     return F.when(d > 0, dot(a, b) / d)
+
+
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with PRE-COMPUTED norms — the pair-join form.
+
+    ``na``/``nb`` must carry exactly ``norm(a)``/``norm(b)`` (same
+    fold, computed per row before the join). ``na * nb`` and
+    ``dot(a, b) / den`` are then the same IEEE operations in the same
+    order as ``cosine``, so results are bit-identical — but per-PAIR
+    work drops from ~5 interpreted folds to ONE (the dot). The d11
+    norm-precompute lesson applied to every panel/bucket scoring join
+    (measured 2.5× on the corpus×panel shape at sf0.1)."""
+    den = na * nb
+    return F.when(den > 0, dot(a, b) / den)
 
 
 def as_double_array(c: Column | str) -> Column:
@@ -67,17 +91,19 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(query_id_col), as_double_array(vec_col).alias("_qvec")
-    )
+    ).withColumn("_qn", norm(F.col("_qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("_cvec")
-    )
+    ).withColumn("_cn", norm(F.col("_cvec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,
             "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("_sim"),
+            cosine_pre(
+                F.col("_qvec"), F.col("_cvec"), F.col("_qn"), F.col("_cn")
+            ).alias("_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -136,21 +162,31 @@ def lsh_topk(
     then scored only within the matching bucket. Recall trades off with
     the number of planes; at scale, bucket the corpus ONCE (write
     bucketed parquet) and reuse across query batches."""
-    q = queries.select(
-        F.col(query_id_col),
-        as_double_array(vec_col).alias("_qvec"),
-    ).withColumn("_bucket", hyperplane_bucket(F.col("_qvec"), planes))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double_array(vec_col).alias("_cvec"),
-    ).withColumn("_bucket", hyperplane_bucket(F.col("_cvec"), planes))
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            as_double_array(vec_col).alias("_qvec"),
+        )
+        .withColumn("_bucket", hyperplane_bucket(F.col("_qvec"), planes))
+        .withColumn("_qn", norm(F.col("_qvec")))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("_cvec"),
+        )
+        .withColumn("_bucket", hyperplane_bucket(F.col("_cvec"), planes))
+        .withColumn("_cn", norm(F.col("_cvec")))
+    )
     scored = (
         c.join(F.broadcast(q), "_bucket")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,
             "neighbor_id",
-            cosine(F.col("_qvec"), F.col("_cvec")).alias("_sim"),
+            cosine_pre(
+                F.col("_qvec"), F.col("_cvec"), F.col("_qn"), F.col("_cn")
+            ).alias("_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -317,11 +353,22 @@ def ivf_topk(
     cell-keyed candidate join.
     """
 
-    def nearest_cells(side: DataFrame, vcol: str, idcol: str, n: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(centroids)).select(
+    # per-ROW norms once (corpus, queries, centroid table); every
+    # scored pair below pays ONE interpreted dot fold via cosine_pre
+    # instead of ~5 (bit-identical — same fold, same op order)
+    corpus = corpus.withColumn("_cpn", norm(F.col(vec_col)))
+    queries = queries.withColumn("_qpn", norm(F.col(query_vec_col)))
+    cents_n = centroids.withColumn("_cen", norm(F.col("_ce")))
+
+    def nearest_cells(
+        side: DataFrame, vcol: str, ncol: str, idcol: str, n: int
+    ) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents_n)).select(
             side["*"],
             "centroid_id",
-            cosine(F.col(vcol), F.col("_ce")).alias("_csim"),
+            cosine_pre(
+                F.col(vcol), F.col("_ce"), F.col(ncol), F.col("_cen")
+            ).alias("_csim"),
         )
         if n == 1:
             # argmax as an aggregate, not a window: partial (map-side)
@@ -333,6 +380,7 @@ def ivf_topk(
             return scored.groupBy(idcol).agg(
                 F.max_by("centroid_id", key).alias("centroid_id"),
                 F.any_value(F.col(vcol)).alias(vcol),
+                F.any_value(F.col(ncol)).alias(ncol),
             )
         w = Window.partitionBy(idcol).orderBy(
             F.col("_csim").desc(), F.col("centroid_id")
@@ -343,15 +391,20 @@ def ivf_topk(
             .drop("_csim", "_crn")
         )
 
-    assigned = nearest_cells(corpus, vec_col, id_col, 1)
-    probes = nearest_cells(queries, query_vec_col, query_id_col, nprobe)
+    assigned = nearest_cells(corpus, vec_col, "_cpn", id_col, 1)
+    probes = nearest_cells(queries, query_vec_col, "_qpn", query_id_col, nprobe)
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col(query_vec_col), F.col(vec_col)).alias("_sim"),
+            cosine_pre(
+                F.col(query_vec_col),
+                F.col(vec_col),
+                F.col("_qpn"),
+                F.col("_cpn"),
+            ).alias("_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

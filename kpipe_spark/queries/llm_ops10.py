@@ -740,16 +740,25 @@ def d62_ivf_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kpipe_spark.util import ieee_round
 
     emb = load_tables(spark, sf_dir).embeddings
-    v = emb.select(
-        "vec_id", S.as_double_array("embedding").alias("_e")
-    ).filter(S.norm(F.col("_e")) > 0)
+    # _n computed once per row (same fold as the filter's norm, so the
+    # predicate is unchanged); the corpus×k assignment then pays ONE
+    # interpreted dot fold per pair (cosine_pre — bit-identical)
+    v = (
+        emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+        .withColumn("_n", S.norm(F.col("_e")))
+        .filter(F.col("_n") > 0)
+    )
     cents = v.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("centroid_id"), F.col("_e").alias("_ce")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("_e").alias("_ce"),
+        F.col("_n").alias("_cn"),
     )
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",
-        S.cosine(F.col("_e"), F.col("_ce")).alias("_csim"),
+        S.cosine_pre(
+            F.col("_e"), F.col("_ce"), F.col("_n"), F.col("_cn")
+        ).alias("_csim"),
     )
     key = F.struct(
         F.col("_csim").alias("_csim"), (-F.col("centroid_id")).alias("_nc")

@@ -306,9 +306,15 @@ _RECALL_ORACLE = """
 def d70_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _RECALL_K
     emb = load_tables(spark, sf_dir).embeddings
-    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    # per-ROW norms once; every scored PAIR below pays ONE interpreted
+    # dot fold instead of ~5 (cosine_pre — bit-identical, similarity.py)
+    v = emb.select(
+        "vec_id", S.as_double_array("embedding").alias("_e")
+    ).withColumn("_n", S.norm(F.col("_e")))
     q = v.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500)).select(
-        F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("_e").alias("_qe"),
+        F.col("_n").alias("_qn"),
     )
 
     # exact top-k: one corpus scan x broadcast query panel
@@ -316,23 +322,40 @@ def d70_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", S.cosine(F.col("_qe"), F.col("_e")).alias("_sim"))
+        .select(
+            "query_id",
+            "vec_id",
+            S.cosine_pre(
+                F.col("_qe"), F.col("_e"), F.col("_qn"), F.col("_n")
+            ).alias("_sim"),
+        )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
 
     cents = v.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("centroid_id"), F.col("_e").alias("_ce")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("_e").alias("_ce"),
+        F.col("_n").alias("_cn"),
     )
     assign_key = F.struct(F.col("_csim"), (-F.col("centroid_id")).alias("_nc"))
     assigned = (
         v.crossJoin(F.broadcast(cents))
-        .select("vec_id", "_e", "centroid_id", S.cosine(F.col("_e"), F.col("_ce")).alias("_csim"))
+        .select(
+            "vec_id",
+            "_e",
+            "_n",
+            "centroid_id",
+            S.cosine_pre(
+                F.col("_e"), F.col("_ce"), F.col("_n"), F.col("_cn")
+            ).alias("_csim"),
+        )
         .groupBy("vec_id")
         .agg(
             F.max_by("centroid_id", assign_key).alias("centroid_id"),
             F.any_value("_e").alias("_e"),
+            F.any_value("_n").alias("_n"),
         )
     )
     wp = Window.partitionBy("query_id").orderBy(
@@ -340,10 +363,18 @@ def d70_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("query_id", "_qe", "centroid_id", S.cosine(F.col("_qe"), F.col("_ce")).alias("_csim"))
+        .select(
+            "query_id",
+            "_qe",
+            "_qn",
+            "centroid_id",
+            S.cosine_pre(
+                F.col("_qe"), F.col("_ce"), F.col("_qn"), F.col("_cn")
+            ).alias("_csim"),
+        )
         .withColumn("crn", F.row_number().over(wp))
         .filter(F.col("crn") <= 2)
-        .select("query_id", "_qe", "centroid_id")
+        .select("query_id", "_qe", "_qn", "centroid_id")
     )
     cand = (
         assigned.join(F.broadcast(probes), "centroid_id")
@@ -351,7 +382,9 @@ def d70_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            S.cosine(F.col("_qe"), F.col("_e")).alias("_sim"),
+            S.cosine_pre(
+                F.col("_qe"), F.col("_e"), F.col("_qn"), F.col("_n")
+            ).alias("_sim"),
         )
     )
     ncand = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))

@@ -461,17 +461,27 @@ def d84_ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kpipe_spark.functions import similarity as S
 
     emb = load_tables(spark, sf_dir).embeddings
-    v = emb.select(
-        "vec_id", "label", S.as_double_array("embedding").alias("_e")
-    ).filter(S.norm(F.col("_e")) > 0)
+    # _n once per row (same fold as the filter's norm — predicate
+    # unchanged); assignment pairs pay ONE dot fold (cosine_pre)
+    v = (
+        emb.select(
+            "vec_id", "label", S.as_double_array("embedding").alias("_e")
+        )
+        .withColumn("_n", S.norm(F.col("_e")))
+        .filter(F.col("_n") > 0)
+    )
     cents = v.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("centroid_id"), F.col("_e").alias("_ce")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("_e").alias("_ce"),
+        F.col("_n").alias("_cn"),
     )
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "label",
         "centroid_id",
-        S.cosine(F.col("_e"), F.col("_ce")).alias("_csim"),
+        S.cosine_pre(
+            F.col("_e"), F.col("_ce"), F.col("_n"), F.col("_cn")
+        ).alias("_csim"),
     )
     key = F.struct(
         F.col("_csim").alias("_csim"), (-F.col("centroid_id")).alias("_nc")

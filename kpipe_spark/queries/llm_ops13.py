@@ -652,9 +652,15 @@ def _adaptive_ivf_frames(spark: SparkSession, sf_dir: str):
     broadcast-sized: probes ≤ |panel|×k_cells rows BEFORE the gate and
     typically ~2-3 cells per query after it."""
     emb = load_tables(spark, sf_dir).embeddings
-    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    # per-ROW norms once; every scored pair pays ONE interpreted dot
+    # fold instead of ~5 (cosine_pre — bit-identical, similarity.py)
+    v = emb.select(
+        "vec_id", S.as_double_array("embedding").alias("_e")
+    ).withColumn("_n", S.norm(F.col("_e")))
     cents = v.filter(F.col("vec_id") < _NCELL).select(
-        F.col("vec_id").alias("centroid_id"), F.col("_e").alias("_ce")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("_e").alias("_ce"),
+        F.col("_n").alias("_cn"),
     )
     # corpus assignment: argmax cell via max_by partial agg (d13).
     # Both the cell-count profile and the candidate join consume this
@@ -666,13 +672,17 @@ def _adaptive_ivf_frames(spark: SparkSession, sf_dir: str):
         .select(
             "vec_id",
             "_e",
+            "_n",
             "centroid_id",
-            S.cosine(F.col("_e"), F.col("_ce")).alias("_csim"),
+            S.cosine_pre(
+                F.col("_e"), F.col("_ce"), F.col("_n"), F.col("_cn")
+            ).alias("_csim"),
         )
         .groupBy("vec_id")
         .agg(
             F.max_by("centroid_id", key).alias("centroid_id"),
             F.any_value("_e").alias("_e"),
+            F.any_value("_n").alias("_n"),
         )
     )
     # cell-balance profile (d62's share column, as raw counts): 16
@@ -686,7 +696,9 @@ def _adaptive_ivf_frames(spark: SparkSession, sf_dir: str):
     ).select("centroid_id", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
     tot = cellcnt.agg(F.sum("n").alias("_total"))
     q = v.filter(F.expr(_PANEL)).select(
-        F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("_e").alias("_qe"),
+        F.col("_n").alias("_qn"),
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("_csim").desc(), "centroid_id"
@@ -696,8 +708,11 @@ def _adaptive_ivf_frames(spark: SparkSession, sf_dir: str):
         .select(
             "query_id",
             "_qe",
+            "_qn",
             "centroid_id",
-            S.cosine(F.col("_qe"), F.col("_ce")).alias("_csim"),
+            S.cosine_pre(
+                F.col("_qe"), F.col("_ce"), F.col("_qn"), F.col("_cn")
+            ).alias("_csim"),
         )
         .withColumn("_crn", F.row_number().over(wr))
     )
@@ -709,6 +724,7 @@ def _adaptive_ivf_frames(spark: SparkSession, sf_dir: str):
     with_mass = ranked.join(F.broadcast(cellcnt), "centroid_id").select(
         "query_id",
         "_qe",
+        "_qn",
         "centroid_id",
         "_crn",
         "n",
@@ -813,14 +829,18 @@ def d93_adaptive_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, probes, probe_stats = _adaptive_ivf_frames(spark, sf_dir)
     scored = (
         assigned.join(
-            F.broadcast(probes.select("query_id", "_qe", "centroid_id")),
+            F.broadcast(
+                probes.select("query_id", "_qe", "_qn", "centroid_id")
+            ),
             "centroid_id",
         )
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            S.cosine(F.col("_qe"), F.col("_e")).alias("_sim"),
+            S.cosine_pre(
+                F.col("_qe"), F.col("_e"), F.col("_qn"), F.col("_n")
+            ).alias("_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -893,10 +913,15 @@ def d94_adaptive_nprobe_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load_tables(spark, sf_dir).embeddings
-    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    # per-ROW norms once (cosine_pre — bit-identical, similarity.py)
+    v = emb.select(
+        "vec_id", S.as_double_array("embedding").alias("_e")
+    ).withColumn("_n", S.norm(F.col("_e")))
     assigned, probes, probe_stats = _adaptive_ivf_frames(spark, sf_dir)
     q = v.filter(F.expr(_PANEL)).select(
-        F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("_e").alias("_qe"),
+        F.col("_n").alias("_qn"),
     )
     exact_w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), "neighbor_id"
@@ -907,7 +932,9 @@ def d94_adaptive_nprobe_recall(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            S.cosine(F.col("_qe"), F.col("_e")).alias("_sim"),
+            S.cosine_pre(
+                F.col("_qe"), F.col("_e"), F.col("_qn"), F.col("_n")
+            ).alias("_sim"),
         )
         .withColumn("_rn", F.row_number().over(exact_w))
         .filter(F.col("_rn") <= _TOPK)
@@ -915,14 +942,18 @@ def d94_adaptive_nprobe_recall(
     )
     cand = (
         assigned.join(
-            F.broadcast(probes.select("query_id", "_qe", "centroid_id")),
+            F.broadcast(
+                probes.select("query_id", "_qe", "_qn", "centroid_id")
+            ),
             "centroid_id",
         )
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            S.cosine(F.col("_qe"), F.col("_e")).alias("_sim"),
+            S.cosine_pre(
+                F.col("_qe"), F.col("_e"), F.col("_qn"), F.col("_n")
+            ).alias("_sim"),
         )
         # candidate set feeds BOTH the count and the top-k ranking;
         # panel-bounded (|panel| × probed cells' vectors)

@@ -189,16 +189,27 @@ _IVF_ORACLE = """
 )
 def d13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir).embeddings
-    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    # norms are per-ROW quantities: one interpreted fold per vector
+    # here instead of ~4 per scored PAIR below (cosine_pre — the d11
+    # norm-precompute lesson; bit-identical, see similarity.cosine_pre)
+    v = emb.select(
+        "vec_id", S.as_double_array("embedding").alias("_e")
+    ).withColumn("_n", S.norm(F.col("_e")))
     cents = v.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("centroid_id"), F.col("_e").alias("_ce")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("_e").alias("_ce"),
+        F.col("_n").alias("_cn"),
     )
 
-    def nearest_cells(side: DataFrame, vec_col: str, nprobe: int) -> DataFrame:
+    def nearest_cells(
+        side: DataFrame, vec_col: str, norm_col: str, nprobe: int
+    ) -> DataFrame:
         scored = side.crossJoin(F.broadcast(cents)).select(
             side["*"],
             "centroid_id",
-            S.cosine(side[vec_col], F.col("_ce")).alias("_csim"),
+            S.cosine_pre(
+                side[vec_col], F.col("_ce"), side[norm_col], F.col("_cn")
+            ).alias("_csim"),
         )
         if nprobe == 1:
             # argmax via max_by: map-side partial agg ships one row per
@@ -209,6 +220,7 @@ def d13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             return scored.groupBy(side.columns[0]).agg(
                 F.max_by("centroid_id", key).alias("centroid_id"),
                 F.any_value(F.col(vec_col)).alias(vec_col),
+                F.any_value(F.col(norm_col)).alias(norm_col),
             )
         w = Window.partitionBy(side.columns[0]).orderBy(
             F.col("_csim").desc(), F.col("centroid_id")
@@ -219,12 +231,15 @@ def d13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_csim", "_crn")
         )
 
-    assigned = nearest_cells(v, "_e", 1)
+    assigned = nearest_cells(v, "_e", "_n", 1)
     probes = nearest_cells(
         v.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
+            F.col("vec_id").alias("query_id"),
+            F.col("_e").alias("_qe"),
+            F.col("_n").alias("_qn"),
         ),
         "_qe",
+        "_qn",
         2,
     )
     scored = (
@@ -233,7 +248,9 @@ def d13_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            S.cosine(F.col("_qe"), F.col("_e")).alias("_sim"),
+            S.cosine_pre(
+                F.col("_qe"), F.col("_e"), F.col("_qn"), F.col("_n")
+            ).alias("_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), "neighbor_id")

@@ -147,11 +147,20 @@ def d42_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d43_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir).embeddings
-    b = emb.select(
-        "vec_id", S.as_double_array("embedding").alias("_v")
-    ).withColumn("_bucket", S.hyperplane_bucket(F.col("_v"), _SRP_PLANES))
+    # per-ROW norm once; the within-bucket pair verify pays ONE
+    # interpreted dot fold (cosine_pre — bit-identical, similarity.py)
+    b = (
+        emb.select("vec_id", S.as_double_array("embedding").alias("_v"))
+        .withColumn("_bucket", S.hyperplane_bucket(F.col("_v"), _SRP_PLANES))
+        .withColumn("_n", S.norm(F.col("_v")))
+    )
     a, c = b.alias("a"), b.alias("c")
-    sim = F.round(S.cosine(F.col("a._v"), F.col("c._v")), 4)
+    sim = F.round(
+        S.cosine_pre(
+            F.col("a._v"), F.col("c._v"), F.col("a._n"), F.col("c._n")
+        ),
+        4,
+    )
     return (
         a.join(
             c,

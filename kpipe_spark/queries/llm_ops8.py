@@ -429,17 +429,31 @@ def d49_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kpipe_spark.functions import similarity as S
 
     emb = load_tables(spark, sf_dir).embeddings
-    b = emb.select(
-        "vec_id", S.as_double_array("embedding").alias("_v")
-    ).withColumn("_bucket", S.hyperplane_bucket(F.col("_v"), S.srp_planes(8, 64)))
+    # per-ROW norm once; bucket-join pairs pay ONE interpreted dot
+    # fold (cosine_pre — bit-identical, similarity.py)
+    b = (
+        emb.select("vec_id", S.as_double_array("embedding").alias("_v"))
+        .withColumn(
+            "_bucket", S.hyperplane_bucket(F.col("_v"), S.srp_planes(8, 64))
+        )
+        .withColumn("_n", S.norm(F.col("_v")))
+    )
     is_eval = F.col("vec_id") % 50 == 0
     train = b.filter(~is_eval).select(
-        F.col("vec_id").alias("train_id"), F.col("_v").alias("_tv"), "_bucket"
+        F.col("vec_id").alias("train_id"),
+        F.col("_v").alias("_tv"),
+        F.col("_n").alias("_tn"),
+        "_bucket",
     )
     evals = b.filter(is_eval).select(
-        F.col("vec_id").alias("eval_id"), F.col("_v").alias("_qv"), "_bucket"
+        F.col("vec_id").alias("eval_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+        "_bucket",
     )
-    sim = F.round(S.cosine(F.col("_tv"), F.col("_qv")), 4)
+    sim = F.round(
+        S.cosine_pre(F.col("_tv"), F.col("_qv"), F.col("_tn"), F.col("_qn")), 4
+    )
     return (
         train.join(F.broadcast(evals), "_bucket")
         .select("train_id", "eval_id", sim.alias("_sim"))

@@ -113,6 +113,10 @@ def test_broadcast_hints_are_reviewed_and_bounded(spark):
         "vocab16",     # llm_ops11 d76: top-16 vocab (LIMIT-bounded)
         # --- bounded-by-construction model artifacts ---
         "cents", "centroids", "probes",  # k centroids / n_probe cells
+        "cents_n",     # similarity.ivf_topk: the same k-row centroid
+                       # table + a per-row precomputed norm column
+        "cn",          # llm_ops6 _semdedup_pairs: k-row centroid table
+                       # with precomputed norms (cosine_pre)
         "cellcnt",      # llm_ops13 d93/d94: k_cells-row cell-count profile
         "counts",      # ann_index adaptive probe: n_cells-row profile
                        # (derived groupBy(cell) or the injected d62-style
