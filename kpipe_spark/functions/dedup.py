@@ -62,9 +62,16 @@ def exact_dedup(
 # -- shingles ----------------------------------------------------------------
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles as an array<string> (join on space)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from an ALREADY-PROJECTED token-array
+    column — the tokens-once form.
+
+    The expression references ``toks`` three times (size, the slice
+    transform, the short-doc fallback); when ``toks`` is a projected
+    COLUMN each reference is a cheap attribute read, where the inline
+    ``tokens(text)`` form re-ran the interpreted split+filter HOF per
+    reference (measured 3.2 s → 1.0 s on the sf0.1 banding stage —
+    the quality_score_from_tokens lesson applied to shingling)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(
@@ -73,6 +80,14 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
             F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array<string> (join on space).
+
+    PERF: inline form — re-tokenizes per reference. Hot paths project
+    ``tokens(text)`` once and use ``shingles_from_tokens``."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 MERSENNE_P31 = 2147483647  # 2^31 - 1: modulus of the affine slot family
@@ -173,8 +188,20 @@ def minhash_signature_df(
     # such doc sharing one signature (the mega-bucket this guard
     # exists to prevent). Mirrored in _oracle_fragments.minhash_ctes.
     content = F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
-    pre = ensure_parallelism(df.filter(content)).select(
-        F.col(id_col), word_shingle_hashes(text_col, shingle_k).alias("_hs")
+    # tokens projected ONCE per row, shingles+hashes derived from the
+    # array column (shingles_from_tokens): the single-expression form
+    # re-ran the split+filter HOF per reference — measured 3.2 s →
+    # 1.0 s on the sf0.1 banding stage, identical output
+    pre = (
+        ensure_parallelism(df.filter(content))
+        .select(F.col(id_col), tokens(text_col).alias("_tk"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                shingles_from_tokens(F.col("_tk"), shingle_k),
+                lambda s: md5_hash60(s) % MERSENNE_P31,
+            ).alias("_hs"),
+        )
     )
     return pre.select(
         F.col(id_col),
@@ -398,20 +425,31 @@ def connected_components(
         pushed = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("cluster_id")
         )
-        new_labels = (
-            labels.union(pushed)
-            .groupBy("id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+        # Convergence detection rides the SAME aggregate as the label
+        # update instead of a label><label self-join per round: tag the
+        # rows carrying the previous label (every id has exactly one —
+        # the node set is fixed after round 0, since the symmetric edge
+        # union makes dst-set == src-set), and a node changed iff the
+        # new min is strictly below its tagged previous label. One
+        # shuffle per round where the join-based check paid two, exact
+        # for any orderable id type (measured ~0.2-0.3 s/call across
+        # the five component consumers at sf0.1, identical labels).
+        tagged = labels.withColumn("_old", F.lit(True)).unionByName(
+            pushed.withColumn("_old", F.lit(False))
+        )
+        agg = (
+            tagged.groupBy("id")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                (
+                    F.min("cluster_id")
+                    < F.min(F.when(F.col("_old"), F.col("cluster_id")))
+                ).alias("_chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = agg.filter("_chg").limit(1).count()
+        labels = agg.drop("_chg")
         if changed == 0:
             converged = True
             break
@@ -591,8 +629,11 @@ def ngram_jaccard_pairs(
     # array twice per call. Corpus-scaled: the injectable strategy
     # (util.set_materializer) redirects it off block storage at scale
     sh = materialize(
-        ensure_parallelism(df).select(
-            F.col(id_col), word_shingles(text_col, shingle_k).alias("sh")
+        ensure_parallelism(df)
+        .select(F.col(id_col), tokens(text_col).alias("_tk"))
+        .select(
+            F.col(id_col),
+            shingles_from_tokens(F.col("_tk"), shingle_k).alias("sh"),
         ),
         scale="corpus",
     )
@@ -620,8 +661,10 @@ def simhash_df(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    payload_cols: tuple[str, ...] = (),
+    include_empty: bool = True,
 ) -> DataFrame:
-    """64-bit SimHash per document -> (id_col, simhash64).
+    """64-bit SimHash per document -> (id_col, *payload_cols, simhash64).
 
     Per-token md5, split into two 60-bit lanes (hex digits 1-15 and
     17-31): bits 0-31 of the simhash vote on lane-1 bits, bits 32-63 on
@@ -634,16 +677,35 @@ def simhash_df(
     expression 64x in the plan — OOMs the driver on plan
     serialization.) Token-less documents get simhash 0 via the left
     join back onto the input ids.
+
+    PERF knobs for consumers that discard the degenerate rows anyway
+    (the d15/d59 shape filters ``simhash64 != 0`` immediately):
+
+    - ``include_empty=False`` skips the join-back — ``explode`` already
+      drops token-less docs, so the join existed ONLY to re-admit them
+      with simhash 0. That join shuffles two corpus-order tables per
+      call; consumers that filter zeros paid it for rows they then
+      dropped.
+    - ``payload_cols`` carries narrow per-doc columns THROUGH the vote
+      groupBy (grouping keys are functionally dependent on the id, so
+      the aggregation is unchanged) instead of re-joining the corpus
+      after aggregation — the 64-int shuffle rows widen by the payload
+      bytes and a corpus-order shuffle join disappears. Requires
+      ``include_empty=False`` (the join-back is the only place a
+      payload for token-less docs could come from).
     """
+    if payload_cols and include_empty:
+        raise ValueError("payload_cols requires include_empty=False")
     tok = (
         df.select(
             F.col(id_col),
+            *[F.col(c) for c in payload_cols],
             F.explode(F.array_distinct(tokens(text_col))).alias("_t"),
         )
         .withColumn("_h1", md5_hash60(F.col("_t"), 1))
         .withColumn("_h2", md5_hash60(F.col("_t"), 17))
     )
-    votes = tok.groupBy(id_col).agg(
+    votes = tok.groupBy(id_col, *payload_cols).agg(
         *[
             F.sum(
                 F.when(
@@ -664,7 +726,11 @@ def simhash_df(
                 F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
             ).otherwise(F.lit(0).cast("long"))
         )
-    fingerprints = votes.select(F.col(id_col), sim.alias("simhash64"))
+    fingerprints = votes.select(
+        F.col(id_col), *payload_cols, sim.alias("simhash64")
+    )
+    if not include_empty:
+        return fingerprints
     return df.select(id_col).join(fingerprints, id_col, "left").select(
         F.col(id_col), F.coalesce("simhash64", F.lit(0)).alias("simhash64")
     )
@@ -697,8 +763,12 @@ def simhash_neardup_pairs(
     # fingerprint 0 means "no tokens" (simhash_df's degenerate default):
     # every such doc would share every chunk bucket — one quadratic
     # mega-bucket of unrelated empty docs. No content, no candidacy.
-    # (Oracle SQL mirrors the exclusion.)
-    sig = simhash_df(df, text_col, id_col).filter(F.col("simhash64") != 0)
+    # (Oracle SQL mirrors the exclusion.) include_empty=False skips the
+    # join-back that existed only to mint the zeros this filter drops —
+    # two corpus-order shuffle sides removed from the plan.
+    sig = simhash_df(df, text_col, id_col, include_empty=False).filter(
+        F.col("simhash64") != 0
+    )
     chunks = F.array(
         *[
             F.struct(

@@ -37,7 +37,9 @@ def bigram_bucket_counts(
     from kpipe_spark.functions.text import tokens
 
     content = F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
-    t = tokens(text_col)
+    # tokens projected ONCE per row: the inline form re-ran the
+    # split+filter HOF per reference (the shingles_from_tokens lesson)
+    t = F.col("_tk")
     n = F.size(t)
     bigrams = F.zip_with(
         F.slice(t, 1, n - 1),
@@ -46,6 +48,7 @@ def bigram_bucket_counts(
     )
     return (
         docs.filter(content)
+        .select(source_col, tokens(text_col).alias("_tk"))
         .select(source_col, F.explode(bigrams).alias("g"))
         .withColumn("bucket", md5_hash60(F.col("g")) % n_buckets)
         .groupBy(source_col, "bucket")

@@ -129,15 +129,20 @@ def dsir_log_weights(
     from kpipe_spark.functions.text import tokens
 
     content = F.col(text_col).isNotNull() & F.col(text_col).rlike(r"\S")
-    t = tokens(text_col)
+    # tokens projected ONCE per row: the inline form re-ran the
+    # split+filter HOF per reference (two slices + the size — the
+    # shingles_from_tokens lesson)
+    t = F.col("_tk")
     n = F.size(t)
     bigrams = F.zip_with(
         F.slice(t, 1, n - 1),
         F.slice(t, 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    bg = docs.filter(content).select(
-        id_col, source_col, F.explode(bigrams).alias("g")
+    bg = (
+        docs.filter(content)
+        .select(id_col, source_col, tokens(text_col).alias("_tk"))
+        .select(id_col, source_col, F.explode(bigrams).alias("g"))
     )
     from kpipe_spark.util import materialize
 

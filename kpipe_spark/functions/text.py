@@ -64,39 +64,82 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     return F.when(n > 0, stopword_hits(text, lang) / n).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column | str) -> Column:
-    """Composite quality heuristic in [0,1]: rewards reasonable length,
-    lexical diversity and stopword presence — the standard cheap filters
-    a pretraining pipeline applies before expensive dedup."""
+def quality_score_from_tokens(toks: Column, text: Column) -> Column:
+    """``quality_score`` computed from an ALREADY-PROJECTED token-array
+    column — the tokens-once form.
+
+    ``quality_score(text)`` embeds ``tokens(text)`` FOUR times (count,
+    distinct count, stopword hits, the ratio's denominator), and each
+    copy is an interpreted split+filter HOF evaluated independently —
+    Catalyst does not CSE interpreted HOFs (the cosine_pre lesson).
+    Callers that project ``tokens(text)`` into a column first and pass
+    it here pay the tokenization once per row; the counts derived from
+    the array are the same integers, so the composite float arithmetic
+    is bit-identical (measured 2.9× on d57's quality projection)."""
     from kpipe_spark.util import ieee_round
 
-    c = F.col(text) if isinstance(text, str) else text
-    n_tok = token_count(c)
+    n_tok = F.size(toks)
     diversity = F.when(
-        n_tok > 0, distinct_token_count(c) / n_tok
+        n_tok > 0, F.size(F.array_distinct(toks)) / n_tok
     ).otherwise(F.lit(0.0))
     length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    stop = F.least(stopword_ratio(c, "en") * 5.0, F.lit(1.0))
+    words = list(STOPWORDS["en"])
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    ratio = F.when(n_tok > 0, hits / n_tok).otherwise(F.lit(0.0))
+    stop = F.least(ratio * 5.0, F.lit(1.0))
     # ieee_round, not round: half-way composites (0.53875) otherwise
     # round differently in Spark vs the DuckDB oracle at larger sf
     score = ieee_round((diversity + length_score + stop) / 3.0, 4)
     # null guard is load-bearing: least() SKIPS null arguments, so a
     # null text would otherwise get length_score 1.0 — a missing
     # document outranking real short content in a quality gate
-    return F.when(c.isNull(), F.lit(0.0)).otherwise(score)
+    return F.when(text.isNull(), F.lit(0.0)).otherwise(score)
 
 
-def lang_id(text: Column | str) -> Column:
-    """Stopword-count argmax language ID. Deterministic tie-break by the
-    STOPWORDS declaration order (first language with the max score wins),
-    mirrored exactly in the oracle SQL."""
-    scores = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
-    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: rewards reasonable length,
+    lexical diversity and stopword presence — the standard cheap filters
+    a pretraining pipeline applies before expensive dedup.
+
+    PERF: this single-expression form re-tokenizes per component (4
+    interpreted HOF evaluations per row). Hot paths should project
+    ``tokens(text)`` once and use ``quality_score_from_tokens``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return quality_score_from_tokens(tokens(c), c)
+
+
+def lang_scores_from_tokens(toks: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts from an ALREADY-PROJECTED token
+    array — one interpreted filter HOF per language instead of one per
+    REFERENCE (lang_id embeds each score in greatest + a when arm)."""
+    return {
+        lang: F.size(
+            F.filter(toks, lambda t: t.isin(*list(words)))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """Argmax language from per-language score COLUMNS (project
+    ``lang_scores_from_tokens`` into named columns first — scalar
+    references are free where re-embedded HOF scores are not).
+    Deterministic tie-break by the STOPWORDS declaration order (first
+    language with the max score wins), mirrored in the oracle SQL."""
+    vals = list(scores.values())
+    best = F.greatest(*vals) if len(vals) > 1 else vals[0]
     expr = F.lit("unknown")
     # build backwards so earlier languages win ties
     for lang in reversed(list(STOPWORDS)):
         expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
     return F.when(best > 0, expr).otherwise(F.lit("unknown"))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-count argmax language ID (single-expression form — hot
+    paths project tokens + scores first, see lang_id_from_scores)."""
+    scores = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    return lang_id_from_scores(scores)
 
 
 def fingerprint(text: Column | str) -> Column:

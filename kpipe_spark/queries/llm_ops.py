@@ -100,7 +100,15 @@ _EN_STOP_SQL = "('the','a','of','and','to','in','is')"
 )
 def d03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
-    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+    # tokens projected once per row: the single-expression form runs
+    # the split+filter HOF 4× (quality_score_from_tokens docstring)
+    base = docs.select("doc_id", "text", T.tokens("text").alias("_tk"))
+    return base.select(
+        "doc_id",
+        T.quality_score_from_tokens(F.col("_tk"), F.col("text")).alias(
+            "quality"
+        ),
+    )
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -136,9 +144,21 @@ _LANG_CASE_SQL = f"""
 )
 def d04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
+    # two-step projection: tokens once per row, then the 5 per-language
+    # hit counts as COLUMNS — lang_id's single-expression form re-ran
+    # the stopword filter HOF per reference (each score appears in
+    # greatest + a when arm: ~15 evals per row instead of 5)
+    base = docs.select("lang", "text", T.tokens("text").alias("_tk"))
+    score_cols = T.lang_scores_from_tokens(F.col("_tk"))
+    hits = base.select(
+        "lang", *[c.alias(f"_h_{lang}") for lang, c in score_cols.items()]
+    )
+    pred = T.lang_id_from_scores(
+        {lang: F.col(f"_h_{lang}") for lang in T.STOPWORDS}
+    )
     return (
-        docs.select(
-            T.lang_id("text").alias("predicted_lang"),
+        hits.select(
+            pred.alias("predicted_lang"),
             F.col("lang").alias("labeled_lang"),
         )
         .groupBy("predicted_lang", "labeled_lang")

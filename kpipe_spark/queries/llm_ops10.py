@@ -112,17 +112,38 @@ def d57_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split(' ') would bill phantom '' tokens against the budget while
     # ranking on the filtered count — internally consistent but a wrong
     # denomination, flagged by round-3 ADVICE.
-    q = docs.select(
-        "doc_id",
-        "source",
-        T.token_count("text").cast("long").alias("n_tokens"),
-        T.quality_score("text").alias("quality"),
-    ).withColumn(
-        # quality is ieee_round(x, 4): multiplying back recovers the
-        # integer rank exactly (fp error << 0.5), giving an equi-joinable
-        # bucket key where the double itself could not be trusted
-        "qint",
-        F.floor(F.col("quality") * 10000.0 + F.lit(0.5)).cast("long"),
+    # Tokens projected ONCE per row (quality_score_from_tokens — the
+    # single-expression form re-runs the split+filter HOF 5×), and the
+    # narrow (id, source, n_tokens, quality) projection MATERIALIZED
+    # once: it feeds five plan branches (the budget total, the
+    # histogram, both budget_select admission filters, and the
+    # per-source totals), each of which would otherwise re-run the
+    # corpus tokenize (measured 3.08 s → 1.06 s at sf0.1, identical
+    # rows). Corpus-scaled, so the injectable strategy applies
+    # (util.set_materializer — the stored quality-feature table
+    # production keeps anyway).
+    from kpipe_spark.util import materialize
+
+    base = docs.select(
+        "doc_id", "source", "text", T.tokens("text").alias("_tk")
+    )
+    q = materialize(
+        base.select(
+            "doc_id",
+            "source",
+            F.size("_tk").cast("long").alias("n_tokens"),
+            T.quality_score_from_tokens(
+                F.col("_tk"), F.col("text")
+            ).alias("quality"),
+        ).withColumn(
+            # quality is ieee_round(x, 4): multiplying back recovers the
+            # integer rank exactly (fp error << 0.5), giving an
+            # equi-joinable bucket key where the double itself could not
+            # be trusted
+            "qint",
+            F.floor(F.col("quality") * 10000.0 + F.lit(0.5)).cast("long"),
+        ),
+        scale="corpus",
     )
     from kpipe_spark.functions.selection import budget_select
 
@@ -256,10 +277,19 @@ def d58_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d59_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
+    # payload carried THROUGH the vote groupBy and the zero join-back
+    # skipped (simhash_df docstring): the previous shape paid two
+    # corpus-order shuffle joins — one to re-admit token-less docs this
+    # filter immediately drops, one to re-attach (source, n_chars)
+    # after the aggregate. Votes/bit-fold arithmetic unchanged →
+    # identical rows.
     f = (
-        D.simhash_df(docs)
+        D.simhash_df(
+            docs,
+            payload_cols=("source", "n_chars"),
+            include_empty=False,
+        )
         .filter(F.col("simhash64") != 0)
-        .join(docs.select("doc_id", "source", "n_chars"), "doc_id")
         .withColumn(
             # unnumbered sources (no trailing digits) must be the LEAST
             # trusted, not the most: regexp_extract gives '' there, and a
@@ -360,20 +390,32 @@ def d59_priority_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "quality", "profiling"),
 )
 def d60_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.util import materialize
+
     docs = load_tables(spark, sf_dir).documents
-    ts = F.split("text", " ")
-    n = F.size(ts)
+    # token array projected ONCE per row (the gate referenced the
+    # split(' ') HOF 5×), and the narrow flag frame MATERIALIZED once:
+    # it feeds both sides of the keeper join plus the s4 ledger —
+    # self-join inputs plan independently, so the unmaterialized form
+    # ran the whole gate+fingerprint scan twice (the d46 trap)
+    raw = docs.select(
+        "doc_id", "lang", "text", F.split("text", " ").alias("_ts")
+    )
+    n = F.size("_ts")
     mwl = (F.length("text") - (n - 1)) / n
-    swf = F.size(F.filter(ts, lambda x: x.isin(*_SW))) / n
-    dr = F.size(F.array_distinct(ts)) / n
+    swf = F.size(F.filter(F.col("_ts"), lambda x: x.isin(*_SW))) / n
+    dr = F.size(F.array_distinct("_ts")) / n
     f1 = F.col("lang") == "en"
     f2 = f1 & (n >= 30) & mwl.between(3, 6) & (swf >= 0.01) & (dr >= 0.35)
-    base = docs.select(
-        "doc_id",
-        n.cast("long").alias("n_tokens"),
-        f1.alias("f1"),
-        f2.alias("f2"),
-        T.fingerprint("text").alias("fp"),
+    base = materialize(
+        raw.select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            f1.alias("f1"),
+            f2.alias("f2"),
+            T.fingerprint("text").alias("fp"),
+        ),
+        scale="corpus",
     )
     keeper = base.filter("f2").groupBy("fp").agg(
         F.min("doc_id").alias("keep_id")

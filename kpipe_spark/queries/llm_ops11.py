@@ -459,9 +459,15 @@ def d71_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needs only map-side-combined aggregates after this — no
     # gram-keyed join at all (5.5 s -> 2.0 s at sf0.1; the remainder
     # is small-data task overhead that amortizes at scale).
+    from kpipe_spark.functions.text import tokens
+
+    # tokens projected once per row (shingles_from_tokens)
     sh = materialize(
-        ensure_parallelism(docs.filter(content)).select(
-            "doc_id", F.explode(D.word_shingles("text", 3)).alias("g")
+        ensure_parallelism(docs.filter(content))
+        .select("doc_id", tokens("text").alias("_tk"))
+        .select(
+            "doc_id",
+            F.explode(D.shingles_from_tokens(F.col("_tk"), 3)).alias("g"),
         ),
         scale="corpus",
     )

@@ -448,12 +448,23 @@ _RES_SCALE = 1 << 20
 def d99_weighted_reservoir_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from kpipe_spark.functions.text import quality_score
+    from kpipe_spark.functions.text import quality_score_from_tokens, tokens
 
     docs = load_tables(spark, sf_dir).documents
-    q = docs.select(
-        "doc_id", "source", quality_score("text").alias("quality")
-    ).filter(F.col("quality") > 0)
+    # tokens projected once per row (quality_score_from_tokens)
+    q = (
+        docs.select(
+            "doc_id", "source", "text", tokens("text").alias("_tk")
+        )
+        .select(
+            "doc_id",
+            "source",
+            quality_score_from_tokens(F.col("_tk"), F.col("text")).alias(
+                "quality"
+            ),
+        )
+        .filter(F.col("quality") > 0)
+    )
     x = _md5_lane(F.col("doc_id").cast("string"), 0, 1 << 32)
     u = (x + F.lit(1)) / F.lit(4294967296.0)
     w = F.col("quality") * F.col("quality")

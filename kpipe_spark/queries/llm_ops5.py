@@ -60,7 +60,10 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 )
 def d33_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
-    ts = F.split("text", " ")
+    # split projected ONCE per row: the gram transform references ts
+    # 3x PER ELEMENT, and inline each reference re-runs the split
+    # (interpreted HOFs get no CSE — the d22 lesson)
+    ts = F.col("_ts")
     n = F.size(ts)
     grams = F.when(
         n >= 3,
@@ -83,7 +86,9 @@ def d33_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kpipe_spark.util import ensure_parallelism, materialize
 
     dg = materialize(
-        ensure_parallelism(docs).select("doc_id", F.explode(grams).alias("g")),
+        ensure_parallelism(docs)
+        .select("doc_id", F.split("text", " ").alias("_ts"))
+        .select("doc_id", F.explode(grams).alias("g")),
         scale="corpus",
     )
     dfq = dg.groupBy("g").agg(F.count(F.lit(1)).alias("docfreq"))

@@ -165,12 +165,12 @@ def d46_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).documents
     # fingerprint 0 = token-less doc (simhash_df's degenerate default):
     # excluded, else every empty doc in source A "overlaps" every empty
-    # doc in source B
-    labeled = (
-        D.simhash_df(docs)
-        .filter(F.col("simhash64") != 0)
-        .join(docs.select("doc_id", "source"), "doc_id")
-    )
+    # doc in source B. Payload carried through the vote groupBy and the
+    # zero join-back skipped (simhash_df docstring — the d59 shape):
+    # two corpus-order shuffle joins removed, identical rows.
+    labeled = D.simhash_df(
+        docs, payload_cols=("source",), include_empty=False
+    ).filter(F.col("simhash64") != 0)
     groups = (
         labeled.groupBy("simhash64")
         .agg(
@@ -357,9 +357,13 @@ def d48_minhash_estimator_calibration(
     # computed twice on a single task).
     from kpipe_spark.util import ensure_parallelism, materialize
 
+    from kpipe_spark.functions.text import tokens
+
     sh = materialize(
-        ensure_parallelism(docs).select(
-            "doc_id", D.word_shingles("text").alias("_sh")
+        ensure_parallelism(docs)
+        .select("doc_id", tokens("text").alias("_tk"))
+        .select(
+            "doc_id", D.shingles_from_tokens(F.col("_tk")).alias("_sh")
         ),
         scale="corpus",
     )
@@ -509,15 +513,22 @@ def d49_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "sampling", "quality"),
 )
 def d50_quality_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kpipe_spark.functions.text import quality_score
+    from kpipe_spark.functions.text import quality_score_from_tokens, tokens
     from kpipe_spark.util import ieee_round
 
     docs = load_tables(spark, sf_dir).documents
-    q = docs.select(
+    # tokens projected once per row (quality_score_from_tokens); the
+    # n_tokens column keeps its original RAW split(' ') definition
+    base = docs.select(
+        "doc_id", "source", "text", tokens("text").alias("_tk")
+    )
+    q = base.select(
         "doc_id",
         "source",
         F.size(F.split("text", " ")).alias("n_tokens"),
-        quality_score("text").alias("quality"),
+        quality_score_from_tokens(F.col("_tk"), F.col("text")).alias(
+            "quality"
+        ),
     )
     w = F.col("quality") * F.col("quality")
     m = q.agg(F.max(w).alias("max_w"))

@@ -222,16 +222,19 @@ def p04_curation_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the near-dup check or skew the gate's token arithmetic. The
     # already-curated corpus side stays as indexed.
     nfc = _nfc_normalize_udf()
-    flat = dec.select("payload_error", F.col("payload.*")).withColumn(
-        "text", nfc(F.col("text"))
+    # token array projected ONCE per row — the gate referenced the
+    # split(' ') HOF 5× over the NFC'd text
+    flat = (
+        dec.select("payload_error", F.col("payload.*"))
+        .withColumn("text", nfc(F.col("text")))
+        .withColumn("_ts", F.split("text", " "))
     )
 
     # 2. Gopher gate through the Pipeline outcome contract
-    ts = F.split("text", " ")
-    n = F.size(ts)
+    n = F.size("_ts")
     mwl = (F.length("text") - (n - 1)) / n
-    swf = F.size(F.filter(ts, lambda x: x.isin(*_SW))) / n
-    dr = F.size(F.array_distinct(ts)) / n
+    swf = F.size(F.filter(F.col("_ts"), lambda x: x.isin(*_SW))) / n
+    dr = F.size(F.array_distinct("_ts")) / n
     gate = (
         (F.col("lang") == "en")
         & (n >= 30)
@@ -247,7 +250,14 @@ def p04_curation_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(gate)
     )
-    applied = pipe.apply(flat)
+    from kpipe_spark.util import materialize
+
+    # materialized once: `applied` feeds BOTH the admission branch
+    # (surv → batch signatures → partners) and the final per-outcome
+    # ledger — without this the JSON decode + NFC pandas UDF runs
+    # twice (two ArrowEvalPython subtrees in the plan). Batch-scaled,
+    # so the injectable strategy applies (util.set_materializer).
+    applied = materialize(pipe.apply(flat).drop("_ts"), scale="corpus")
 
     # 3. incremental admission against the stored corpus band index
     surv = applied.filter(F.col(STATUS_COL) == "passed").select(

@@ -71,6 +71,48 @@ def test_simhash_properties(spark, docs):
     assert near_dist <= 16
 
 
+def test_simhash_payload_carry_parity(spark):
+    """The payload-carry / skip-join-back form (d15/d59/d46 hot path)
+    must equal the canonical join-back form row-for-row after the
+    `!= 0` filter, on a corpus WITH degenerate docs: token-less docs
+    exist only in the canonical form (as zeros) and are exactly what
+    the filter drops."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "web1", 22),
+            (2, "alpha beta gamma delta", "web2", 22),
+            (3, "totally different words here", "cc", 28),
+            (4, "", "empty_src", 0),
+            (5, None, "null_src", 0),
+            (6, "   ", "ws_src", 3),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    old = (
+        D.simhash_df(docs)
+        .filter(F.col("simhash64") != 0)
+        .join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    )
+    new = D.simhash_df(
+        docs, payload_cols=("source", "n_chars"), include_empty=False
+    ).filter(F.col("simhash64") != 0)
+    key = lambda r: r["doc_id"]  # noqa: E731
+    o = sorted([r.asDict() for r in old.collect()], key=key)
+    n = sorted(
+        [r.asDict() for r in new.select(*old.columns).collect()], key=key
+    )
+    assert o == n and len(o) == 3
+    # canonical form still re-admits the degenerate docs as zeros
+    full = {r["doc_id"]: r["simhash64"] for r in D.simhash_df(docs).collect()}
+    assert full[4] == 0 and full[5] == 0 and full[6] == 0
+    # payload with include_empty=True is refused (no payload source for
+    # the re-admitted zeros)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.simhash_df(docs, payload_cols=("source",))
+
+
 def test_lsh_recall_vs_brute_force(spark):
     """LSH top-k must recover a decent fraction of true neighbors on the
     real embeddings table (recall is the accuracy/speed dial)."""
@@ -110,6 +152,27 @@ def test_connected_components_transitive_closure(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_string_ids_long_chain(spark):
+    """The in-aggregate convergence check (tagged previous label, no
+    label><label join per round) must stay exact for non-numeric ids —
+    the sum-of-labels shortcut would not — and must propagate a chain
+    whose diameter needs several rounds. Output schema carries no
+    internal columns."""
+    from kpipe_spark.functions import dedup as D
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(9)]
+    pairs = spark.createDataFrame(
+        chain + [("zz1", "zz2")], ["id_a", "id_b"]
+    )
+    out = D.connected_components(pairs)
+    assert out.columns == ["id", "cluster_id"]
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {f"n{i:02d}": "n00" for i in range(10)} | {
+        "zz1": "zz1",
+        "zz2": "zz1",
+    }
 
 
 def test_dup_clusters_exact_copies_share_cluster(spark):
