@@ -250,17 +250,34 @@ def q62_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date"), 60
     ).cast("timestamp")
     flagged = li.withColumn("is_late", late)
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "nlate_supp"
-        ),
-    )
-    qualifying = per_order.filter(
-        (F.col("nsupp") >= 2) & (F.col("nlate_supp") == 1)
-    ).select("l_orderkey")
-    culprit_rows = flagged.filter(F.col("is_late")).join(
-        qualifying, "l_orderkey", "left_semi"
+    # Per-order distinct-supplier counts as WINDOWS over the same
+    # l_orderkey shuffle that already carries the rows, instead of a
+    # groupBy + left-semi back onto a second `flagged` subtree: the
+    # self-referencing shape planned lineitem TWICE (two scans, two
+    # exchanges, a sort-merge semi-join); this shape scans it once
+    # with one exchange. collect_set skips nulls exactly as
+    # countDistinct(when(...)) does, so the counts — and the rows the
+    # filter keeps — are identical.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_orderkey")
+    culprit_rows = (
+        flagged.withColumn(
+            "_nsupp", F.size(F.collect_set("l_suppkey").over(w))
+        )
+        .withColumn(
+            "_nlate_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("is_late")
+            & (F.col("_nsupp") >= 2)
+            & (F.col("_nlate_supp") == 1)
+        )
     )
     supp = t.supplier.join(
         F.broadcast(t.nation.filter(F.col("n_name") == "NATION_7")),
