@@ -405,13 +405,26 @@ def connected_components(
     """
     import logging
 
+    # Symmetric edges via explode(array(fwd, rev)) — ONE pass over
+    # `pairs`. The union-of-two-selects form planned the pair lineage
+    # (scan + signatures + bucket join, for minhash consumers the
+    # dominant cost) as TWO independent branches: Spark plans union
+    # inputs separately, so the whole candidate pipeline executed twice
+    # before the checkpoint (measured ~2.3 s/extra pass at sf0.1 on the
+    # d24 shape). Same edge multiset, same types, half the upstream
+    # compute.
+    edge = F.explode(
+        F.array(
+            F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+            F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+        )
+    ).alias("_e")
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        # checkpoint the edge list too: `pairs` usually carries the whole
-        # candidate-generation lineage (scan + signatures + bucket join),
-        # and every propagation round joins against edges — without this
-        # each round re-runs that entire upstream pipeline
+        pairs.select(edge)
+        .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
+        # checkpoint the edge list too: every propagation round joins
+        # against edges — without this each round re-runs the entire
+        # upstream candidate pipeline
         .localCheckpoint(eager=True)
     )
     labels = (

@@ -138,14 +138,27 @@ def video_bytes(frames: int, width: int, height: int, seed: int) -> bytes:
     return bytes(out)
 
 
-def generate_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+def generate_media(
+    ids: DataFrame, id_col: str = "media_id", include_content: bool = True
+) -> DataFrame:
     """(id) frame -> MEDIA_SCHEMA frame with real generated bytes.
 
     mapInPandas: generation runs on executors, Arrow-batched — the
     driver never sees a blob. In a real deployment this stage is the
     ingest decode boundary (fetch by media_ref); here the generator
     stands where the fetch would be, and everything downstream of the
-    binary column is production-shaped."""
+    binary column is production-shaped.
+
+    PERF: Catalyst cannot prune columns THROUGH a mapInPandas stage —
+    a consumer that only reads metadata (m02's frame sampling reads
+    meta.frames and never touches a pixel) still pays the full codec
+    encode per row if the generator always builds the blob. Such
+    consumers pass ``include_content=False``: the content column is
+    NULL, every other column (including meta) is byte-identical, and
+    the per-row cost drops from video-container encode (frames × PNG
+    deflate) to pure metadata arithmetic. In production this is the
+    difference between planning frame sampling from the media CATALOG
+    and fetching every blob from object storage to plan what to fetch."""
     import pandas as pd
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -161,15 +174,23 @@ def generate_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                 mid = int(mid)
                 kind, w, h, frames, sr, ns = media_spec(mid)
                 if kind == "image":
-                    content = png_bytes(w, h, mid)
+                    content = (
+                        png_bytes(w, h, mid) if include_content else None
+                    )
                     meta = dict(width=w, height=h, frames=None,
                                 sample_rate=None, mime="image/png")
                 elif kind == "audio":
-                    content = wav_bytes(ns, sr, mid)
+                    content = (
+                        wav_bytes(ns, sr, mid) if include_content else None
+                    )
                     meta = dict(width=None, height=None, frames=None,
                                 sample_rate=sr, mime="audio/wav")
                 else:
-                    content = video_bytes(frames, w, h, mid)
+                    content = (
+                        video_bytes(frames, w, h, mid)
+                        if include_content
+                        else None
+                    )
                     meta = dict(width=w, height=h, frames=frames,
                                 sample_rate=None,
                                 mime="video/x-kpipe-frames")

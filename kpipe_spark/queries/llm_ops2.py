@@ -19,7 +19,8 @@ from kpipe_spark.catalog import load_tables
 from kpipe_spark.functions import dedup as D
 from kpipe_spark.functions import multimodal as M
 from kpipe_spark.functions import similarity as S
-from kpipe_spark.functions.dedup import word_shingles
+from kpipe_spark.functions.dedup import word_shingles  # noqa: F401
+from kpipe_spark.functions.text import tokens
 from kpipe_spark.queries import register
 from kpipe_spark.queries._oracle_fragments import (
     COMPONENTS_CTES,
@@ -120,10 +121,17 @@ def d11_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "fingerprint"),
 )
 def d12_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.functions.dedup import shingles_from_tokens
+
     docs = load_tables(spark, sf_dir).documents
-    hashes = F.transform(word_shingles("text", 3), lambda s: F.md5(s))
+    # tokens projected once per row (shingles_from_tokens)
+    hashes = F.transform(
+        shingles_from_tokens(F.col("_tk"), 3), lambda s: F.md5(s)
+    )
     content = F.col("text").isNotNull() & F.col("text").rlike(r"\S")
     return ensure_parallelism(docs).select(
+        "doc_id", "text", tokens("text").alias("_tk")
+    ).select(
         "doc_id",
         # contentless -> NULL: the fallback shingle of a token-less doc
         # is '' and md5('') would make every such doc "identical"
@@ -288,7 +296,10 @@ _KIND_RESIDUE = {"image": 0, "audio": 1, "video": 2}
 
 
 def media_frame(
-    spark: SparkSession, sf_dir: str, kinds: tuple[str, ...] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    kinds: tuple[str, ...] | None = None,
+    include_content: bool = True,
 ) -> DataFrame:
     """documents -> multimodal frame: REAL binary content (genuine PNG /
     WAV / length-prefixed PNG-frame container, stdlib-generated on
@@ -301,7 +312,10 @@ def media_frame(
     id) — a consumer that wants only audio must not pay for encoding
     every video container first; the filter cannot be pushed through
     the mapInPandas stage by Catalyst, so it is applied to the id
-    projection here."""
+    projection here. ``include_content=False`` is the column-pruning
+    analogue for the same boundary: metadata-only consumers (m02) get
+    NULL content instead of paying the codec encode per row (see
+    generate_media's docstring)."""
     from kpipe_spark.util import ensure_parallelism
 
     docs = load_tables(spark, sf_dir).documents
@@ -309,7 +323,7 @@ def media_frame(
     if kinds:
         residues = [_KIND_RESIDUE[k] for k in kinds]
         ids = ids.filter((F.col("media_id") % 3).isin(residues))
-    return M.generate_media(ids)
+    return M.generate_media(ids, include_content=include_content)
 
 
 @register(
@@ -365,9 +379,18 @@ def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kinds filter BEFORE generation (same reason as m05/m06): Catalyst
     # can't push the kind filter through the mapInPandas encode stage,
-    # so without it every image/audio blob is encoded then discarded
+    # so without it every image/audio blob is encoded then discarded.
+    # include_content=False for the same reason applied to COLUMNS:
+    # sample_frames reads only (media_id, meta.frames) and Catalyst
+    # can't prune `content` through mapInPandas either, so the full
+    # video-container encode (frames × PNG deflate per row) was paid
+    # for a column nothing read. Output identical — frame indexes are
+    # pure metadata arithmetic.
     return M.sample_frames(
-        media_frame(spark, sf_dir, kinds=("video",)), every_n=10
+        media_frame(
+            spark, sf_dir, kinds=("video",), include_content=False
+        ),
+        every_n=10,
     )
 
 
@@ -771,8 +794,12 @@ def d22_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir).documents
     # raw (non-distinct) bigrams — word_shingles dedups, and repetition
-    # scoring needs the true occurrence counts
-    toks = tokens("text")
+    # scoring needs the true occurrence counts.
+    # tokens projected ONCE per row first: inside the transform lambda
+    # an inline tokens(text) re-runs the interpreted split+filter HOF
+    # PER ELEMENT (no CSE in interpreted eval — O(n_tokens) splits per
+    # row); as a projected column it is a bound reference
+    toks = F.col("_tk")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), n - 2)
     raw_grams = F.transform(
@@ -780,6 +807,7 @@ def d22_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = (
         ensure_parallelism(docs)
+        .select("doc_id", tokens("text").alias("_tk"))
         .filter(n >= 2)
         .select("doc_id", F.explode(raw_grams).alias("_g"))
     )

@@ -107,6 +107,37 @@ def test_sample_frames_fanout(media):
     assert got == {(1, 0), (1, 10), (1, 20)}
 
 
+def test_generate_media_metadata_only_parity(spark):
+    # include_content=False must change ONLY the content column (NULL):
+    # ids, kinds, refs and the whole meta struct stay byte-identical —
+    # the m02 contract (frame sampling from metadata, no codec work)
+    ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+    full = {r["media_id"]: r for r in M.generate_media(ids).collect()}
+    lean = {
+        r["media_id"]: r
+        for r in M.generate_media(ids, include_content=False).collect()
+    }
+    assert full.keys() == lean.keys()
+    for mid, fr in full.items():
+        lr = lean[mid]
+        assert lr["content"] is None
+        assert fr["content"] is not None
+        for col in ("kind", "media_ref", "meta"):
+            assert fr[col] == lr[col], (mid, col)
+    # and the m02 shape itself: identical fan-out from either frame
+    fan_full = {
+        (r["media_id"], r["frame_index"])
+        for r in M.sample_frames(M.generate_media(ids)).collect()
+    }
+    fan_lean = {
+        (r["media_id"], r["frame_index"])
+        for r in M.sample_frames(
+            M.generate_media(ids, include_content=False)
+        ).collect()
+    }
+    assert fan_full == fan_lean and fan_lean
+
+
 def test_size_class_partitioning_preserves_rows(media):
     out = M.size_class_partitioned(media, num_partitions=4)
     assert out.count() == 5
