@@ -32,22 +32,28 @@ from kpipe_spark.queries import register
     GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
     """,
     description="TPC-H Q18 shape: IN over a grouped-HAVING subquery on "
-    "the fact table itself. The qualifying-keys aggregate reuses the "
-    "same shuffle key (l_orderkey) as the outer join, so AQE can chain "
-    "them without an extra exchange; qualifying set is tiny -> "
-    "broadcast semi-join back onto lineitem",
+    "the fact table itself. The qualifying-orders condition is a "
+    "window sum over the SAME l_orderkey shuffle the orders join "
+    "needs anyway — the groupBy + semi-join-back form planned "
+    "lineitem twice (subquery and outer branch plan independently); "
+    "this shape scans it once with one exchange.",
     tags=("join", "subquery", "agg"),
 )
 def q53_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     t = load_tables(spark, sf_dir)
-    big = (
-        t.lineitem.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 150)
-        .select("l_orderkey")
-    )
+    # The qualifying-orders HAVING as a WINDOW over the same l_orderkey
+    # shuffle the orders join needs anyway: the groupBy + semi-join-back
+    # form planned lineitem TWICE (the subquery branch and the outer
+    # scan plan independently). sum(l_quantity) is exact under any
+    # order (integer-valued doubles, 1-50), so the window total equals
+    # the groupBy total bit-for-bit and the same rows qualify.
+    w = Window.partitionBy("l_orderkey")
     return (
-        t.lineitem.join(F.broadcast(big), "l_orderkey", "left_semi")
+        t.lineitem.withColumn("_oq", F.sum("l_quantity").over(w))
+        .filter(F.col("_oq") > 150)
+        .drop("_oq")
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")

@@ -448,11 +448,12 @@ def q64_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="TPC-H Q15 shape: supplier(s) with the quarter's maximum "
     "revenue — the view + global-scalar-subquery pattern. Spark plan: "
-    "the revenue aggregate is computed ONCE as a cached-lineage "
-    "DataFrame reused on both sides; the global max is a 1-row "
-    "broadcast cross-joined as a filter (never collected to Python); "
-    "supplier broadcasts. At 100 TB the only heavy stage is the "
-    "suppkey aggregate over the date-pruned lineitem scan.",
+    "the revenue aggregate is computed once and the global max is an "
+    "unpartitioned window over that supplier-sized frame (the "
+    "broadcast-scalar form planned the revenue subtree and its "
+    "lineitem scan twice); supplier broadcasts. At 100 TB the only "
+    "heavy stage is the suppkey aggregate over the date-pruned "
+    "lineitem scan.",
     tags=("join", "subquery", "agg", "broadcast"),
 )
 def q65_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,9 +477,18 @@ def q65_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_revenue")
         )
     )
-    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    # Global max as an UNPARTITIONED window over the aggregated frame:
+    # the scalar-subquery form (revenue.agg(max) broadcast back onto
+    # revenue) planned the revenue subtree — and its lineitem scan —
+    # TWICE; the window computes it on the one copy. The window's
+    # single partition holds |suppliers-with-revenue| rows (supplier-
+    # order, never corpus-order), and max over identical doubles keeps
+    # exactly the same tie set.
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
     return (
-        revenue.join(F.broadcast(top))
+        revenue.withColumn("max_revenue", F.max("total_revenue").over(w_all))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(t.supplier), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")

@@ -141,23 +141,34 @@ def q71_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="retention cohort triangle: users bucketed by "
     "first-seen week, activity counted per (cohort, week-offset). "
-    "Scale: both CTEs shuffle on user_id — Catalyst reuses one "
-    "exchange for first_seen, the DISTINCT, and the join (all "
-    "user_id-partitioned); only the final small-domain "
+    "Scale: the first-seen week is a window on the SAME user_id "
+    "shuffle the activity DISTINCT uses (the groupBy + join-back form "
+    "planned the events scan twice); only the final small-domain "
     "(cohort, offset) agg reshuffles. count(DISTINCT) expands "
     "per-group but cohort-cells are few; no row explosion.",
     tags=("events", "window-time", "agg"),
 )
 def q72_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir).events
-    first_seen = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    # first-seen week as a WINDOW on the same user_id partitioning the
+    # activity distinct needs anyway: the groupBy + join-back form
+    # planned the events scan twice (branches plan independently, and
+    # the agg exchange does not reuse against the distinct's). The
+    # cohort week is functionally dependent on user_id, so carrying it
+    # through the distinct leaves the distinct set unchanged.
+    w = Window.partitionBy("user_id")
+    activity = (
+        e.select("user_id", "ts")
+        .withColumn("cohort_week", F.date_trunc("week", F.min("ts").over(w)))
+        .select(
+            "user_id",
+            F.date_trunc("week", "ts").alias("active_week"),
+            "cohort_week",
+        )
+        .distinct()
     )
-    activity = e.select(
-        "user_id", F.date_trunc("week", "ts").alias("active_week")
-    ).distinct()
     return (
-        activity.join(first_seen, "user_id")
+        activity
         .groupBy(
             F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
             F.floor(
@@ -320,9 +331,10 @@ def q75_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hour's error fraction against the global mean/stddev, flag hours "
     "above 2σ (rounded before the threshold so the gate is "
     "engine-stable). Scale: hourly agg is map-side-combined into a "
-    "time-bucket domain; the stats aggregate runs over BUCKETS (not "
-    "events) and broadcasts back as one row — the corpus is scanned "
-    "exactly once.",
+    "time-bucket domain; the global stats are unpartitioned windows "
+    "over BUCKETS (not events) — the broadcast-scalar form re-planned "
+    "the hourly subtree and scanned events twice; this shape scans "
+    "the corpus exactly once.",
     tags=("events", "window-time", "anomaly"),
 )
 def q76_error_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,13 +349,19 @@ def q76_error_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "error", F.lit(1.0)).otherwise(F.lit(0.0))
         ).alias("err_rate"),
     )
-    stats = h.agg(
-        F.avg("err_rate").alias("mu"), F.stddev_samp("err_rate").alias("sigma")
+    # Global mean/stddev as UNPARTITIONED windows over the hourly
+    # frame: the scalar-subquery form (h.agg broadcast back onto h)
+    # planned the hourly subtree — and its events scan — twice. The
+    # single window partition holds |hours| rows; the z-score is
+    # rounded before the threshold in both forms, keeping the gate
+    # engine- and order-stable.
+    w_all = Window.partitionBy()
+    h = h.withColumn("mu", F.avg("err_rate").over(w_all)).withColumn(
+        "sigma", F.stddev_samp("err_rate").over(w_all)
     )
     z = F.round((F.col("err_rate") - F.col("mu")) / F.col("sigma"), 2)
     return (
-        h.crossJoin(F.broadcast(stats))
-        .filter(z > 2)
+        h.filter(z > 2)
         .select(
             "hour_ts",
             "n_events",
@@ -495,11 +513,21 @@ def q78_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "time-series", "events"),
 )
 def q79_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kpipe_spark.util import materialize
+
     ev = load_tables(spark, sf_dir).events
-    p = (
+    # The per-user-day purchase frame feeds TWO branches (the distinct
+    # user list for the grid, and the grid's left join) that plan
+    # independently — unmaterialized, events was scanned three times
+    # (these two plus the bounds min/max). Materialized once, the
+    # remaining second scan is the column-pruned bounds pass. The
+    # frame is events-proportional, so the injectable corpus strategy
+    # applies (util.set_materializer).
+    p = materialize(
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(F.round(F.sum("value"), 4).alias("v"))
+        .agg(F.round(F.sum("value"), 4).alias("v")),
+        scale="corpus",
     )
     bounds = ev.agg(
         F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")

@@ -120,9 +120,10 @@ def q80_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value — scale-invariant, so the query selects a proper subset at "
     "every sf (TPC-H's fixed fraction degenerates to 0 rows as |part| "
     "grows). Scale: supplier⋈nation⋈region broadcast onto the lineitem "
-    "scan; one shuffle on l_partkey; the global scalar re-aggregates "
-    "the per-part frame (|part| rows), NOT a second lineitem scan, and "
-    "broadcasts back as a literal join.",
+    "scan; one shuffle on l_partkey; the global (sum, count) are "
+    "unpartitioned windows over the per-part frame (|part| rows) — "
+    "the scalar-subquery form re-planned the whole subtree including "
+    "a second lineitem scan.",
     tags=("agg", "subquery", "tpch"),
 )
 def q81_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,11 +156,18 @@ def q81_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_dec")
         )
     )
-    total = per_part.agg(
-        F.sum("value_dec").alias("t"), F.count(F.lit(1)).alias("n")
-    )
+    # Global (sum, count) as UNPARTITIONED windows over the per-part
+    # frame: the scalar-subquery form (per_part.agg broadcast back)
+    # planned the per_part subtree — and its lineitem scan — twice.
+    # The single window partition holds |parts| rows, and the decimal
+    # sum is exact under any accumulation order, so the threshold is
+    # bit-identical to the re-aggregated one.
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn("t", F.sum("value_dec").over(w_all))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
         # value > 1.5 * (t/n)  <=>  2*value*n > 3*t, all exact decimal
         .filter(F.col("value_dec") * 2 * F.col("n") > F.col("t") * 3)
         .select(
@@ -228,10 +236,12 @@ def q82_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q2 shape (per-part best supplier via a "
     "correlated max; s_acctbal standing in for min ps_supplycost). "
     "Spark decorrelates by hand: distinct (part,supplier) pairs → "
-    "per-part max acctbal → equality join back, exactly the oracle's "
-    "tie semantics. Scale: pairs aggregate is one shuffle on "
-    "l_partkey of a pre-projected 2-column scan; supplier and part "
-    "broadcast; no correlated per-row execution anywhere.",
+    "per-part max acctbal as a WINDOW over the pairs frame → equality "
+    "filter, exactly the oracle's tie semantics (the groupBy + "
+    "join-back form planned the pairs subtree twice). Scale: one "
+    "pre-projected 2-column lineitem scan, the distinct shuffle, and "
+    "a pairs-sized window exchange; supplier and part broadcast; no "
+    "correlated per-row execution anywhere.",
     tags=("join", "subquery", "agg", "tpch"),
 )
 def q83_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,15 +256,17 @@ def q83_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
-    best = pairs.groupBy(F.col("l_partkey").alias("bp_partkey")).agg(
-        F.max("s_acctbal").alias("best_acctbal")
-    )
+    # Per-part max as a WINDOW over the pairs frame: the groupBy +
+    # equality-join-back form planned the pairs subtree — lineitem
+    # scan, distinct shuffle, supplier broadcast — TWICE. The window's
+    # equality filter keeps exactly the join's tie set (max over the
+    # same doubles).
+    from pyspark.sql.window import Window
+
+    w_part = Window.partitionBy("l_partkey")
     return (
-        pairs.join(
-            best,
-            (F.col("l_partkey") == F.col("bp_partkey"))
-            & (F.col("s_acctbal") == F.col("best_acctbal")),
-        )
+        pairs.withColumn("_best", F.max("s_acctbal").over(w_part))
+        .filter(F.col("s_acctbal") == F.col("_best"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.col("p_partkey").alias("part_key"),
@@ -295,11 +307,11 @@ def q83_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part exceeds a correlated per-part threshold, then a region "
     "semi-join; shipped-quantity share standing in for availqty vs "
     "sum(l_quantity)). Spark decorrelates: one filtered lineitem scan "
-    "aggregated at (suppkey,partkey), re-aggregated to per-part "
-    "totals, joined back on partkey — the correlated HAVING becomes "
-    "two aggs over ONE scan + a self-join on the agg output (tiny), "
-    "never a second lineitem pass. Region suppliers broadcast; the "
-    "final IN is a semi-join.",
+    "aggregated at (suppkey,partkey), with the per-part totals as a "
+    "WINDOW over that agg output — the correlated HAVING becomes one "
+    "scan + one pairs-sized window exchange (the re-aggregate + "
+    "join-back form planned the subtree, and the scan, twice). Region "
+    "suppliers broadcast; the final IN is a semi-join.",
     tags=("join", "agg", "subquery", "tpch"),
 )
 def q84_excess_share_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,15 +326,19 @@ def q84_excess_share_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("pair_qty"))
     )
-    # per-part totals over the SAME filtered scan: re-aggregate the
-    # (part,supp) frame instead of rescanning lineitem. NOTE the oracle's
-    # correlated subquery is unrestricted by p_name, so totals are
-    # computed before the part filter and the filter applies after.
-    part_totals = shipped.groupBy(F.col("l_partkey").alias("tp_partkey")).agg(
-        F.sum("pair_qty").alias("part_qty")
-    )
+    # Per-part totals as a WINDOW over the (part,supp) frame: the
+    # re-aggregate + join-back form planned the shipped subtree — and
+    # its filtered lineitem scan — TWICE (branches plan independently).
+    # NOTE the oracle's correlated subquery is unrestricted by p_name,
+    # so totals are computed before the part filter and the filter
+    # applies after. sum(l_quantity) is exact under any order
+    # (integer-valued doubles), so the window total equals the
+    # re-aggregated total bit-for-bit.
+    from pyspark.sql.window import Window
+
+    w_part = Window.partitionBy("l_partkey")
     excess = (
-        shipped.join(part_totals, F.col("l_partkey") == F.col("tp_partkey"))
+        shipped.withColumn("part_qty", F.sum("pair_qty").over(w_part))
         .filter(F.col("pair_qty") > 0.3 * F.col("part_qty"))
         .join(F.broadcast(lparts), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_suppkey")
