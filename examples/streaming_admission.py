@@ -52,6 +52,7 @@ from kpipe_spark.functions.sketches import BloomGate  # noqa: E402
 from kpipe_spark.pipeline import Pipeline  # noqa: E402
 from kpipe_spark.session import get_spark  # noqa: E402
 from kpipe_spark.streaming import StreamRunner  # noqa: E402
+from kpipe_spark.util import free_local_checkpoint  # noqa: E402
 
 
 def main() -> None:
@@ -122,6 +123,12 @@ def main() -> None:
         idx.append(admitted)
         # keep the gate current; idempotent on batchId under replay
         gate.update_keys(admitted_keys, batch_id)
+        # per-batch checkpoint lifecycle (wave-10 discipline): the
+        # ledger's lineage holds admit's internal band freeze — free
+        # both before the next batch, or the stream's session
+        # accumulates one dead RDD per checkpoint per batch
+        free_local_checkpoint(ledger)
+        free_local_checkpoint(admitted_keys)
 
     def run(ckpt: str) -> None:
         runner = StreamRunner(

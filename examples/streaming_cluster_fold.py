@@ -50,6 +50,7 @@ from kpipe_spark.functions.sketches import BloomGate  # noqa: E402
 from kpipe_spark.pipeline import Pipeline  # noqa: E402
 from kpipe_spark.session import get_spark  # noqa: E402
 from kpipe_spark.streaming import StreamRunner  # noqa: E402
+from kpipe_spark.util import free_local_checkpoint  # noqa: E402
 
 
 def main() -> None:
@@ -77,7 +78,11 @@ def main() -> None:
 
     def fold_sink(df, batch_id):
         batch = df.select("doc_id", "text")
-        ledger = bands.admit(batch).localCheckpoint(eager=True)
+        ledger_lazy = bands.admit(batch)
+        ledger = ledger_lazy.localCheckpoint(eager=True)
+        # the eager checkpoint captured the ledger's rows; admit's
+        # internal band freeze under its lineage is superseded
+        free_local_checkpoint(ledger_lazy)
         # the sketch front door: docs whose EVERY band key probes
         # negative certainly have no corpus collision — at 100 TB they
         # skip the stored band join entirely. Audited per batch: every
@@ -109,6 +114,11 @@ def main() -> None:
         # fold-then-append, exactly once per batch id
         clusters.update_batch(admitted, bands, batch_id)
         gate.update_keys(gate_keys, batch_id)
+        # per-batch checkpoint lifecycle: a stream holds its session
+        # for the whole run, so every unreleased checkpoint accumulates
+        # batch over batch (wave-10 discipline, OPTIMIZATION_r13)
+        for frame in (ledger, admitted, gate_keys):
+            free_local_checkpoint(frame)
 
     def run(ckpt: str) -> None:
         runner = StreamRunner(

@@ -164,6 +164,11 @@ class ClusterIndex(StoredArtifact):
             partition_by="comp_bucket",
             num_comp_buckets=n,
         )
+        # the table now holds the labels; the connected_components
+        # checkpoint under comp is superseded (wave-10 lifecycle)
+        from kpipe_spark.util import free_local_checkpoint
+
+        free_local_checkpoint(comp)
 
     def refresh_incremental(self, new_docs: DataFrame, corpus_index) -> dict:
         """Fold a NEW batch into the stored components without the
@@ -343,6 +348,16 @@ class ClusterIndex(StoredArtifact):
             "id_new",
             "id_other",
         ).localCheckpoint(eager=True)
+        # Checkpoint lifecycle (the streaming shape runs this fold once
+        # PER MICRO-BATCH; unreleased local checkpoints accumulate for
+        # the life of the session — the connected_components leak,
+        # OPTIMIZATION_r13 wave 10): each stage's blocks are freed the
+        # moment the next eager checkpoint supersedes them. pairs'
+        # lineage holds the batch band checkpoint inside
+        # incremental_minhash_partners; pairs_e just captured its rows.
+        from kpipe_spark.util import free_local_checkpoint
+
+        free_local_checkpoint(pairs)
         endpoints = pairs_e.select(
             "_eid", F.lit("a").alias("_role"), F.col("id_new").alias("_id")
         ).unionByName(
@@ -375,6 +390,9 @@ class ClusterIndex(StoredArtifact):
         subm = sub.select(
             F.col("id").alias("_qnode"), F.col("cluster_id").alias("_newlab")
         ).localCheckpoint(eager=True)
+        # subm supersedes both the edge-id freeze and the CC result
+        free_local_checkpoint(pairs_e)
+        free_local_checkpoint(sub)
         if subm.isEmpty():
             # an edge-free batch changes no components, but the cadence
             # marker must still advance — returning unstamped here
@@ -388,6 +406,7 @@ class ClusterIndex(StoredArtifact):
                 folded_batch_n=batch_fp[0],
                 folded_batch_hash=batch_fp[1],
             )
+            free_local_checkpoint(subm)
             return {
                 "overwritten_buckets": 0,
                 "num_comp_buckets": n,
@@ -447,6 +466,8 @@ class ClusterIndex(StoredArtifact):
             f"('{self._PROP_PREFIX}touched_buckets' = "
             f"'{','.join(str(b) for b in touched)}')"
         )
+        # the park table now holds everything derived from subm
+        free_local_checkpoint(subm)
         self._swap_from_park(park)
         # stamp AFTER the swap: a crash before this line leaves the
         # old marker, and the documented same-batch re-run passes the

@@ -343,9 +343,17 @@ class CorpusIndex(StoredArtifact):
         Use it on the replay path only (``ClusterIndex.update_batch``
         routes through it exactly when its fold reported a replay);
         the steady-state path keeps the cheap blind ``append``."""
+        from kpipe_spark.util import free_local_checkpoint
+
         bands = self._bands_of(batch).localCheckpoint(eager=True)
-        total = bands.count()
-        present = self._batch_presence(bands).count()
+        try:
+            total = bands.count()
+            present = self._batch_presence(bands).count()
+        finally:
+            # bands exists only for the two counts; the replay path runs
+            # once per crashed batch, and unreleased checkpoints outlive
+            # the call (OPTIMIZATION_r13 wave 10)
+            free_local_checkpoint(bands)
         missing = total - present
         if missing == total:
             self.append(batch)

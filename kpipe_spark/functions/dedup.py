@@ -402,8 +402,18 @@ def connected_components(
     edges. localCheckpoint truncates the iterative lineage so the plan
     doesn't grow per round (on a real cluster use checkpoint() to
     durable storage instead; convergence check moves O(1) rows).
+
+    Checkpoint lifecycle: each round's blocks are released as soon as
+    the next round's checkpoint is materialized, and the edge list's
+    blocks on return — only the RETURNED label frame keeps blocks
+    alive. Without this, every build leaked one dup-graph-sized RDD
+    per propagation round for the life of the session (one-build
+    benches never noticed; a session rebuilding components 10+ times
+    read 2-3x inflated timings from GC pressure).
     """
     import logging
+
+    from kpipe_spark.util import free_local_checkpoint
 
     # Symmetric edges via explode(array(fwd, rev)) — ONE pass over
     # `pairs`. The union-of-two-selects form planned the pair lineage
@@ -433,6 +443,10 @@ def connected_components(
         .select("id", F.col("id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
+    # the checkpointed frame whose blocks the NEXT round supersedes;
+    # labels itself becomes a projection over the round's aggregate, so
+    # track the bare checkpoint, not the derived frame
+    prev_ckpt = labels
     converged = False
     for _ in range(max_iterations):
         pushed = edges.join(labels, edges["src"] == labels["id"]).select(
@@ -461,6 +475,10 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # agg is fully materialized (eager), so the previous round's
+        # blocks are dead — release them before they pile up
+        free_local_checkpoint(prev_ckpt)
+        prev_ckpt = agg
         changed = agg.filter("_chg").limit(1).count()
         labels = agg.drop("_chg")
         if changed == 0:
@@ -476,6 +494,9 @@ def connected_components(
             " labels may be partial (component diameter exceeds the cap)",
             max_iterations,
         )
+    # the returned labels frame reads only its own checkpoint
+    # (prev_ckpt); the edge list's blocks are no longer reachable
+    free_local_checkpoint(edges)
     return labels
 
 

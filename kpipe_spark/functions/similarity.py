@@ -329,6 +329,12 @@ def lloyd_centroids_int(
             # divisible-numerator integer division exactly
             cents[cid] = [si // n for si in s]
         # cells absent from the partials (no members) keep their centroid
+    # the trained centroids live on the driver; the quantized-vector
+    # checkpoint (corpus-sized) is dead — release it (wave-10
+    # lifecycle) instead of leaking one per training call
+    from kpipe_spark.util import free_local_checkpoint
+
+    free_local_checkpoint(qv)
     return spark.createDataFrame(
         [(i, [c / float(scale) for c in cc]) for i, cc in enumerate(cents)],
         "centroid_id int, _ce array<double>",

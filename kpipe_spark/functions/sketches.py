@@ -361,6 +361,12 @@ class BloomGate(StoredArtifact):
             .localCheckpoint(eager=True)
         )
         new_bits.write.mode("append").saveAsTable(self.table)
+        # the appended rows now live in the table; the per-batch
+        # checkpoint would otherwise outlive the call (one leaked RDD
+        # per micro-batch — wave-10 lifecycle, OPTIMIZATION_r13)
+        from kpipe_spark.util import free_local_checkpoint
+
+        free_local_checkpoint(new_bits)
         # under foreachBatch, `keys` belongs to a CLONED session and
         # the append refreshes only THAT session's relation cache; a
         # serving read through self.spark would otherwise list the
@@ -868,6 +874,11 @@ class HllSketch(StoredArtifact):
             eager=True
         )
         regs.write.mode("append").saveAsTable(self.table)
+        # per-batch checkpoint superseded by the append (wave-10
+        # lifecycle)
+        from kpipe_spark.util import free_local_checkpoint
+
+        free_local_checkpoint(regs)
         # cloned-session append (see BloomGate.update_keys): refresh the
         # artifact session's relation cache so registers_df can't serve
         # a stale (under-counting) file listing

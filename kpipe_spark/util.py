@@ -66,6 +66,38 @@ def materialize(df: DataFrame, *, eager: bool = False, scale: str = "bounded") -
     return df.localCheckpoint(eager=eager)
 
 
+def free_local_checkpoint(df: DataFrame) -> bool:
+    """Best-effort release of the ``localCheckpoint`` RDD blocks a
+    SUPERSEDED frame reads. Walks the analyzed plan and unpersists every
+    LogicalRDD leaf, so it works on the checkpointed frame itself AND on
+    projections/filters derived from it — but that is also the hazard:
+    only call it when the ENTIRE lineage is dead. A local checkpoint's
+    lineage is truncated, so after the release any frame sharing it
+    fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND rather than silently
+    recomputing.
+
+    Iterative operators checkpoint once per round; without an explicit
+    release every round's blocks live until session shutdown (nothing
+    unpersists a local checkpoint), so long-lived sessions — streaming
+    folds, notebook reuse, profiling loops — accumulate dead dup-graph-
+    sized RDDs and eventually read inflated timings from GC pressure.
+    Returns True only when blocks were actually released: a frame
+    produced by a swapped-in materializer strategy (e.g. a parquet
+    table) has no checkpoint RDD and is left to that strategy's own
+    lifecycle (``table_materializer.drop_all``)."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        freed = False
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+                freed = True
+        return freed
+    except Exception:
+        return False
+
+
 class table_materializer:
     """Write-table strategy for clusters: corpus-scaled frames are
     written to (and re-read from) a parquet table instead of executor
