@@ -175,6 +175,29 @@ def test_connected_components_string_ids_long_chain(spark):
     }
 
 
+def test_connected_components_seeded_first_round(spark):
+    """Labels are seeded at min(self, neighbors) — round 1 rides the
+    node-set aggregate itself. Observable contract: max_iterations=0
+    returns exactly one propagation round's labels (not identity), and
+    a star graph (diameter 2 from the hub, already at fixpoint after
+    the seed) needs only the single convergence-confirming loop round."""
+    from kpipe_spark.functions import dedup as D
+
+    chain = spark.createDataFrame([(2, 5), (5, 9)], ["id_a", "id_b"])
+    seeded = {
+        r["id"]: r["cluster_id"]
+        for r in D.connected_components(chain, max_iterations=0).collect()
+    }
+    assert seeded == {2: 2, 5: 2, 9: 5}
+
+    star = spark.createDataFrame([(1, 4), (1, 6), (1, 8)], ["id_a", "id_b"])
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in D.connected_components(star, max_iterations=1).collect()
+    }
+    assert got == {1: 1, 4: 1, 6: 1, 8: 1}
+
+
 def test_dup_clusters_exact_copies_share_cluster(spark):
     """Verbatim copies must land in one cluster with exactly one
     canonical survivor; a distinct doc stays a singleton."""
