@@ -60,62 +60,64 @@ def register(
 # equals the computation, so a drifted list fails CI instead of
 # silently aging a grade (that drift happened once: round 8's
 # hand-typed list dropped d24_dup_clusters from its own count).
-# Round 13 = the r9-era stalest block in registry order (the
-# q42/q46/q51/q85 relational tail, the d02-d43 text-quality /
-# dedup-variant families, m02, d63/d80-d85 curation-eval rows, and
-# d98's HLL gate). All oracle-backed queries run the identical
+# Round 14 = the r9/r10-era stalest block in registry order (the four
+# r9 grades d99/p02/p03/q02, the d37/d44-d48 dedup-calibration rows,
+# the d86-d89 PQ serving family, and the q03-q45 relational mid-range;
+# the r11/r12-graded wave-7/9 rewrites q53/q62/q65/q72/q76/q79/q81/
+# q83/q84 queue for the NEXT windows — 51 staler candidates exist for
+# 47 slots this round). All oracle-backed queries run the identical
 # DuckDB compare in pytest regardless of window position.
 FLAGSHIP_50: tuple[str, ...] = (
     "q01_pricing_summary",
     "p01_outcome_accounting",
     "d05_minhash_neardup",
-    "q42_distinct_projection",
-    "q46_union_by_name",
-    "q51_date_arithmetic",
-    "q85_mode_per_group",
-    "d02_token_stats",
-    "d03_quality_score",
-    "d04_lang_id",
-    "d06_simhash",
-    "d07_ngram_jaccard_pairs",
-    "d09_lsh_similarity_topk",
-    "d10_embedding_norms",
-    "d11_embedding_neardup",
-    "d12_doc_fingerprint",
-    "m02_frame_sample",
-    "d14_doc_embedding_quality",
-    "d15_simhash_neardup",
-    "d16_pii_scrub",
-    "d18_bpe_token_stats",
-    "d19_stratified_sample",
-    "d20_dataset_split",
-    "d21_embedding_quantize",
-    "d22_repetition_score",
-    "d24_dup_clusters",
-    "d25_vocab_build",
-    "d26_tfidf_keywords",
-    "d29_column_profile",
-    "d30_k_anonymity",
-    "d31_contamination_check",
-    "d32_source_mixing_weights",
-    "d33_boilerplate_ngrams",
-    "d34_gopher_quality_rules",
-    "d35_source_document_cap",
-    "d36_lm_quality_buckets",
-    "d38_key_skew_profile",
-    "d39_sequence_packing",
-    "d40_corpus_card",
-    "d41_word_entropy",
-    "d42_lexical_diversity",
-    "d43_srp_near_dup",
-    "d63_tokenizer_fertility",
-    "d80_block_dedup_retention",
-    "d81_intradoc_dup_grams",
-    "d82_doc_stitching",
-    "d83_truncation_loss_curve",
-    "d84_ivf_cell_purity",
-    "d85_data_constrained_epochs",
-    "d98_hll_distinct_tokens",
+    "d99_weighted_reservoir_sample",
+    "p02_passed_enriched",
+    "p03_field_surgery",
+    "q02_revenue_by_nation",
+    "d37_semdedup_clusters",
+    "d44_temperature_sampling_weights",
+    "d45_sequence_length_histogram",
+    "d46_cross_source_overlap",
+    "d47_dedup_survivors",
+    "d48_minhash_estimator_calibration",
+    "d86_pq_adc_topk",
+    "d87_pq_recall",
+    "d88_ivfpq_topk",
+    "d89_pq_codebook_health",
+    "q19_distinct_agg",
+    "q27_conditional_agg_pivot",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier_volume",
+    "q07_join_left_outer",
+    "q08_join_anti",
+    "q09_join_semi",
+    "q10_join_full_outer",
+    "q28_range_join",
+    "q11_window_topk_per_customer",
+    "q12_window_running_total",
+    "q14_rollup",
+    "q15_cube",
+    "q25_grouping_sets",
+    "q16_union",
+    "q17_intersect",
+    "q18_except",
+    "q24_topk_orders",
+    "q20_scalar_string_math",
+    "q21_date_functions",
+    "q23_json_extract",
+    "q29_string_agg",
+    "q22_events_hourly",
+    "q31_correlated_scalar_subquery",
+    "q32_in_subquery",
+    "q33_percentiles",
+    "q35_pivot",
+    "q36_unpivot",
+    "q37_sessionization",
+    "q38_asof_join",
+    "q44_range_frame_moving_sum",
+    "q45_array_map_functions",
 )
 
 

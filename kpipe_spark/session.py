@@ -47,8 +47,9 @@ def get_spark(
         # let AQE rewrite sort-merge -> shuffled-hash at runtime when
         # every post-shuffle partition is under 128 MiB (default 0 =
         # never). The decision uses ACTUAL partition bytes, not
-        # estimates, and the bound caps the per-task hash build far
-        # below executor memory — the static preferSortMergeJoin
+        # estimates; the bound is on SERIALIZED/COMPRESSED post-shuffle
+        # bytes, so the in-memory hash map can be a few times larger —
+        # still well under executor memory — the static preferSortMergeJoin
         # toggle stays at its default because it trusts pre-execution
         # estimates, which at 100 TB can be join-inflated and build an
         # unbounded hash map. Measured on the band-join family at

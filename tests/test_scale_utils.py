@@ -3,6 +3,10 @@ to plain joins, and bucketed tables join without an Exchange."""
 
 from __future__ import annotations
 
+import pytest
+
+import re
+
 from pyspark.sql import functions as F
 
 from kpipe_spark.util import ensure_parallelism, salted_join, write_bucketed
@@ -110,9 +114,12 @@ def test_salted_join_spreads_hot_key_across_reducers(spark):
 
 def test_aqe_skew_join_splits_oversized_partitions(spark):
     """The unsalted path's safety net: with skew-join thresholds scaled
-    to test data, AQE's final plan marks the sort-merge join skew=true
-    — the oversized hot-key partition was split at runtime. (At default
-    256 MB thresholds the same mechanics engage at cluster scale.)"""
+    to test data, AQE's final plan marks the join skew=true — the
+    oversized hot-key partition was split at runtime. (At default
+    256 MB thresholds the same mechanics engage at cluster scale.)
+    Since session.py sets maxShuffledHashJoinLocalMapThreshold, AQE may
+    legally rewrite the sort-merge join to shuffled-hash; the skew
+    split fires for both node types, so accept either."""
     saved = {
         k: spark.conf.get(k, None)
         for k in (
@@ -151,7 +158,9 @@ def test_aqe_skew_join_splits_oversized_partitions(spark):
         assert len(out.collect()) == 50_000
         final_plan = out._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in final_plan
-        assert "SortMergeJoin(skew=true)" in final_plan, final_plan[:2000]
+        assert re.search(
+            r"(SortMergeJoin|ShuffledHashJoin)\(skew=true\)", final_plan
+        ), final_plan[:2000]
     finally:
         for k, v in saved.items():
             if v is None:
@@ -301,6 +310,7 @@ def test_ranged_prefix_sum_window_partitions_by_range(spark):
     assert rows == expect
 
 
+@pytest.mark.slow  # r14 tiering: multi-minute — slow tier
 def test_ntile_closed_form_matches_window_ntile(spark):
     """d36's two-phase tercile: histogram position + closed-form
     bucket must equal F.ntile(3) over the global order exactly —
