@@ -16,6 +16,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench
 
+import pytest
+
+# Round-14 suite tiering: this module is in the SLOW tier (excluded from
+# the driver's default `pytest tests/ -q` run by addopts; run with -m slow).
+# See pyproject.toml [tool.pytest.ini_options] for the rationale.
+pytestmark = pytest.mark.slow
+
+
 
 def test_timer_health_shape_and_consistency():
     """The probe must report p50/p90/p99 in ms, count every sample,

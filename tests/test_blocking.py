@@ -10,6 +10,12 @@ from pyspark.sql import functions as F
 
 from kpipe_spark.functions.blocking import blocking_enrich
 
+# Round-14 suite tiering: this module is in the SLOW tier (excluded from
+# the driver's default `pytest tests/ -q` run by addopts; run with -m slow).
+# See pyproject.toml [tool.pytest.ini_options] for the rationale.
+pytestmark = pytest.mark.slow
+
+
 
 def test_blocking_enrich_values_and_order(spark):
     """fn sees each row as a dict; the result column lines up with its

@@ -13,6 +13,8 @@ release those too via util.free_local_checkpoint.
 
 from __future__ import annotations
 
+import pytest
+
 from kpipe_spark.functions import dedup as D
 from kpipe_spark.util import free_local_checkpoint
 
@@ -68,6 +70,7 @@ def test_free_is_noop_on_non_checkpointed_frames(spark):
     assert df.count() == 10
 
 
+@pytest.mark.slow  # r14 tiering: multi-minute — slow tier
 def test_streaming_fold_loop_does_not_accumulate(spark):
     """The production shape of the leak: ClusterIndex.update_batch runs
     the fold once per micro-batch; every per-batch checkpoint (band

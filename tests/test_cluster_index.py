@@ -17,6 +17,12 @@ from pyspark.sql import functions as F
 from kpipe_spark.functions.cluster_index import ClusterIndex
 from kpipe_spark.functions.dedup_reports import CONSUMERS
 
+# Round-14 suite tiering: this module is in the SLOW tier (excluded from
+# the driver's default `pytest tests/ -q` run by addopts; run with -m slow).
+# See pyproject.toml [tool.pytest.ini_options] for the rationale.
+pytestmark = pytest.mark.slow
+
+
 SF = "/root/testdata/sf0.001"
 
 SPAM = "identical boilerplate text repeated across the corpus every day"

@@ -13,6 +13,12 @@ import pytest
 
 from kpipe_spark.functions.corpus_index import CorpusIndex
 
+# Round-14 suite tiering: this module is in the SLOW tier (excluded from
+# the driver's default `pytest tests/ -q` run by addopts; run with -m slow).
+# See pyproject.toml [tool.pytest.ini_options] for the rationale.
+pytestmark = pytest.mark.slow
+
+
 SPAM = "identical boilerplate text repeated across the corpus every day"
 FOX = "the quick brown fox jumps over the lazy dog at dawn today"
 

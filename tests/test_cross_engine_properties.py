@@ -24,6 +24,12 @@ from kpipe_spark.functions.mixing import (
 )
 from kpipe_spark.util import ieee_round
 
+# Round-14 suite tiering: this module is in the SLOW tier (excluded from
+# the driver's default `pytest tests/ -q` run by addopts; run with -m slow).
+# See pyproject.toml [tool.pytest.ini_options] for the rationale.
+pytestmark = pytest.mark.slow
+
+
 
 @given(
     ks=st.lists(

@@ -112,6 +112,7 @@ def _drill_fixture(spark, tmp_path) -> str:
     return str(sf)
 
 
+@pytest.mark.slow  # r14 tiering: multi-minute — slow tier
 def test_regenerated_fixture_drill_red_then_recover(spark, tmp_path):
     """The re-grade workflow from the module docstring, exercised end
     to end on a 'regenerated' fixture (round-12 verdict #7): a

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from pyspark.sql import functions as F
@@ -23,6 +25,7 @@ def _envelope(schema_id: int, body: bytes) -> bytes:
     return b"\x00" + schema_id.to_bytes(4, "big") + body
 
 
+@pytest.mark.slow  # r14 tiering: multi-minute — slow tier
 def test_sr_decode_per_record_schema(spark):
     """Two schema ids interleaved in one frame decode independently;
     bad envelopes become errors, not task failures."""

@@ -31,10 +31,15 @@ from pyspark.sql import functions as F
 
 BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP")
 
-pytestmark = pytest.mark.skipif(
-    not BOOTSTRAP,
-    reason="KAFKA_BOOTSTRAP not set — no Kafka broker in this environment",
-)
+# Round-14 suite tiering: slow tier (see pyproject.toml) — and skipped
+# entirely when no broker is reachable.
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not BOOTSTRAP,
+        reason="KAFKA_BOOTSTRAP not set — no Kafka broker in this environment",
+    ),
+]
 
 
 def _produce(spark, topic: str, rows: list[tuple[str, str]]) -> None:

@@ -228,6 +228,7 @@ def test_embedding_drift_identical_labels(spark):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # r14 tiering: multi-minute — slow tier
 def test_drift_counts_additive_and_kl_nonnegative(spark, rows, split_at):
     """The drift monitor's algebra on random corpora: (1) counts are
     additive — counts(A) + counts(B) == counts(A ∪ B) for any split,

@@ -138,6 +138,7 @@ def test_qln_is_negative_and_monotone():
     assert qln(0.25) < qln(0.5) < qln(0.9)
 
 
+@pytest.mark.slow  # r14 tiering: multi-minute — slow tier
 def test_viterbi_scales_to_synthetic_vocab(spark):
     """The vocab-shaped-table claim, stress-checked past the fixture's
     31 distinct words: 20k synthetic 16-char words (deterministic
@@ -220,6 +221,7 @@ def test_fertility_grades_against_d63(spark):
         )
 
 
+@pytest.mark.slow  # r14 tiering: multi-minute — slow tier
 def test_unigram_tokenizer_artifact_lifecycle(spark):
     """The stored-artifact form: build persists the model, attach
     reads the family back from TBLPROPERTIES (and rejects a mismatch),

@@ -15,6 +15,14 @@ from kpipe_spark.pipeline.schema_registry import (
 )
 from kpipe_spark.streaming.runner import CircuitBreaker
 
+import pytest
+
+# Round-14 suite tiering: this module is in the SLOW tier (excluded from
+# the driver's default `pytest tests/ -q` run by addopts; run with -m slow).
+# See pyproject.toml [tool.pytest.ini_options] for the rationale.
+pytestmark = pytest.mark.slow
+
+
 
 def _zigzag_varint(n: int) -> bytes:
     z = (n << 1) ^ (n >> 63)

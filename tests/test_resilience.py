@@ -17,6 +17,12 @@ from kpipe_spark.streaming.sources import file_source
 from kpipe_spark.testkit import CapturingSink, CrashRestartHarness
 from tests.test_streaming import SCHEMA, rows_batch, write_batch_file
 
+# Round-14 suite tiering: this module is in the SLOW tier (excluded from
+# the driver's default `pytest tests/ -q` run by addopts; run with -m slow).
+# See pyproject.toml [tool.pytest.ini_options] for the rationale.
+pytestmark = pytest.mark.slow
+
+
 
 # -- R4: backpressure governor ------------------------------------------------
 

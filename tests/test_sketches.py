@@ -12,6 +12,12 @@ from pyspark.sql import functions as F
 
 from kpipe_spark.functions.sketches import BloomGate
 
+# Round-14 suite tiering: this module is in the SLOW tier (excluded from
+# the driver's default `pytest tests/ -q` run by addopts; run with -m slow).
+# See pyproject.toml [tool.pytest.ini_options] for the rationale.
+pytestmark = pytest.mark.slow
+
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id bigint, text string")

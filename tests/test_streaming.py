@@ -17,6 +17,12 @@ from kpipe_spark.streaming import ProcessingMode, StreamRunner
 from kpipe_spark.streaming.runner import CircuitBreaker
 from kpipe_spark.streaming.sources import file_source
 
+# Round-14 suite tiering: this module is in the SLOW tier (excluded from
+# the driver's default `pytest tests/ -q` run by addopts; run with -m slow).
+# See pyproject.toml [tool.pytest.ini_options] for the rationale.
+pytestmark = pytest.mark.slow
+
+
 SCHEMA = "event_id bigint, key string, event_type string, value double, offset bigint"
 
 

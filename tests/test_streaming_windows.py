@@ -17,6 +17,14 @@ import os
 
 from pyspark.sql import functions as F
 
+import pytest
+
+# Round-14 suite tiering: this module is in the SLOW tier (excluded from
+# the driver's default `pytest tests/ -q` run by addopts; run with -m slow).
+# See pyproject.toml [tool.pytest.ini_options] for the rationale.
+pytestmark = pytest.mark.slow
+
+
 SCHEMA = "event_id bigint, key string, ts timestamp, value double"
 
 
