@@ -1572,26 +1572,33 @@ def _suspect_recapture_pass(
     budget: "_RequeueBudget | None" = None,
 ) -> dict[str, dict]:
     """The headline form of the sweep's outlier policy, machine-made:
-    a row whose capture reads >2× its value in the newest committed
-    QUIET sweep has almost certainly eaten a host stall the ambient
-    measure cannot see (guest-invisible hypervisor episodes hit single
-    rows at ambient ~0 — ARCHITECTURE §6.5 round-10 note). Each
-    suspect first waits out ambient contention (same gate/budget
+    a row whose capture reads >SUSPECT_RATIO× its value in the newest
+    committed QUIET sweep has almost certainly eaten a host stall the
+    ambient measure cannot see (guest-invisible hypervisor episodes
+    hit single rows at ambient ~0 — ARCHITECTURE §6.5 round-10 note).
+    Each suspect first waits out ambient contention (same gate/budget
     discipline as first captures — round-10 ADVICE: an ungated retry
-    window can itself be hot), then re-captures ONCE via
+    window can itself be hot), then re-captures via
     ``capture(name) -> (best, ext)``; ``timings``/``ambient`` keep the
-    minimum in place, and the evidence dict records both values. A row
-    whose RECAPTURE also reads >2× the quiet reference is flagged
-    ``still_suspect`` so the verdict step re-tests it instead of
-    trusting a twice-inflated number. Rows whose sweep reference was
-    itself hot (ambient above ``gate``) are not trusted as references
-    and are skipped."""
+    minimum in place, and the evidence dict records the values. A row
+    whose recapture STILL reads over threshold gets ONE more gated
+    recapture (round-13: d05's single recapture shipped 2.613 s, above
+    every quiet measurement in the repo — one retry was not enough for
+    a sustained host episode), and is flagged ``still_suspect`` if the
+    second retry is also over, so the verdict step re-tests it instead
+    of trusting a thrice-inflated number. The threshold dropped 2.0 →
+    1.35 in round 14 (round-13 PERF compared rows 1.4-1.9× over their
+    quiet-sweep levels that the 2× gate never adjudicated);
+    SPARK_GRAFT_SUSPECT_RATIO overrides it. Rows whose sweep reference
+    was itself hot (ambient above ``gate``) are not trusted as
+    references and are skipped."""
+    ratio = float(os.environ.get("SPARK_GRAFT_SUSPECT_RATIO", "1.35"))
     out: dict[str, dict] = {}
     for name in names:
         ref = sweep_q.get(name)
         if not ref or sweep_amb.get(name, 0.0) > gate > 0:
             continue
-        if timings[name] <= 2.0 * ref:
+        if timings[name] <= ratio * ref:
             continue
         if budget is not None and gate > 0:
             _await_ambient_quiet(gate, budget)
@@ -1601,8 +1608,15 @@ def _suspect_recapture_pass(
             "recapture": round(best, 3),
             "quiet_sweep_ref": ref,
         }
-        if best > 2.0 * ref:
-            out[name]["still_suspect"] = True
+        if best > ratio * ref:
+            if budget is not None and gate > 0:
+                _await_ambient_quiet(gate, budget)
+            best2, ext2 = capture(name)
+            out[name]["recapture2"] = round(best2, 3)
+            if best2 < best:
+                best, ext = best2, ext2
+            if best > ratio * ref:
+                out[name]["still_suspect"] = True
         if best < timings[name]:
             timings[name] = round(best, 3)
             ambient[name] = round(ext, 2)
@@ -1836,6 +1850,7 @@ def _compact_headline_line(doc: dict, limit: int = 1900) -> str:
     if doc.get("suspect_recaptures"):
         compact["suspect_recaptures"] = {
             n: [v["first_capture"], v["recapture"]]
+            + ([v["recapture2"]] if "recapture2" in v else [])
             for n, v in doc["suspect_recaptures"].items()
         }
     ab = doc.get("d05_signature_ab", {})
