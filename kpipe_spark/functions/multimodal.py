@@ -159,49 +159,58 @@ def generate_media(
     deflate) to pure metadata arithmetic. In production this is the
     difference between planning frame sampling from the media CATALOG
     and fetching every blob from object storage to plan what to fetch."""
-    import pandas as pd
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows: dict[str, list] = {
-                "media_id": [],
-                "kind": [],
-                "content": [],
-                "media_ref": [],
-                "meta": [],
-            }
-            for mid in pdf[id_col]:
-                mid = int(mid)
-                kind, w, h, frames, sr, ns = media_spec(mid)
-                if kind == "image":
-                    content = (
-                        png_bytes(w, h, mid) if include_content else None
-                    )
-                    meta = dict(width=w, height=h, frames=None,
-                                sample_rate=None, mime="image/png")
-                elif kind == "audio":
-                    content = (
-                        wav_bytes(ns, sr, mid) if include_content else None
-                    )
-                    meta = dict(width=None, height=None, frames=None,
-                                sample_rate=sr, mime="audio/wav")
-                else:
-                    content = (
-                        video_bytes(frames, w, h, mid)
-                        if include_content
-                        else None
-                    )
-                    meta = dict(width=w, height=h, frames=frames,
-                                sample_rate=None,
-                                mime="video/x-kpipe-frames")
-                rows["media_id"].append(mid)
-                rows["kind"].append(kind)
-                rows["content"].append(content)
-                rows["media_ref"].append(f"mem://documents/{mid}")
-                rows["meta"].append(meta)
-            yield pd.DataFrame(rows)
+    def gen(batches):
+        return _gen_batches(batches, id_col, include_content)
 
     return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _gen_batches(
+    batches: "Iterator", id_col: str, include_content: bool
+) -> "Iterator":
+    """The generator's batch loop as a plain pandas-iterator transform,
+    so generate-only (generate_media) and generate+decode-in-one-worker
+    (generate_and_extract) stages share one implementation."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "media_id": [],
+            "kind": [],
+            "content": [],
+            "media_ref": [],
+            "meta": [],
+        }
+        for mid in pdf[id_col]:
+            mid = int(mid)
+            kind, w, h, frames, sr, ns = media_spec(mid)
+            if kind == "image":
+                content = (
+                    png_bytes(w, h, mid) if include_content else None
+                )
+                meta = dict(width=w, height=h, frames=None,
+                            sample_rate=None, mime="image/png")
+            elif kind == "audio":
+                content = (
+                    wav_bytes(ns, sr, mid) if include_content else None
+                )
+                meta = dict(width=None, height=None, frames=None,
+                            sample_rate=sr, mime="audio/wav")
+            else:
+                content = (
+                    video_bytes(frames, w, h, mid)
+                    if include_content
+                    else None
+                )
+                meta = dict(width=w, height=h, frames=frames,
+                            sample_rate=None,
+                            mime="video/x-kpipe-frames")
+            rows["media_id"].append(mid)
+            rows["kind"].append(kind)
+            rows["content"].append(content)
+            rows["media_ref"].append(f"mem://documents/{mid}")
+            rows["meta"].append(meta)
+        yield pd.DataFrame(rows)
 
 
 # -- real decoders ------------------------------------------------------------
@@ -349,55 +358,88 @@ def extract_features(media: DataFrame) -> DataFrame:
     arithmetic. Per-row decode failures become nulls +
     ``decode_error`` — the pipeline outcome discipline, never a task
     failure.
+
+    Input is projected to the three columns the decoder reads
+    (media_id, kind, content) before the Python boundary: Catalyst
+    cannot see which columns an opaque function touches, so without
+    the select every media column (media_ref, the meta struct) is
+    Arrow-serialized into the worker per row (guide §4.1).
     """
+    media = media.select("media_id", "kind", "content")
+    return media.mapInPandas(_decode_batches, FEATURE_SCHEMA)
+
+
+def _decode_batches(batches: "Iterator") -> "Iterator":
+    """extract_features' batch loop as a plain pandas-iterator
+    transform (shared with generate_and_extract)."""
     import pandas as pd
 
-    def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {k: [] for k in (
-                "media_id", "kind", "width", "height", "n_frames",
-                "sample_rate", "n_units", "value_sum", "decode_error",
-            )}
-            for mid, kind, content in zip(
-                pdf["media_id"], pdf["kind"], pdf["content"]
-            ):
-                row = dict.fromkeys(out)
-                row["media_id"], row["kind"] = int(mid), kind
-                try:
-                    if content is None or len(content) == 0:
-                        raise ValueError("empty media content")
-                    if kind == "image":
-                        w, h, n, s = decode_png(bytes(content))
-                        row.update(width=w, height=h, n_frames=1,
-                                   n_units=n, value_sum=s)
-                    elif kind == "audio":
-                        rate, n, s = decode_wav(bytes(content))
-                        row.update(sample_rate=rate, n_units=n, value_sum=s)
-                    elif kind == "video":
-                        w, h, fr, n, s = decode_video(bytes(content))
-                        row.update(width=w, height=h, n_frames=fr,
-                                   n_units=n, value_sum=s)
-                    else:
-                        raise ValueError(f"unknown media kind {kind!r}")
-                except Exception as exc:  # noqa: BLE001 — error becomes data
-                    row["decode_error"] = f"{type(exc).__name__}: {exc}"
-                for k, v in row.items():
-                    out[k].append(v)
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.array(out["media_id"], dtype="Int64"),
-                    "kind": out["kind"],
-                    "width": pd.array(out["width"], dtype="Int32"),
-                    "height": pd.array(out["height"], dtype="Int32"),
-                    "n_frames": pd.array(out["n_frames"], dtype="Int32"),
-                    "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
-                    "n_units": pd.array(out["n_units"], dtype="Int64"),
-                    "value_sum": pd.array(out["value_sum"], dtype="Int64"),
-                    "decode_error": out["decode_error"],
-                }
-            )
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "media_id", "kind", "width", "height", "n_frames",
+            "sample_rate", "n_units", "value_sum", "decode_error",
+        )}
+        for mid, kind, content in zip(
+            pdf["media_id"], pdf["kind"], pdf["content"]
+        ):
+            row = dict.fromkeys(out)
+            row["media_id"], row["kind"] = int(mid), kind
+            try:
+                if content is None or len(content) == 0:
+                    raise ValueError("empty media content")
+                if kind == "image":
+                    w, h, n, s = decode_png(bytes(content))
+                    row.update(width=w, height=h, n_frames=1,
+                               n_units=n, value_sum=s)
+                elif kind == "audio":
+                    rate, n, s = decode_wav(bytes(content))
+                    row.update(sample_rate=rate, n_units=n, value_sum=s)
+                elif kind == "video":
+                    w, h, fr, n, s = decode_video(bytes(content))
+                    row.update(width=w, height=h, n_frames=fr,
+                               n_units=n, value_sum=s)
+                else:
+                    raise ValueError(f"unknown media kind {kind!r}")
+            except Exception as exc:  # noqa: BLE001 — error becomes data
+                row["decode_error"] = f"{type(exc).__name__}: {exc}"
+            for k, v in row.items():
+                out[k].append(v)
+        yield pd.DataFrame(
+            {
+                "media_id": pd.array(out["media_id"], dtype="Int64"),
+                "kind": out["kind"],
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "n_frames": pd.array(out["n_frames"], dtype="Int32"),
+                "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                "n_units": pd.array(out["n_units"], dtype="Int64"),
+                "value_sum": pd.array(out["value_sum"], dtype="Int64"),
+                "decode_error": out["decode_error"],
+            }
+        )
 
-    return media.mapInPandas(decode_partition, FEATURE_SCHEMA)
+
+def generate_and_extract(
+    ids: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """(id) frame -> decoded FEATURE_SCHEMA frame in ONE mapInPandas.
+
+    Composes the generator's and extract_features' batch loops inside
+    a single Python worker: each blob is produced and decoded in the
+    same process, so content bytes never cross the Python↔JVM Arrow
+    boundary at all (in production: fetch-by-ref + decode in one
+    worker — the §4 shape that ships only the columns the consumer
+    reads). Chaining generate_media THEN extract_features instead
+    pipelines TWO MapInPandas evals inside one JVM stage, which holds
+    two live Python workers per task — 64 on local[32]; a session that
+    has not built that worker pool pays a multi-second spawn+import
+    burst (measured 8.3 s first run, and end-of-sweep sessions re-pay
+    it), and every blob crosses Arrow twice. Decode semantics are
+    byte-identical — the same _decode_batches loop runs either way."""
+    def fused(batches):
+        return _decode_batches(_gen_batches(batches, id_col, True))
+
+    return ids.mapInPandas(fused, FEATURE_SCHEMA)
 
 
 AUDIO_FRAME_SCHEMA = (
@@ -532,12 +574,70 @@ def image_patch_stats(media: DataFrame, patch: int = 14) -> DataFrame:
 
 def size_class_partitioned(media: DataFrame, num_partitions: int = 32) -> DataFrame:
     """Repartition by (kind, size-class) so homogeneous work shares a
-    task wave — giant blobs can't straggle a partition of thumbnails."""
+    task wave — giant blobs can't straggle a partition of thumbnails.
+
+    NOTE: this shuffles the GENERATED media frame, i.e. every blob
+    crosses the exchange. When the blob size is predictable from the
+    id (this pipeline's content spec — m01's closed forms), prefer
+    ``spec_partitioned_ids`` BEFORE generation: the same placement for
+    8 bytes/row, and blobs never shuffle (optimization guide §8:
+    decide with small rows, move big rows once — here, zero times)."""
     size_class = F.floor(F.log2(F.length("content") + 1)).alias("_size_class")
     return (
         media.withColumn("_size_class", size_class)
         .repartition(num_partitions, F.col("kind"), F.col("_size_class"))
         .drop("_size_class")
+    )
+
+
+def spec_partitioned_ids(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    num_partitions: int = 32,
+    salt: int = 64,
+) -> DataFrame:
+    """Size-class placement computed BEFORE generation, on the id frame.
+
+    byte_size is a pure closed form of the id (media_spec + the
+    stored-mode encoders; m01's oracle certifies generated bytes match
+    it), so the (kind, size-class) partition key that
+    ``size_class_partitioned`` derives from the generated blob is
+    available for 8 bytes per row. Repartitioning the ID frame and
+    generating afterwards means content bytes never cross an exchange
+    — at 100 TB that is the §8 payload rule (the blob moves from birth
+    task to consumer in-task, not via shuffle), and locally it removes
+    the Arrow-serialize/shuffle/deserialize of every blob between the
+    generate and decode mapInPandas stages.
+
+    ``salt`` (deterministic, ``id % salt`` — never rand(): retried map
+    tasks must reproduce the same placement, SPARK-38388) spreads each
+    (kind, class) group over many partitions: ~3 kinds × ~6 classes is
+    far fewer distinct keys than task slots (guide §2.5's too-few-keys
+    trap — the old 8-partition shape capped the decode stage at 8
+    tasks), while kind+class stay in the key so co-resident rows still
+    share a work profile."""
+    mid = F.col(id_col)
+    w = F.lit(8) + mid % 16
+    h = F.lit(8) + mid % 8
+    frames = mid % 24 + 1
+    ns = F.lit(64) + mid % 128
+    kind_r = mid % 3
+    psize = (
+        F.when(kind_r == 0, F.lit(68) + h * (w + 1))
+        .when(kind_r == 1, F.lit(44) + 2 * ns)
+        .otherwise(frames * (F.lit(72) + h * (w + 1)))
+    )
+    return (
+        ids.withColumn("_kind_r", kind_r)
+        .withColumn("_size_class", F.floor(F.log2(psize + 1)))
+        .withColumn("_salt", mid % salt)
+        .repartition(
+            num_partitions,
+            F.col("_kind_r"),
+            F.col("_size_class"),
+            F.col("_salt"),
+        )
+        .drop("_kind_r", "_size_class", "_salt")
     )
 
 

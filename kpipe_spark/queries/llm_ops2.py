@@ -300,6 +300,7 @@ def media_frame(
     sf_dir: str,
     kinds: tuple[str, ...] | None = None,
     include_content: bool = True,
+    spec_partitions: int | None = None,
 ) -> DataFrame:
     """documents -> multimodal frame: REAL binary content (genuine PNG /
     WAV / length-prefixed PNG-frame container, stdlib-generated on
@@ -315,14 +316,29 @@ def media_frame(
     projection here. ``include_content=False`` is the column-pruning
     analogue for the same boundary: metadata-only consumers (m02) get
     NULL content instead of paying the codec encode per row (see
-    generate_media's docstring)."""
+    generate_media's docstring). ``spec_partitions`` is the
+    partitioning analogue: size-class placement applied to the ID
+    frame (byte size is a closed form of the id) so blob-consuming
+    stages downstream inherit straggler-safe placement without the
+    generated bytes ever crossing an exchange
+    (spec_partitioned_ids's docstring)."""
     from kpipe_spark.util import ensure_parallelism
 
     docs = load_tables(spark, sf_dir).documents
-    ids = ensure_parallelism(docs).select(F.col("doc_id").alias("media_id"))
+    if spec_partitions:
+        # the spec repartition IS the parallelism spread — stacking
+        # ensure_parallelism's round-robin exchange under it would pay
+        # two back-to-back id shuffles for one placement
+        ids = docs.select(F.col("doc_id").alias("media_id"))
+    else:
+        ids = ensure_parallelism(docs).select(
+            F.col("doc_id").alias("media_id")
+        )
     if kinds:
         residues = [_KIND_RESIDUE[k] for k in kinds]
         ids = ids.filter((F.col("media_id") % 3).isin(residues))
+    if spec_partitions:
+        ids = M.spec_partitioned_ids(ids, num_partitions=spec_partitions)
     return M.generate_media(ids, include_content=include_content)
 
 
@@ -442,8 +458,22 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m03_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kpipe_spark.util import ieee_round
 
-    media = M.size_class_partitioned(media_frame(spark, sf_dir), num_partitions=8)
-    feats = M.extract_features(media)
+    # Round 14 (guide §8 + §2.5 + §4): size-class placement computed
+    # BEFORE generation on the ID frame (predicted byte size is m01's
+    # closed form of the id), then generation and decode run in ONE
+    # mapInPandas worker (generate_and_extract). The old shape
+    # generated every blob, shuffled the generated frame into 8
+    # (kind, size_class) partitions — every content byte crossed an
+    # exchange, the decode stage ran 8-wide on local[32], and each
+    # blob crossed the Python↔JVM Arrow boundary twice. Now the only
+    # exchange carries bare ids and blob bytes never leave the worker
+    # that produced them.
+    ids = load_tables(spark, sf_dir).documents.select(
+        F.col("doc_id").alias("media_id")
+    )
+    feats = M.generate_and_extract(
+        M.spec_partitioned_ids(ids, num_partitions=32)
+    )
     return feats.select(
         "media_id",
         "kind",
