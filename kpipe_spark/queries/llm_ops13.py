@@ -82,8 +82,17 @@ def _sq_l2q(a, b, dim: int):
 def _pq_frames(spark: SparkSession, sf_dir: str):
     """(enc, adc): the corpus code table (vec_id, j, code) and the
     panel's ADC lookup table (query_id, j, code, dq)."""
+    from kpipe_spark.util import ensure_parallelism
+
     emb = load_tables(spark, sf_dir).embeddings
-    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    # the embeddings parquet is one split at test SFs, and the corpus
+    # encode below expands it x(m*k) through the broadcast codebook
+    # join — without a respread the whole k x m x n ADC arithmetic
+    # runs on ONE core (the round-13 stage profile that read "genuine
+    # arithmetic" was measuring a single-task stage)
+    v = ensure_parallelism(emb).select(
+        "vec_id", S.as_double_array("embedding").alias("_e")
+    )
     subs = v.select(
         "vec_id",
         F.posexplode(
@@ -258,6 +267,12 @@ def d86_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d87_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir).embeddings
+    # NO respread here (round-14 A/B): d87's exact side is a long
+    # pipelined lineage (crossJoin -> 64-dim distance -> window) whose
+    # single-task form beat the 64-task respread locally (1.37 vs
+    # 1.70 s best); at 100 TB the scan arrives well-split and
+    # ensure_parallelism would be a no-op anyway. The PQ side it
+    # shares (_pq_frames) IS respread — that one measured faster.
     v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
     q = v.filter(F.expr(_PANEL)).select(
         F.col("vec_id").alias("query_id"), F.col("_e").alias("_qe")
@@ -401,6 +416,12 @@ _D88_ORACLE = f"""
 )
 def d88_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir).embeddings
+    # NO respread (round-14 A/B): d88 chains coarse assignment,
+    # residual encode and the ADC join — ~10 pipelined stages whose
+    # per-stage task overhead at 64 partitions outweighs the
+    # parallelism on a 2000-row corpus (1.49 s single-split vs 1.88 s
+    # respread, every lap). At 100 TB the scan arrives well-split and
+    # the same plan parallelizes by itself.
     v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
     cents = v.filter(F.col("vec_id") < _NCELL).select(
         F.col("vec_id").alias("cell"), F.col("_e").alias("_ce")
@@ -513,8 +534,14 @@ def _pq_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, j, code, dq): each vector-subspace's chosen code AND
     its quantization error (the min subspace distance d86's argmin
     discards) — the raw material of codebook-health monitoring."""
+    from kpipe_spark.util import ensure_parallelism
+
     emb = load_tables(spark, sf_dir).embeddings
-    v = emb.select("vec_id", S.as_double_array("embedding").alias("_e"))
+    # respread the one-split scan before the x(m*k) expansion (see
+    # _pq_frames)
+    v = ensure_parallelism(emb).select(
+        "vec_id", S.as_double_array("embedding").alias("_e")
+    )
     subs = v.select(
         "vec_id",
         F.posexplode(
@@ -653,7 +680,9 @@ def _adaptive_ivf_frames(spark: SparkSession, sf_dir: str):
     typically ~2-3 cells per query after it."""
     emb = load_tables(spark, sf_dir).embeddings
     # per-ROW norms once; every scored pair pays ONE interpreted dot
-    # fold instead of ~5 (cosine_pre — bit-identical, similarity.py)
+    # fold instead of ~5 (cosine_pre — bit-identical, similarity.py).
+    # NO respread (round-14 A/B: 1.13 vs 1.37 s — task overhead beats
+    # parallelism on this lineage locally; a no-op at scale anyway)
     v = emb.select(
         "vec_id", S.as_double_array("embedding").alias("_e")
     ).withColumn("_n", S.norm(F.col("_e")))
@@ -913,7 +942,9 @@ def d94_adaptive_nprobe_recall(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load_tables(spark, sf_dir).embeddings
-    # per-ROW norms once (cosine_pre — bit-identical, similarity.py)
+    # per-ROW norms once (cosine_pre — bit-identical, similarity.py);
+    # NO respread (round-14 A/B: 0.99 vs 1.14 s — see
+    # _adaptive_ivf_frames)
     v = emb.select(
         "vec_id", S.as_double_array("embedding").alias("_e")
     ).withColumn("_n", S.norm(F.col("_e")))
